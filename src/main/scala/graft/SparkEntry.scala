@@ -1,13 +1,468 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.KnnParams
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators.{Dedup, Evaluation, Knn, SimilaritySearch}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with matching DuckDB oracle SQL where the semantics are
+  * SQL-expressible (others get the driver's rows-only check and scalatest
+  * golden fixtures).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** embeddings split: even vec_id = train, odd = test (FIXTURES.md §B). */
+  private def trainTest(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val e = t(s, dir, "embeddings")
+    val train = e.filter(col("vec_id") % 2 === 0).select(
+      col("vec_id").as("train_id"),
+      col("embedding").cast("array<double>").as("train_series"),
+      col("label"))
+    val test = e.filter(col("vec_id") % 2 === 1).select(
+      col("vec_id").as("test_id"),
+      col("embedding").cast("array<double>").as("test_series"))
+    val truth = e.filter(col("vec_id") % 2 === 1).select(
+      col("vec_id").as("test_id"), col("label"))
+    (train, test, truth)
+  }
+
+  /** Flagship: Model-1-shaped KNN classification (k=5, Euclidean) of the
+    * held-out embeddings at sf0.001, evaluated against ground truth —
+    * EP2+EP3 end-to-end in one Catalyst lineage.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val (train, test, truth) = trainTest(spark, dir)
+    Knn.classify(train, test, KnnParams(k = 5, distance = "euclidean"))
+      .join(truth, "test_id")
+      .select(col("test_id"), col("predicted_label"), col("label"))
+      .orderBy("test_id")
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 — scan + cast + filter + project (S1, P5, P7, P9)
+    "q1_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("qty"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q2 — equi inner join (J1); customer side broadcast by Catalyst
+    "q2_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q3 — windowed top-k per key (W1/W2)
+    "q3_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Q4 — grouped aggregation (A2, A7)
+    "q4_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 4).as("sq"),
+          round(avg(col("l_extendedprice")), 4).as("ap"),
+          min(col("l_discount")).as("md"),
+          max(col("l_tax")).as("mt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q5 — majority vote / mode (A5) with deterministic tie-break
+    "q5_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("c").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Q6 — cross join + abs arithmetic (J4, P6)
+    "q6_cross_abs" -> ((s, dir) => {
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      n.crossJoin(r)
+        .select(col("n_name"), col("r_name"),
+          abs(col("n_regionkey") - col("r_regionkey")).as("d"))
+        .orderBy("n_name", "r_name")
+    }),
+
+    // Q7 — min-by / argmin (A6) via min_by aggregate
+    "q7_argmin" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min_by(struct(col("value"), col("event_id")),
+          struct(col("value"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.value").as("mv"))
+        .orderBy("user_id")
+    }),
+
+    // Q8 — accuracy evaluator shape (A7, M6): single-pass avg(when)
+    "q8_accuracy" -> ((s, dir) => {
+      val a = t(s, dir, "events").select(col("event_id"), col("value").as("va"))
+      val b = t(s, dir, "events").select(col("event_id"), col("value").as("vb"))
+      Evaluation.accuracy(a.join(b, "event_id"), col("va"), col("vb"))
+    }),
+
+    // Q9 — 1-NN Euclidean, Model-2 shape: broadcast + min_by (M2, M5, J5, A6)
+    "q9_knn_eu_k1" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, _) = trainTest(s, dir)
+      Knn.classify1NN(train, test, KnnParams(distance = "euclidean"))
+        .select(col("test_id"), col("predicted_label"))
+        .orderBy("test_id")
+    }),
+
+    // Q10 — k-NN Euclidean k=5, Model-1 shape: top-k + majority vote (M2, M4, A4, A5)
+    "q10_knn_eu_k5" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, _) = trainTest(s, dir)
+      Knn.classify(train, test, KnnParams(k = 5, distance = "euclidean"))
+        .orderBy("test_id")
+    }),
+
+    // Q11 — KNN accuracy end-to-end (M6): predictions vs truth
+    "q11_knn_accuracy" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, truth) = trainTest(s, dir)
+      val pred = Knn.classify(train, test, KnnParams(k = 5, distance = "euclidean"))
+      Evaluation.accuracy(pred.join(truth, "test_id"),
+        col("predicted_label"), col("label"))
+    }),
+
+    // Q12 — 1-NN exact DTW (M3): no SQL oracle (DTW not in DuckDB);
+    // validated against brute-force fixtures in scalatest
+    "q12_knn_dtw_k1" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, _) = trainTest(s, dir)
+      Knn.classify1NN(train, test, KnnParams(distance = "dtw"))
+        .select(col("test_id"), col("predicted_label"))
+        .orderBy("test_id")
+    }),
+
+    // Q13 — k-NN FastDTW k=5 (M3, M4): rows-only + fixtures
+    "q13_knn_fastdtw_k5" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, _) = trainTest(s, dir)
+      Knn.classify(train, test, KnnParams(k = 5, distance = "fastdtw", radius = 1))
+        .orderBy("test_id")
+    }),
+
+    // Q14 — exact dedup groups (north-star: Deduplication/exact)
+    "q14_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select(col("keep_id"), col("dup_count"))
+        .orderBy("keep_id")
+    }),
+
+    // Q15 — n-gram Jaccard similarity pairs (north-star: near-dup, exact baseline)
+    "q15_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Q16 — token counting + element access (north-star: text analysis; P1-P3)
+    "q16_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+        get(TextFunctions.tokens(col("text")), lit(0)).as("first_token"))
+        .orderBy("doc_id")
+    }),
+
+    // Q17 — quality scoring (north-star: text analysis)
+    "q17_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.meanTokenLength(col("text")), 6).as("mean_tok_len"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Q18 — language ID heuristic (north-star: text analysis)
+    "q18_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Q19 — document fingerprint (rolling hash; rows-only: xxhash64 differs
+    // from DuckDB's hash)
+    "q19_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SeriesFunctions.fingerprint(
+            TextFunctions.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Q20 — brute-force cosine top-k ANN baseline (north-star: similarity search)
+    "q20_ann_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      SimilaritySearch.bruteForceTopK(queries, corpus, 5)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q21 — LSH-bucketed ANN (scale path; probabilistic -> rows-only,
+    // recall measured in scalatest against Q20)
+    "q21_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      SimilaritySearch.lshTopK(queries, corpus, 5, dim = 64, bits = 10, tables = 4)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q22 — MinHash+LSH near-dup candidates (probabilistic -> rows-only)
+    "q22_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, numHashes = 64, numBands = 16, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Q23 — SimHash near-dup pairs (rows-only; exact for hamming<=3 by banding)
+    "q23_simhash_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Q24 — embedding cosine near-dup pairs (north-star: dedup)
+    "q24_embedding_neardup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.0)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+  private def shinglesSql(n: Int): String = {
+    val last = n - 1
+    s"""CASE WHEN len(tk) < $n THEN [array_to_string(tk, ' ')]
+        ELSE list_transform(range(1, len(tk) - ${last - 1}), i -> array_to_string(tk[i:i+$last], ' ')) END"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty, l_returnflag
+         FROM lineitem WHERE l_discount > 0.05 ORDER BY l_orderkey, l_linenumber""",
+
+    "q2_join" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
+
+    "q3_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q4_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                ROUND(SUM(l_quantity), 4) AS sq, ROUND(AVG(l_extendedprice), 4) AS ap,
+                MIN(l_discount) AS md, MAX(l_tax) AS mt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q5_mode" ->
+      """SELECT user_id, event_type FROM (
+           SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+           FROM events GROUP BY user_id, event_type) t
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "q6_cross_abs" ->
+      """SELECT n.n_name, r.r_name, ABS(n.n_regionkey - r.r_regionkey) AS d
+         FROM nation n CROSS JOIN region r ORDER BY n.n_name, r.r_name""",
+
+    "q7_argmin" ->
+      """SELECT user_id, event_id, value AS mv FROM (
+           SELECT user_id, event_id, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "q8_accuracy" ->
+      """SELECT ROUND(AVG(CASE WHEN ABS(a.value - b.value) = 0 THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+                COUNT(*) AS n
+         FROM events a JOIN events b ON a.event_id = b.event_id""",
+
+    "q9_knn_eu_k1" ->
+      """WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0),
+              test  AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 2 = 1),
+              pairs AS (SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                               list_distance(t.e, tr.e) AS d
+                        FROM test t CROSS JOIN train tr
+                        WHERE list_distance(t.e, tr.e) <> 0)
+         SELECT test_id, label AS predicted_label FROM (
+           SELECT test_id, label, ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+           FROM pairs) x
+         WHERE rn = 1 ORDER BY test_id""",
+
+    "q10_knn_eu_k5" ->
+      """WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0),
+              test  AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 2 = 1),
+              pairs AS (SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                               list_distance(t.e, tr.e) AS d
+                        FROM test t CROSS JOIN train tr
+                        WHERE list_distance(t.e, tr.e) <> 0),
+              topk AS (SELECT * FROM (
+                         SELECT test_id, train_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+                         FROM pairs) x WHERE rn <= 5),
+              votes AS (SELECT test_id, label, COUNT(*) AS votes, MIN(rn) AS best_rank
+                        FROM topk GROUP BY test_id, label)
+         SELECT test_id, label AS predicted_label FROM (
+           SELECT test_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, best_rank, label) AS vr
+           FROM votes) v
+         WHERE vr = 1 ORDER BY test_id""",
+
+    "q11_knn_accuracy" ->
+      """WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0),
+              test  AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 1),
+              pairs AS (SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                               list_distance(t.e, tr.e) AS d
+                        FROM test t CROSS JOIN train tr
+                        WHERE list_distance(t.e, tr.e) <> 0),
+              topk AS (SELECT * FROM (
+                         SELECT test_id, train_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+                         FROM pairs) x WHERE rn <= 5),
+              votes AS (SELECT test_id, label, COUNT(*) AS votes, MIN(rn) AS best_rank
+                        FROM topk GROUP BY test_id, label),
+              pred AS (SELECT test_id, label AS predicted_label FROM (
+                         SELECT test_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, best_rank, label) AS vr
+                         FROM votes) v WHERE vr = 1)
+         SELECT ROUND(AVG(CASE WHEN ABS(p.predicted_label - t.label) = 0 THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+                COUNT(*) AS n
+         FROM pred p JOIN test t ON p.test_id = t.vec_id""",
+
+    "q14_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q15_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              sh AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM toks)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+           FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+
+    "q16_token_count" ->
+      s"""WITH toks AS (SELECT doc_id, text, $tokensSql AS tk FROM documents)
+         SELECT doc_id, len(tk) AS n_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+                tk[1] AS first_token
+         FROM toks ORDER BY doc_id""",
+
+    "q17_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $tokensSql AS tk FROM documents),
+              base AS (
+           SELECT doc_id,
+                  len(tk) AS n,
+                  list_distinct(tk) AS dt,
+                  CASE WHEN len(list_distinct(tk)) = 0 THEN 0.0
+                       ELSE len(list_intersect(list_distinct(tk),
+                            ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are']))::DOUBLE
+                            / len(list_distinct(tk)) END AS stop_ratio,
+                  CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+                       ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text) END AS punct_ratio,
+                  CASE WHEN len(tk) = 0 THEN 0.0
+                       ELSE list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) END AS mean_tok_len
+           FROM toks)
+         SELECT doc_id, ROUND(stop_ratio, 6) AS stop_ratio, ROUND(punct_ratio, 6) AS punct_ratio,
+                ROUND(mean_tok_len, 6) AS mean_tok_len,
+                ROUND(LEAST(n / 50.0, 1.0) * 0.3 +
+                      (CASE WHEN n = 0 THEN 0.0 ELSE len(dt)::DOUBLE / n END) * 0.3 +
+                      LEAST(stop_ratio * 4.0, 1.0) * 0.2 + (1.0 - punct_ratio) * 0.2, 6) AS quality
+         FROM base ORDER BY doc_id""",
+
+    "q18_langid" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct($tokensSql) AS dt FROM documents),
+              sc AS (
+           SELECT doc_id,
+                  len(list_intersect(dt, ['the','and','of','to','in','is','that','for','with','it'])) AS s_en,
+                  len(list_intersect(dt, ['der','die','das','und','ist','nicht','ein','zu','mit','von'])) AS s_de,
+                  len(list_intersect(dt, ['el','la','los','las','y','es','en','que','un','una'])) AS s_es,
+                  len(list_intersect(dt, ['le','la','les','et','est','un','une','que','dans','pour'])) AS s_fr,
+                  len(list_intersect(dt, ['de5','shi4','le5','zai4','you3','wo3','ta1','zhe4','bu4','ren2'])) AS s_zh
+           FROM toks)
+         SELECT doc_id,
+                CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+                     WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+                     WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+                     WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+                     WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+                     ELSE 'zh' END AS lang_pred
+         FROM sc ORDER BY doc_id""",
+
+    "q20_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
+              c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0)
+         SELECT query_id, rank, item_id FROM (
+           SELECT q.query_id, c.item_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.item_id) AS rank
+           FROM q CROSS JOIN c) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q24_embedding_neardup" ->
+      """SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+           FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id) t
+         WHERE cos >= 0.3 ORDER BY id_a, id_b"""
+  )
 }

@@ -1,0 +1,28 @@
+package graft.core
+
+/** One labeled time series / embedding row — the canonical typed view of
+  * the reference's (features, label) pair (`Team11-Project.py:187-188`).
+  */
+case class LabeledSeries(rowId: Long, series: Array[Double], label: Double)
+
+/** KNN configuration (reference Models 1 & 2, `Team11-Project.py:119-476`,
+  * `:480-580`).
+  *
+  * @param k                  neighbor count (reference sweeps 5..70; Model 2 fixes 1)
+  * @param distance           "euclidean" | "sqdist" | "manhattan" | "dtw" | "fastdtw" | "cosine"
+  * @param strategy           "auto" | "broadcast" | "cartesian"
+  * @param excludeZeroDistance drop self-matches (reference `:176-177`, `:357-358`)
+  * @param radius             FastDTW radius (Python fastdtw default = 1)
+  * @param band               Sakoe-Chiba band for exact DTW; -1 = unconstrained
+  * @param trainPartitions    cartesian-strategy train-side repartition (reference `:186`)
+  * @param testPartitions     cartesian-strategy test-side repartition (reference `:186`)
+  */
+case class KnnParams(
+    k: Int = 1,
+    distance: String = "euclidean",
+    strategy: String = "auto",
+    excludeZeroDistance: Boolean = true,
+    radius: Int = 1,
+    band: Int = -1,
+    trainPartitions: Int = 0,
+    testPartitions: Int = 0)

@@ -1,0 +1,253 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Pure-Scala distance kernels for time-series / embedding columns.
+  *
+  * Semantics derive from the reference's use of `np.linalg.norm` and the
+  * Python `fastdtw` package (reference `Team11-Project.py:173`, `:339-341`,
+  * `:531-533`): 1-D point cost = |x - y|, DTW distance = sum of point costs
+  * along the optimal monotone warping path. FastDTW is Salvador & Chan,
+  * "FastDTW: Toward Accurate Dynamic Time Warping in Linear Time and
+  * Space" (2007): coarsen by pairwise averaging, solve recursively, project
+  * the low-resolution path, refine within `radius`.
+  *
+  * All methods are static so generated code (`doGenCode`) can call them
+  * directly and stay inside whole-stage codegen.
+  */
+object Kernels {
+
+  // ---------------------------------------------------------------- basics
+
+  def euclidean(a: Array[Double], b: Array[Double]): Double =
+    math.sqrt(sqdist(a, b))
+
+  def sqdist(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    // Treat missing tail as distance-to-zero so unequal lengths are defined
+    // (parity: numpy broadcasting would error; we document the extension).
+    var j = n
+    while (j < a.length) { s += a(j) * a(j); j += 1 }
+    while (j < b.length) { s += b(j) * b(j); j += 1 }
+    s
+  }
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val na = norm(a); val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  def manhattan(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += math.abs(a(i) - b(i)); i += 1 }
+    var j = n
+    while (j < a.length) { s += math.abs(a(j)); j += 1 }
+    while (j < b.length) { s += math.abs(b(j)); j += 1 }
+    s
+  }
+
+  // ------------------------------------------------------------- exact DTW
+
+  /** Exact DTW, O(n*m) time / O(min(n,m)) space, |x-y| point cost.
+    * `band >= 0` applies a Sakoe-Chiba constraint |i-j| <= band (after
+    * slope normalization for unequal lengths it is a plain index band).
+    * `band < 0` = unconstrained.
+    */
+  def dtw(a: Array[Double], b: Array[Double], band: Int): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return if (n == 0 && m == 0) 0.0 else Double.PositiveInfinity
+    val INF = Double.PositiveInfinity
+    var prev = new Array[Double](m + 1)
+    var curr = new Array[Double](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(curr, INF)
+      val lo = if (band >= 0) math.max(1, i - band) else 1
+      val hi = if (band >= 0) math.min(m, i + band) else m
+      val ai = a(i - 1)
+      var j = lo
+      while (j <= hi) {
+        val cost = math.abs(ai - b(j - 1))
+        var best = prev(j) // insertion
+        val del = curr(j - 1)
+        if (del < best) best = del
+        val mat = prev(j - 1)
+        if (mat < best) best = mat
+        curr(j) = cost + best
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  def dtw(a: Array[Double], b: Array[Double]): Double = dtw(a, b, -1)
+
+  // --------------------------------------------------------------- FastDTW
+
+  /** FastDTW distance (Salvador & Chan 2007). `radius` defaults to 1 in the
+    * Python package the reference uses; we keep that default at call sites.
+    */
+  def fastdtw(a: Array[Double], b: Array[Double], radius: Int): Double = {
+    val r = if (radius < 0) 0 else radius
+    fastdtwRec(a, b, r)._1
+  }
+
+  /** Returns (distance, path) where path is packed (i << 32 | j). */
+  private def fastdtwRec(a: Array[Double], b: Array[Double], radius: Int): (Double, Array[Long]) = {
+    val minSize = radius + 2
+    if (a.length <= minSize || b.length <= minSize) {
+      return dtwPathFull(a, b)
+    }
+    val sa = halve(a)
+    val sb = halve(b)
+    val (_, coarsePath) = fastdtwRec(sa, sb, radius)
+    val (lo, hi) = expandWindow(coarsePath, a.length, b.length, radius)
+    dtwPathWindow(a, b, lo, hi)
+  }
+
+  private def halve(x: Array[Double]): Array[Double] = {
+    val n = x.length / 2
+    val out = new Array[Double](n + (x.length % 2))
+    var i = 0
+    while (i < n) { out(i) = (x(2 * i) + x(2 * i + 1)) / 2.0; i += 1 }
+    if (x.length % 2 == 1) out(n) = x(x.length - 1)
+    out
+  }
+
+  /** Project a coarse path to fine resolution and expand by `radius`;
+    * returns per-row contiguous [lo(i), hi(i)] column ranges (inclusive).
+    */
+  private def expandWindow(path: Array[Long], n: Int, m: Int, radius: Int): (Array[Int], Array[Int]) = {
+    val lo = Array.fill(n)(Int.MaxValue)
+    val hi = Array.fill(n)(Int.MinValue)
+    var p = 0
+    while (p < path.length) {
+      val ci = (path(p) >> 32).toInt
+      val cj = (path(p) & 0xffffffffL).toInt
+      // each coarse cell covers fine cells {2i,2i+1} x {2j,2j+1}, then +- radius
+      var fi = math.max(0, 2 * ci - radius)
+      val fiEnd = math.min(n - 1, 2 * ci + 1 + radius)
+      val fjLo = math.max(0, 2 * cj - radius)
+      val fjHi = math.min(m - 1, 2 * cj + 1 + radius)
+      while (fi <= fiEnd) {
+        if (fjLo < lo(fi)) lo(fi) = fjLo
+        if (fjHi > hi(fi)) hi(fi) = fjHi
+        fi += 1
+      }
+      p += 1
+    }
+    // guarantee coverage + monotone contiguity
+    var i = 0
+    var prevHi = 0
+    while (i < n) {
+      if (lo(i) == Int.MaxValue) { lo(i) = prevHi; hi(i) = math.min(m - 1, prevHi + 1) }
+      if (lo(i) > prevHi + 1) lo(i) = prevHi + 1 // keep rows connectable
+      if (hi(i) < lo(i)) hi(i) = lo(i)
+      prevHi = hi(i)
+      i += 1
+    }
+    hi(n - 1) = m - 1 // path must be able to end at (n-1, m-1)
+    if (lo(n - 1) > m - 1) lo(n - 1) = m - 1
+    (lo, hi)
+  }
+
+  /** Full-matrix DTW with path backtrack (used at recursion base). */
+  private def dtwPathFull(a: Array[Double], b: Array[Double]): (Double, Array[Long]) = {
+    val n = a.length; val m = b.length
+    val lo = new Array[Int](n)
+    val hi = Array.fill(n)(m - 1)
+    dtwPathWindow(a, b, lo, hi)
+  }
+
+  /** Windowed DTW with backtrack. Window rows are contiguous inclusive
+    * [lo(i), hi(i)] ranges. O(sum of row widths) time and space.
+    */
+  private def dtwPathWindow(a: Array[Double], b: Array[Double], lo: Array[Int], hi: Array[Int]): (Double, Array[Long]) = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return (if (n == 0 && m == 0) 0.0 else Double.PositiveInfinity, Array.empty)
+    val INF = Double.PositiveInfinity
+    val offs = new Array[Int](n) // prefix offset of row i in flat arrays
+    var total = 0
+    var i = 0
+    while (i < n) { offs(i) = total; total += hi(i) - lo(i) + 1; i += 1 }
+    val cost = new Array[Double](total)
+    val par = new Array[Byte](total) // 0=match(diag) 1=insert(up) 2=del(left)
+
+    @inline def idx(i: Int, j: Int): Int = offs(i) + (j - lo(i))
+    @inline def cellCost(i: Int, j: Int): Double =
+      if (j >= lo(i) && j <= hi(i)) cost(idx(i, j)) else INF
+
+    i = 0
+    while (i < n) {
+      val ai = a(i)
+      var j = lo(i)
+      while (j <= hi(i)) {
+        val c = math.abs(ai - b(j))
+        if (i == 0 && j == 0) {
+          cost(idx(i, j)) = c; par(idx(i, j)) = 0
+        } else {
+          val diag = if (i > 0 && j > 0) cellCost(i - 1, j - 1) else INF
+          val up = if (i > 0) cellCost(i - 1, j) else INF
+          val left = if (j > 0) cellCost(i, j - 1) else INF
+          var best = diag; var dir: Byte = 0
+          if (up < best) { best = up; dir = 1 }
+          if (left < best) { best = left; dir = 2 }
+          cost(idx(i, j)) = c + best
+          par(idx(i, j)) = dir
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // backtrack
+    val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var ci = n - 1; var cj = m - 1
+    while (!(ci == 0 && cj == 0)) {
+      path += ((ci.toLong << 32) | (cj.toLong & 0xffffffffL))
+      par(idx(ci, cj)) match {
+        case 0 => ci -= 1; cj -= 1
+        case 1 => ci -= 1
+        case _ => cj -= 1
+      }
+    }
+    path += 0L
+    (cost(idx(n - 1, m - 1)), path.reverseIterator.toArray)
+  }
+
+  // --------------------------------------------- ArrayData codegen bridges
+
+  def euclideanAD(a: ArrayData, b: ArrayData): Double =
+    euclidean(a.toDoubleArray(), b.toDoubleArray())
+  def sqdistAD(a: ArrayData, b: ArrayData): Double =
+    sqdist(a.toDoubleArray(), b.toDoubleArray())
+  def cosineAD(a: ArrayData, b: ArrayData): Double =
+    cosine(a.toDoubleArray(), b.toDoubleArray())
+  def dotAD(a: ArrayData, b: ArrayData): Double =
+    dot(a.toDoubleArray(), b.toDoubleArray())
+  def manhattanAD(a: ArrayData, b: ArrayData): Double =
+    manhattan(a.toDoubleArray(), b.toDoubleArray())
+  def dtwAD(a: ArrayData, b: ArrayData, band: Int): Double =
+    dtw(a.toDoubleArray(), b.toDoubleArray(), band)
+  def fastdtwAD(a: ArrayData, b: ArrayData, radius: Int): Double =
+    fastdtw(a.toDoubleArray(), b.toDoubleArray(), radius)
+}

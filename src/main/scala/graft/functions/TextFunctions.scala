@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * fingerprinting. All pure built-in expressions (codegen'd, no UDF, no
+  * shuffle) so they run at scan speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: words, numbers, punctuation
+    * runs counted separately (GPT-2-style pre-tokenizer regex, simplified
+    * to what both Spark and external SQL engines support).
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** English-ish stopword list used by quality scoring and language ID.
+    * Deliberately tiny + fixed: deterministic, broadcastable as literals.
+    */
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** Fraction of distinct tokens that are stopwords — a fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val t = array_distinct(tokens(text))
+    when(size(t) === 0, lit(0.0))
+      .otherwise(hitCount(t, stopwordsEn).cast("double") / size(t))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0 || len.isNull, lit(0.0)).otherwise(
+      (len - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") / len)
+  }
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Composite document quality score in [0, 1]: length sweet-spot,
+    * stopword presence, low punctuation noise, non-degenerate token
+    * diversity. Heuristic in the C4/Gopher-rules family (public data-
+    * cleaning literature), simplified and fully deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    val lengthScore = least(n / 50.0, lit(1.0))
+    val diversity = when(n === 0, lit(0.0))
+      .otherwise(size(array_distinct(t)).cast("double") / n)
+    val stop = stopwordRatio(text)
+    val punct = punctRatio(text)
+    round(
+      lengthScore * 0.3 + diversity * 0.3 +
+        least(stop * 4.0, lit(1.0)) * 0.2 + (lit(1.0) - punct) * 0.2,
+      6)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Matches the synthetic corpus languages (en/de/es/fr/zh).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "en", "que", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "dans", "pour"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2"))
+
+  /** Language-ID: argmax of marker-word hits over distinct tokens;
+    * deterministic tie-break = lexicographically smallest language code;
+    * "und" (undetermined) when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val t = array_distinct(tokens(text))
+    // struct(-hits, lang) and array_min gives (max hits, min lang) argmax
+    val scored = array(langMarkers.map { case (lang, words) =>
+      struct((-hitCount(t, words)).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_min(scored)
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Character n-gram shingles (for MinHash / Jaccard dedup). Uses
+    * `Column.substr` inside a higher-order `transform` (column start
+    * positions).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    filter(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))),
+      s => length(s) === n)
+
+  /** Word n-gram shingles over the whitespace tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Function registration for graft's custom Catalyst expressions.
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]]: `SparkSession.builder().withExtensions(new
+  *    GraftExtensions)` — the clean path for production sessions.
+  *  - [[GraftFunctions.register]]: post-hoc registration on an existing
+  *    session (used by tests and the driver harness).
+  *
+  * After registration the functions are usable from SQL and from
+  * `functions.call_function`.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _)   => v
+    case Literal(v: Long, _)  => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _)  => v.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name must be an integer literal, got: $other")
+  }
+
+  /** name -> (builder, usage) */
+  val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_euclidean",
+      (es: Seq[Expression]) => EuclideanDistance(es(0), es(1)),
+      "graft_euclidean(a, b) - Euclidean (L2) distance between array<double>"),
+    ("graft_sqdist",
+      (es: Seq[Expression]) => SquaredDistance(es(0), es(1)),
+      "graft_sqdist(a, b) - squared L2 distance between array<double>"),
+    ("graft_cosine",
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)),
+      "graft_cosine(a, b) - cosine similarity between array<double>"),
+    ("graft_dot",
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)),
+      "graft_dot(a, b) - dot product of array<double>"),
+    ("graft_manhattan",
+      (es: Seq[Expression]) => ManhattanDistance(es(0), es(1)),
+      "graft_manhattan(a, b) - L1 distance between array<double>"),
+    ("graft_dtw",
+      (es: Seq[Expression]) =>
+        DtwDistance(es(0), es(1),
+          if (es.length > 2) intArg(es(2), "band") else -1),
+      "graft_dtw(a, b[, band]) - exact DTW distance (|x-y| cost), optional Sakoe-Chiba band"),
+    ("graft_fastdtw",
+      (es: Seq[Expression]) =>
+        FastDtwDistance(es(0), es(1),
+          if (es.length > 2) intArg(es(2), "radius") else 1),
+      "graft_fastdtw(a, b[, radius]) - FastDTW approximate DTW distance (Salvador & Chan 2007)"),
+    ("graft_simhash64",
+      (es: Seq[Expression]) => SimHash64(es(0)),
+      "graft_simhash64(tokens) - 64-bit SimHash of an array<string>"),
+    ("graft_hamming64",
+      (es: Seq[Expression]) => HammingDistance64(es(0), es(1)),
+      "graft_hamming64(a, b) - Hamming distance between 64-bit signatures"),
+  )
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  def installInto(registry: FunctionRegistry): Unit =
+    builders.foreach { case (name, b, usage) =>
+      registry.registerFunction(FunctionIdentifier(name), info(name, usage), b)
+    }
+
+  /** Idempotent post-hoc registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.RegistryBridge.install(spark, installInto)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions`-compatible hook. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b, usage) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""), b))
+    }
+}

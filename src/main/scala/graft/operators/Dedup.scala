@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.{SeriesFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines at 100 TB scale.
+  * The reference has no dedup surface; these are the standard public
+  * techniques (exact hash, MinHash+LSH per Broder 1997 / Leskovec et al.
+  * "Mining of Massive Datasets" ch.3, SimHash per Charikar 2002)
+  * expressed Spark-first.
+  *
+  * Scale notes:
+  *  - exact: one hash-shuffle on a 64-bit digest, never on the full text.
+  *  - MinHash LSH: signatures are computed scan-side (codegen, no
+  *    shuffle); the only shuffle keys are (band, bandHash) — candidate
+  *    pairs are generated per bucket, so cost is sum(bucket^2), not n^2.
+  *  - SimHash: one 64-bit signature per doc; banding on 16-bit chunks
+  *    finds all pairs within Hamming distance 3 exactly (pigeonhole).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by a 64-bit content digest: keeps the
+    * smallest id as canonical representative. Shuffles (digest) not text.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("digest"))
+      .groupBy("digest")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows of `df` minus exact duplicates (first id wins). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs, verified with exact
+    * Jaccard over word shingles. Output: (id_a, id_b, jaccard) with
+    * id_a < id_b, jaccard >= threshold, restricted to pairs sharing >= 1
+    * LSH band bucket.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    val docs = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("shingles"))
+      .withColumn("sig", SeriesFunctions.minhashSignature(col("shingles"), numHashes))
+      .withColumn("bands", SeriesFunctions.lshBandKeys(col("sig"), numBands, rowsPerBand))
+    val buckets = docs.select(
+      col("id"), col("shingles"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** SimHash near-duplicate pairs within a Hamming radius. Banding on
+    * 4 x 16-bit chunks guarantees every pair with hamming <= 3 shares at
+    * least one exact chunk (pigeonhole) — exact recall for radius <= 3.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      SeriesFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val chunked = docs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SeriesFunctions.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Brute-force n-gram Jaccard similarity pairs (the exact oracle the
+    * LSH paths approximate). O(n^2) — correctness baseline and small-table
+    * path; at scale use [[minhashLshPairs]].
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
+    val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs by cosine similarity. Brute-force
+    * pair generation with broadcast; for the billion-row path route
+    * through [[SimilaritySearch.lshTopK]] first.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SeriesFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

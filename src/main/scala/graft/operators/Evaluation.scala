@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Classification evaluation — the reference's `getAccuracy`
+  * (`Team11-Project.py:208-227`) joined predictions to truth, computed
+  * `abs(pred - truth)`, filtered `== 0`, and ran TWO `count()` actions.
+  * Here it is one single-pass aggregate (`avg(when(...))`) — one job, no
+  * second scan, and no join on a 561-dim vector key (the reference's J2
+  * hazard; we join on row id).
+  */
+object Evaluation {
+
+  /** Accuracy from a joined frame with prediction + truth columns. */
+  def accuracy(joined: DataFrame, pred: Column, truth: Column): DataFrame =
+    joined.agg(
+      round(avg(when(abs(pred - truth) === 0.0, 1.0).otherwise(0.0)), 6).as("accuracy"),
+      count(lit(1)).as("n"))
+
+  /** Accuracy joining predictions (id, predicted_label) to truth (id, label). */
+  def accuracy(predictions: DataFrame, truth: DataFrame, idCol: String): DataFrame =
+    accuracy(
+      predictions.join(truth, idCol),
+      col("predicted_label"), col("label"))
+
+  /** Per-class precision/recall/F1 + support (beyond the reference's
+    * single accuracy number; standard multiclass evaluation).
+    */
+  def perClassMetrics(joined: DataFrame, pred: Column, truth: Column): DataFrame = {
+    val base = joined.select(pred.cast("double").as("p"), truth.cast("double").as("t"))
+    val byTruth = base.groupBy(col("t").as("label"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("p") === col("t"), 1L).otherwise(0L)).as("tp"))
+    val byPred = base.groupBy(col("p").as("label"))
+      .agg(count(lit(1)).as("predicted"))
+    byTruth.join(byPred, Seq("label"), "full_outer")
+      .select(
+        col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        round(coalesce(col("tp") / col("predicted"), lit(0.0)), 6).as("precision"),
+        round(coalesce(col("tp") / col("support"), lit(0.0)), 6).as("recall"),
+        round(coalesce(
+          lit(2.0) * (col("tp") / col("predicted")) * (col("tp") / col("support")) /
+            ((col("tp") / col("predicted")) + (col("tp") / col("support"))),
+          lit(0.0)), 6).as("f1"))
+  }
+}

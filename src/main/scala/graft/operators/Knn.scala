@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.core.KnnParams
+import graft.functions.SeriesFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed KNN classification — the Spark-native re-expression of the
+  * reference's two models:
+  *
+  *  - Model 1 (`Team11-Project.py:166-199`, `:347-381`): RDD
+  *    `cartesian` + per-partition heap top-k + `groupByKey` + final top-k +
+  *    majority vote. Here: `crossJoin` + distance expression + windowed
+  *    `row_number <= k` (Spark >= 3.5 plans a partial `WindowGroupLimit`
+  *    BEFORE the shuffle — the exact partial/final two-phase top-k the
+  *    reference hand-built with heaps) + vote aggregate.
+  *  - Model 2 (`Team11-Project.py:502-579`): driver `collect()` +
+  *    broadcast variable + flatMap + `reduceByKey` min. Here:
+  *    `crossJoin(broadcast(train))` + `min_by` — same semantics, no driver
+  *    materialization, map-side combine for free.
+  *
+  * Scale: broadcast strategy shuffles ONLY the per-(test,label) partial
+  * vote counts (k rows per test point after the group-limit), never the
+  * raw pair matrix. Cartesian strategy is the fallback when train exceeds
+  * broadcastable size; for 100 TB-class inputs use [[SimilaritySearch]]'s
+  * LSH candidate pruning in front of `classify`.
+  *
+  * Vote tie-break (deterministic, SURVEY §2.4 A5): highest vote count,
+  * then smallest best-distance-rank within the tied labels, then smallest
+  * label.
+  */
+object Knn {
+
+  def distanceColumn(p: KnnParams)(a: Column, b: Column): Column = p.distance match {
+    case "euclidean" => SeriesFunctions.euclidean(a, b)
+    case "sqdist"    => SeriesFunctions.sqdist(a, b)
+    case "manhattan" => SeriesFunctions.manhattan(a, b)
+    case "dtw"       => SeriesFunctions.dtw(a, b, p.band)
+    case "fastdtw"   => SeriesFunctions.fastdtw(a, b, p.radius)
+    case "cosine"    => -SeriesFunctions.cosine(a, b) // larger similarity = smaller distance
+    case other       => throw new IllegalArgumentException(s"unknown distance: $other")
+  }
+
+  /** All (test x train) candidate pairs with distances.
+    * train: (train_id, train_series, label); test: (test_id, test_series).
+    */
+  private def pairs(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
+    val trainSel = train.select(
+      col("train_id"), col("train_series"), col("label"))
+    val testSel = test.select(col("test_id"), col("test_series"))
+    val useBroadcast = p.strategy match {
+      case "broadcast" => true
+      case "cartesian" => false
+      case _           => true // auto: train side fits for every tier we run; AQE re-plans otherwise
+    }
+    val joined =
+      if (useBroadcast) testSel.crossJoin(broadcast(trainSel))
+      else {
+        val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel
+        val q = if (p.testPartitions > 0) testSel.repartition(p.testPartitions) else testSel
+        q.crossJoin(t)
+      }
+    val withDist = joined.withColumn(
+      "dist", distanceColumn(p)(col("test_series"), col("train_series")))
+    if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0) else withDist
+  }
+
+  /** Top-k neighbors per test point: (test_id, train_id, label, dist, rank). */
+  def neighbors(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
+    val w = Window.partitionBy(col("test_id"))
+      .orderBy(col("dist"), col("train_id")) // deterministic under distance ties
+    pairs(train, test, p)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= p.k)
+  }
+
+  /** Majority-vote classification: (test_id, predicted_label). */
+  def classify(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
+    val votes = neighbors(train, test, p)
+      .groupBy(col("test_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("test_id"))
+      .orderBy(col("votes").desc, col("best_rank"), col("label"))
+    votes
+      .withColumn("vr", row_number().over(w))
+      .filter(col("vr") === 1)
+      .select(col("test_id"), col("label").as("predicted_label"))
+  }
+
+  /** k=1 fast path, the reference's Model 2 `reduceByKey` min-by
+    * (`Team11-Project.py:546`): a single `min_by` aggregate — partial
+    * (map-side) + final, no window, one shuffle of one row per test point.
+    */
+  def classify1NN(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
+    val pr = pairs(train, test, p.copy(k = 1))
+    pr.groupBy(col("test_id"))
+      .agg(min_by(
+        struct(col("dist"), col("train_id"), col("label")),
+        struct(col("dist"), col("train_id"))).as("nn"))
+      .select(col("test_id"),
+        col("nn.label").as("predicted_label"),
+        col("nn.dist").as("min_distance"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k-by-distance aggregate — the typed-`Aggregator` twin of
+  * the reference's two-phase heap (`heapq.nsmallest` per partition at
+  * `Team11-Project.py:180`/`:361`, then again after the shuffle at
+  * `:195`/`:377`). Spark executes `reduce` as the partial (map-side)
+  * phase and `merge` as the final phase, so the partial/merge structure
+  * matches the reference's exactly — but declaratively.
+  *
+  * The window-function route in [[Knn.neighbors]] is the default engine
+  * path (gets `WindowGroupLimit` pushdown); this aggregator is the
+  * cross-check and the building block for reuse inside other typed
+  * pipelines.
+  *
+  * Buffer is a sorted array bounded at k (k is small: reference sweeps
+  * 5..70), so partial state is O(k) regardless of partition size.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Double), Array[(Double, Double)], Array[(Double, Double)]] {
+
+  private val ord = Ordering.Tuple2[Double, Double]
+
+  override def zero: Array[(Double, Double)] = Array.empty
+
+  private def insert(buf: Array[(Double, Double)], v: (Double, Double)): Array[(Double, Double)] = {
+    if (buf.length < k) (buf :+ v).sorted(ord)
+    else if (ord.lt(v, buf(buf.length - 1))) (buf.dropRight(1) :+ v).sorted(ord)
+    else buf
+  }
+
+  override def reduce(buf: Array[(Double, Double)], v: (Double, Double)): Array[(Double, Double)] =
+    insert(buf, v)
+
+  override def merge(a: Array[(Double, Double)], b: Array[(Double, Double)]): Array[(Double, Double)] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Array[(Double, Double)]): Array[(Double, Double)] = buf
+
+  override def bufferEncoder: Encoder[Array[(Double, Double)]] =
+    Encoders.kryo[Array[(Double, Double)]]
+  override def outputEncoder: Encoder[Array[(Double, Double)]] =
+    Encoders.kryo[Array[(Double, Double)]]
+}
