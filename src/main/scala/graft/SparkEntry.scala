@@ -48,7 +48,17 @@ object SparkEntry {
 
   // ------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every query gets the graft function registry installed (idempotent)
+    * so custom expressions resolve regardless of which session runs it.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => {
+        GraftFunctions.register(s); fn(s, dir)
+      })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 — scan + cast + filter + project (S1, P5, P7, P9)
     "q1_filter_project" -> ((s, dir) => {
       t(s, dir, "lineitem")

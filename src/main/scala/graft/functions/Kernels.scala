@@ -64,6 +64,20 @@ object Kernels {
 
   // ------------------------------------------------------------- exact DTW
 
+  /** Thread-local scratch for the DTW rolling rows — the kernel runs once
+    * per candidate PAIR inside a join loop, so per-call allocation would
+    * dominate at millions of pairs.
+    */
+  private final class DtwScratch {
+    var prev: Array[Double] = new Array[Double](0)
+    var curr: Array[Double] = new Array[Double](0)
+    def ensure(m: Int): Unit =
+      if (prev.length < m) { prev = new Array[Double](m); curr = new Array[Double](m) }
+  }
+  private val dtwScratch = new ThreadLocal[DtwScratch] {
+    override def initialValue(): DtwScratch = new DtwScratch
+  }
+
   /** Exact DTW, O(n*m) time / O(min(n,m)) space, |x-y| point cost.
     * `band >= 0` applies a Sakoe-Chiba constraint |i-j| <= band (after
     * slope normalization for unequal lengths it is a plain index band).
@@ -73,31 +87,42 @@ object Kernels {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return if (n == 0 && m == 0) 0.0 else Double.PositiveInfinity
     val INF = Double.PositiveInfinity
-    var prev = new Array[Double](m + 1)
-    var curr = new Array[Double](m + 1)
-    java.util.Arrays.fill(prev, INF)
+    val sc = dtwScratch.get()
+    sc.ensure(m + 1)
+    var prev = sc.prev
+    var curr = sc.curr
+    java.util.Arrays.fill(prev, 0, m + 1, INF)
     prev(0) = 0.0
     var i = 1
     while (i <= n) {
-      java.util.Arrays.fill(curr, INF)
       val lo = if (band >= 0) math.max(1, i - band) else 1
       val hi = if (band >= 0) math.min(m, i + band) else m
+      // clear only the cells this row writes/reads (banded window moves <=1/row)
+      val clearLo = math.max(0, lo - 1)
+      val clearHi = math.min(m, hi + 1)
+      java.util.Arrays.fill(curr, clearLo, clearHi + 1, INF)
       val ai = a(i - 1)
+      // rolling registers: diag = prev(j-1), left = curr(j-1)
+      var diag = prev(lo - 1)
+      var left = curr(lo - 1)
       var j = lo
       while (j <= hi) {
         val cost = math.abs(ai - b(j - 1))
-        var best = prev(j) // insertion
-        val del = curr(j - 1)
-        if (del < best) best = del
-        val mat = prev(j - 1)
-        if (mat < best) best = mat
-        curr(j) = cost + best
+        val up = prev(j)
+        var best = diag
+        if (up < best) best = up
+        if (left < best) best = left
+        left = cost + best
+        curr(j) = left
+        diag = up
         j += 1
       }
       val t = prev; prev = curr; curr = t
       i += 1
     }
-    prev(m)
+    val res = prev(m)
+    sc.prev = prev; sc.curr = curr // keep swapped refs consistent
+    res
   }
 
   def dtw(a: Array[Double], b: Array[Double]): Double = dtw(a, b, -1)
@@ -179,6 +204,22 @@ object Kernels {
     dtwPathWindow(a, b, lo, hi)
   }
 
+  // reusable scratch for the windowed path DP (frames never nest: the
+  // FastDTW recursion consumes the deeper level's path before solving its
+  // own level, so one set of buffers per thread suffices)
+  private final class PathScratch {
+    var offs: Array[Int] = new Array[Int](0)
+    var cost: Array[Double] = new Array[Double](0)
+    var par: Array[Byte] = new Array[Byte](0)
+    def ensure(n: Int, total: Int): Unit = {
+      if (offs.length < n) offs = new Array[Int](n)
+      if (cost.length < total) { cost = new Array[Double](total); par = new Array[Byte](total) }
+    }
+  }
+  private val pathScratch = new ThreadLocal[PathScratch] {
+    override def initialValue(): PathScratch = new PathScratch
+  }
+
   /** Windowed DTW with backtrack. Window rows are contiguous inclusive
     * [lo(i), hi(i)] ranges. O(sum of row widths) time and space.
     */
@@ -186,12 +227,15 @@ object Kernels {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return (if (n == 0 && m == 0) 0.0 else Double.PositiveInfinity, Array.empty)
     val INF = Double.PositiveInfinity
-    val offs = new Array[Int](n) // prefix offset of row i in flat arrays
+    val sc = pathScratch.get()
+    if (sc.offs.length < n) sc.offs = new Array[Int](n)
+    val offs = sc.offs
     var total = 0
     var i = 0
     while (i < n) { offs(i) = total; total += hi(i) - lo(i) + 1; i += 1 }
-    val cost = new Array[Double](total)
-    val par = new Array[Byte](total) // 0=match(diag) 1=insert(up) 2=del(left)
+    sc.ensure(n, total)
+    val cost = sc.cost
+    val par = sc.par // 0=match(diag) 1=insert(up) 2=del(left)
 
     @inline def idx(i: Int, j: Int): Int = offs(i) + (j - lo(i))
     @inline def cellCost(i: Int, j: Int): Double =
@@ -219,19 +263,22 @@ object Kernels {
       }
       i += 1
     }
-    // backtrack
-    val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // backtrack into a primitive buffer (path length <= n + m)
+    val buf = new Array[Long](n + m)
+    var w = n + m
     var ci = n - 1; var cj = m - 1
     while (!(ci == 0 && cj == 0)) {
-      path += ((ci.toLong << 32) | (cj.toLong & 0xffffffffL))
-      par(idx(ci, cj)) match {
+      w -= 1
+      buf(w) = (ci.toLong << 32) | (cj.toLong & 0xffffffffL)
+      (par(idx(ci, cj)): @annotation.switch) match {
         case 0 => ci -= 1; cj -= 1
         case 1 => ci -= 1
         case _ => cj -= 1
       }
     }
-    path += 0L
-    (cost(idx(n - 1, m - 1)), path.reverseIterator.toArray)
+    w -= 1
+    buf(w) = 0L
+    (cost(idx(n - 1, m - 1)), java.util.Arrays.copyOfRange(buf, w, n + m))
   }
 
   // --------------------------------------------- ArrayData codegen bridges

@@ -32,6 +32,15 @@ object SeriesFunctions {
   def fastdtw(a: Column, b: Column, radius: Int): Column =
     call_function("graft_fastdtw", a, b, lit(radius))
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def jaccardSorted(a: Column, b: Column): Column = call_function("graft_jaccard_sorted", a, b)
+  def shingleHashes(tokens: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", tokens, lit(n))
+  def minhash(hashedSet: Column, k: Int): Column =
+    call_function("graft_minhash", hashedSet, lit(k))
+  def minhashBands(sig: Column, numBands: Int): Column =
+    call_function("graft_minhash_bands", sig, lit(numBands))
+  /** Identity wrapper that blocks predicate pushdown (see [[graft.functions.Barrier]]). */
+  def barrier(c: Column): Column = call_function("graft_barrier", c)
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
 
   // ----------------------------------------------------- builtin-only tier

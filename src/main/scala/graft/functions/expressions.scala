@@ -149,6 +149,204 @@ object SimHash64 {
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
 
+/** Hashed word-shingle set: array<string> tokens -> sorted distinct
+  * array<long> of xxhash64(n-gram) values, in ONE native pass.
+  *
+  * Why an expression and not `transform(sequence(...), i -> slice(tokens,
+  * i, n))`: Spark's higher-order functions evaluate interpreted, and an
+  * outer column referenced inside a lambda body is re-evaluated PER
+  * ELEMENT — the composed form re-tokenizes the document once per shingle
+  * position (quadratic). This kernel is O(total token bytes).
+  *
+  * Shingle semantics match [[graft.functions.TextFunctions.wordShingles]]:
+  * n-grams joined with a single space; if fewer than n tokens, one shingle
+  * of all tokens joined.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "graft_shingle_hashes"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    WordShingleHashes.hashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingleHashes.hashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object WordShingleHashes {
+  private final val Seed = 42L
+  private final val Space = UTF8String.fromString(" ")
+
+  def hashes(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val cnt = if (len < n) 1 else len - n + 1
+    val out = new Array[Long](cnt)
+    val window = new Array[UTF8String](math.min(n, math.max(len, 1)))
+    var i = 0
+    while (i < cnt) {
+      val w = math.min(n, len - i) // full window except the len<n case
+      var k = 0
+      while (k < w) {
+        val t = tokens.getUTF8String(i + k)
+        window(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        k += 1
+      }
+      val joined =
+        if (len == 0) UTF8String.EMPTY_UTF8
+        else UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(window, 0, w): _*)
+      val bytes = joined.getBytes
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed)
+      i += 1
+    }
+    // sorted distinct
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var j = 0
+    while (j < cnt) {
+      if (j == 0 || out(j) != out(j - 1)) { out(uniq) = out(j); uniq += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOfRange(out, 0, uniq))
+  }
+}
+
+/** MinHash signature over a hashed shingle set (Broder 1997): k simulated
+  * hash functions h_i(x) = xxh64(x, seed=i); output is the per-function
+  * minimum. Native one-pass kernel (|set| * k long-hashes, no per-element
+  * interpreter dispatch).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1, "signature length must be >= 1")
+  override def prettyName: String = "graft_minhash"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.signature(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignature.signature($c, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object MinHashSignature {
+  def signature(set: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = set.numElements()
+    var j = 0
+    while (j < n) {
+      val x = set.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(x, i)
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** LSH band keys: fold each contiguous band of the signature into one
+    * 64-bit key (chained long-hash, band index as initial seed).
+    */
+  def bandKeys(sig: ArrayData, numBands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = b.toLong
+      var j = b * rows
+      val end = j + rows
+      while (j < end) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig.getLong(j), acc)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** LSH band keys from a minhash signature — see [[MinHashSignature.bandKeys]]. */
+case class MinHashBandKeys(child: Expression, numBands: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(numBands >= 1, "numBands must be >= 1")
+  override def prettyName: String = "graft_minhash_bands"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.bandKeys(v.asInstanceOf[ArrayData], numBands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignature.bandKeys($c, $numBands)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED array<long> (hashed shingle sets):
+  * single merge pass, no per-pair hash-set allocation. The scalable form
+  * of set-overlap similarity — shingles are hashed to longs scan-side
+  * (`xxhash64`), sorted once per document, and every candidate pair then
+  * costs O(|a|+|b|) primitive comparisons inside codegen.
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "graft_jaccard_sorted"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongJaccard.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedLongJaccard.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+object SortedLongJaccard {
+  /** Inputs must be sorted ascending and duplicate-free. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 && m == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
+  }
+}
+
+/** Optimizer barrier: identity passthrough marked non-deterministic so
+  * predicate pushdown will not substitute an expensive aliased expression
+  * into a join condition (which would evaluate the kernel twice per pair
+  * — once in the condition, once in the output projection). Evaluation
+  * cost: one codegen'd variable copy.
+  */
+case class Barrier(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_barrier"
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Hamming distance between two simhash signatures, as an expression so
   * near-dup joins stay codegen'd.
   */

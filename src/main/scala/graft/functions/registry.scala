@@ -55,6 +55,24 @@ object GraftFunctions {
         FastDtwDistance(es(0), es(1),
           if (es.length > 2) intArg(es(2), "radius") else 1),
       "graft_fastdtw(a, b[, radius]) - FastDTW approximate DTW distance (Salvador & Chan 2007)"),
+    ("graft_shingle_hashes",
+      (es: Seq[Expression]) =>
+        WordShingleHashes(es(0), intArg(es(1), "n")),
+      "graft_shingle_hashes(tokens, n) - sorted distinct xxhash64 of word n-grams"),
+    ("graft_barrier",
+      (es: Seq[Expression]) => Barrier(es(0)),
+      "graft_barrier(x) - identity; blocks predicate pushdown through it"),
+    ("graft_minhash",
+      (es: Seq[Expression]) =>
+        MinHashSignature(es(0), intArg(es(1), "k")),
+      "graft_minhash(hashedSet, k) - MinHash signature (k mins of seeded long-hashes)"),
+    ("graft_minhash_bands",
+      (es: Seq[Expression]) =>
+        MinHashBandKeys(es(0), intArg(es(1), "numBands")),
+      "graft_minhash_bands(sig, numBands) - LSH band keys from a minhash signature"),
+    ("graft_jaccard_sorted",
+      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)),
+      "graft_jaccard_sorted(a, b) - Jaccard similarity of two sorted array<long> sets"),
     ("graft_simhash64",
       (es: Seq[Expression]) => SimHash64(es(0)),
       "graft_simhash64(tokens) - 64-bit SimHash of an array<string>"),
@@ -68,7 +86,9 @@ object GraftFunctions {
 
   def installInto(registry: FunctionRegistry): Unit =
     builders.foreach { case (name, b, usage) =>
-      registry.registerFunction(FunctionIdentifier(name), info(name, usage), b)
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info(name, usage), b)
     }
 
   /** Idempotent post-hoc registration on a live session. */

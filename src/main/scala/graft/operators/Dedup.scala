@@ -35,10 +35,23 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Hashed shingle set: distinct word n-grams -> xxhash64 -> sorted
+    * array<long>. Computed scan-side ONCE per document; every downstream
+    * set comparison is then a primitive merge ([[graft.functions.SortedLongJaccard]])
+    * instead of string-array intersection — the representation that keeps
+    * pair verification cheap at candidate-join scale.
+    */
+  private def hashedShingles(text: org.apache.spark.sql.Column, shingleSize: Int) =
+    SeriesFunctions.shingleHashes(TextFunctions.tokens(text), shingleSize)
+
   /** MinHash+LSH near-duplicate candidate pairs, verified with exact
-    * Jaccard over word shingles. Output: (id_a, id_b, jaccard) with
-    * id_a < id_b, jaccard >= threshold, restricted to pairs sharing >= 1
-    * LSH band bucket.
+    * Jaccard over hashed word-shingle sets. Output: (id_a, id_b, jaccard)
+    * with id_a < id_b, jaccard >= threshold, restricted to pairs sharing
+    * >= 1 LSH band bucket.
+    *
+    * Shape at scale: signatures/bands are computed scan-side; the only
+    * wide rows ever shuffled are (band, bucket, id) triples; candidate
+    * ids join back to the (id, hashed-shingles) table for verification.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -46,25 +59,26 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    val docs = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("shingles"))
-      .withColumn("sig", SeriesFunctions.minhashSignature(col("shingles"), numHashes))
-      .withColumn("bands", SeriesFunctions.lshBandKeys(col("sig"), numBands, rowsPerBand))
-    val buckets = docs.select(
-      col("id"), col("shingles"),
-      posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val docs = df.select(col(idCol).as("id"),
+      hashedShingles(col(textCol), shingleSize).as("hs"))
+    val buckets = docs
+      .select(col("id"),
+        posexplode(SeriesFunctions.minhashBands(
+          SeriesFunctions.minhash(col("hs"), numHashes), numBands))
+          .as(Seq("band", "bucket")))
+    val cand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
       .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        SeriesFunctions.barrier(
+          SeriesFunctions.jaccardSorted(col("hs_a"), col("hs_b"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs within a Hamming radius. Banding on
@@ -100,14 +114,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
-    val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      hashedShingles(col(textCol), shingleSize).as("sh"))
+    val a = Partitioning.spread(docs.select(col("id").as("id_a"), col("sh").as("sh_a")))
     val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        SeriesFunctions.barrier(
+          round(SeriesFunctions.jaccardSorted(col("sh_a"), col("sh_b")), 6)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -119,12 +133,13 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val a = Partitioning.spread(v.select(col("id").as("id_a"), col("v").as("v_a")))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        SeriesFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+        SeriesFunctions.barrier(
+          SeriesFunctions.cosine(col("v_a"), col("v_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

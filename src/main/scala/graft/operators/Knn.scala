@@ -54,16 +54,27 @@ object Knn {
       case "cartesian" => false
       case _           => true // auto: train side fits for every tier we run; AQE re-plans otherwise
     }
+    // The stream (test) side often arrives as a handful of input splits
+    // (one small parquet file = one partition = one task for the whole
+    // distance loop). Spread it across the cluster before the join; the
+    // distance kernels dominate, so this tiny shuffle always pays off.
+    val spreadTest = Partitioning.spread(testSel, p.testPartitions)
     val joined =
-      if (useBroadcast) testSel.crossJoin(broadcast(trainSel))
+      if (useBroadcast) spreadTest.crossJoin(broadcast(trainSel))
       else {
         val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel
-        val q = if (p.testPartitions > 0) testSel.repartition(p.testPartitions) else testSel
-        q.crossJoin(t)
+        spreadTest.crossJoin(t)
       }
-    val withDist = joined.withColumn(
-      "dist", distanceColumn(p)(col("test_series"), col("train_series")))
-    if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0) else withDist
+    val distExpr = distanceColumn(p)(col("test_series"), col("train_series"))
+    // When the zero-distance exclusion is on, wrap the distance in a
+    // barrier(): a non-deterministic projection field cannot be inlined by
+    // predicate pushdown, so the exclusion filter keeps referencing the
+    // dist ATTRIBUTE and the kernel runs once per candidate pair (instead
+    // of once in the join condition + once in the projection).
+    if (p.excludeZeroDistance)
+      joined.withColumn("dist", SeriesFunctions.barrier(distExpr))
+        .filter(col("dist") =!= 0.0)
+    else joined.withColumn("dist", distExpr)
   }
 
   /** Top-k neighbors per test point: (test_id, train_id, label, dist, rank). */

@@ -23,7 +23,7 @@ object SimilaritySearch {
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id"))
-    q.crossJoin(broadcast(c))
+    Partitioning.spread(q).crossJoin(broadcast(c))
       .select(col("query_id"), col("item_id"),
         SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -60,7 +60,7 @@ object SimilaritySearch {
       dim: Int, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
-    val qb = q.select(col("query_id"), col("qv"),
+    val qb = Partitioning.spread(q).select(col("query_id"), col("qv"),
       posexplode(array((0 until tables).map(t =>
         signBucket(col("qv"), dim, bits, seed + t)): _*)).as(Seq("table", "bucket")))
     val cb = c.select(col("item_id"), col("cv"),
