@@ -86,6 +86,9 @@ object Kernels {
   def dtw(a: Array[Double], b: Array[Double], band: Int): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return if (n == 0 && m == 0) 0.0 else Double.PositiveInfinity
+    // a plain index band narrower than the length difference admits no
+    // monotone path from (1,1) to (n,m)
+    if (band >= 0 && math.abs(n - m) > band) return Double.PositiveInfinity
     val INF = Double.PositiveInfinity
     val sc = dtwScratch.get()
     sc.ensure(m + 1)
@@ -97,6 +100,9 @@ object Kernels {
     while (i <= n) {
       val lo = if (band >= 0) math.max(1, i - band) else 1
       val hi = if (band >= 0) math.min(m, i + band) else m
+      // plain index band with |n-m| > band: the window empties and no
+      // monotone path can reach (n,m) inside the band
+      if (lo > hi) return INF
       // clear only the cells this row writes/reads (banded window moves <=1/row)
       val clearLo = math.max(0, lo - 1)
       val clearHi = math.min(m, hi + 1)

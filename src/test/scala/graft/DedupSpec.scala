@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+    (4L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+    (5L, "completely unrelated text about databases and storage engines"),
+    (6L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact: duplicate groups keyed by digest, min id kept") {
+    val groups = Dedup.exact(docs, "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) === 1L) // keep_id = 1
+    assert(groups.map(_.getLong(2)).sum === 6L) // every row accounted for
+  }
+
+  test("dropExactDuplicates keeps first id per text") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exactPair = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exactPair.isDefined && exactPair.get._3 === 1.0)
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0.5))
+    assert(!pairs.exists(p => p._2 == 5L && p._1 == 4L))
+  }
+
+  test("minhashLshPairs finds the planted near-dups (high-sim recall)") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, numBands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+  }
+
+  test("minhash candidates' jaccard equals brute-force jaccard") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, numBands = 16, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, v) =>
+      assert(brute.contains(k) && math.abs(brute(k) - v) < 1e-6)
+    }
+  }
+
+  test("simhashPairs: exact dups at hamming 0; unrelated docs not paired") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 === 0)
+    assert(!pairs.exists(p => p._1 == 4L && p._2 == 5L))
+  }
+
+  test("embeddingNearDupPairs finds duplicate vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.99f, 0.1f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(_._2 == 4L))
+  }
+}

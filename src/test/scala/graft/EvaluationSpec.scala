@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Evaluation, TopKAggregator}
+import org.apache.spark.sql.functions._
+
+class EvaluationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("accuracy: single-pass avg(when) matches manual ratio") {
+    val joined = Seq(
+      (1.0, 1.0), (2.0, 2.0), (3.0, 1.0), (2.0, 2.0), (1.0, 3.0)
+    ).toDF("predicted_label", "label")
+    val r = Evaluation.accuracy(joined, col("predicted_label"), col("label")).head()
+    assert(r.getDouble(0) === 0.6)
+    assert(r.getLong(1) === 5L)
+  }
+
+  test("accuracy via id-join overload") {
+    val pred = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "predicted_label")
+    val truth = Seq((1L, 1.0), (2L, 3.0)).toDF("id", "label")
+    val r = Evaluation.accuracy(pred, truth, "id").head()
+    assert(r.getDouble(0) === 0.5)
+  }
+
+  test("perClassMetrics: precision/recall/f1 for a known confusion") {
+    // truth: two 1s, one 2; predictions: 1->1, 1->2, 2->2
+    val joined = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0)).toDF("p", "t")
+    val m = Evaluation.perClassMetrics(joined, col("p"), col("t"))
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1.0)._1 === 1.0) // precision of class 1: 1/1
+    assert(m(1.0)._2 === 0.5) // recall of class 1: 1/2
+    assert(m(2.0)._1 === 0.5) // precision of class 2: 1/2
+    assert(m(2.0)._2 === 1.0) // recall of class 2: 1/1
+  }
+
+  test("TopKAggregator: partial/merge == global sort.take(k)") {
+    val rnd = new scala.util.Random(42)
+    val data = Seq.fill(500)((rnd.nextDouble() * 100, rnd.nextInt(5).toDouble))
+    val agg = new TopKAggregator(10)
+    // simulate partial phase over 7 partitions + merge
+    val partials = data.grouped(72).map(part =>
+      part.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))).toSeq
+    val merged = partials.reduce((a, b) => agg.merge(a, b))
+    val expected = data.sorted.take(10)
+    assert(agg.finish(merged).toSeq === expected)
+  }
+
+  test("TopKAggregator as typed Dataset aggregate") {
+    val ds = Seq((0.5, 1.0), (0.1, 2.0), (0.9, 1.0), (0.2, 3.0)).toDS()
+    val top2 = ds.select(new TopKAggregator(2).toColumn).head()
+    assert(top2.toSeq === Seq((0.1, 2.0), (0.2, 3.0)))
+  }
+}

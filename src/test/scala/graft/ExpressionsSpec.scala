@@ -1,0 +1,120 @@
+package graft
+
+import graft.functions.{Kernels, SeriesFunctions => SF, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Cross-checks the native Catalyst expressions against the builtin-only
+  * compositions and the pure-Scala kernels, through the SQL surface.
+  */
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 3.0)),
+    (2L, Seq(0.0, 0.0), Seq(0.0, 0.0)),
+    (3L, Seq(-1.5, 2.5, 0.0, 7.0), Seq(3.0, -2.0, 1.0, 0.5))
+  ).toDF("id", "a", "b")
+
+  test("native euclidean/sqdist/cosine/dot/manhattan match builtin tier") {
+    val r = vecs.select(
+      SF.euclidean($"a", $"b").as("e1"), SF.euclideanBuiltin($"a", $"b").as("e2"),
+      SF.sqdist($"a", $"b").as("s1"), SF.sqdistBuiltin($"a", $"b").as("s2"),
+      SF.cosine($"a", $"b").as("c1"), SF.cosineBuiltin($"a", $"b").as("c2"),
+      SF.dotProduct($"a", $"b").as("d1"), SF.dotBuiltin($"a", $"b").as("d2")
+    ).collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12)
+      assert(math.abs(row.getDouble(2) - row.getDouble(3)) < 1e-12)
+      assert(math.abs(row.getDouble(4) - row.getDouble(5)) < 1e-12)
+      assert(math.abs(row.getDouble(6) - row.getDouble(7)) < 1e-12)
+    }
+  }
+
+  test("expressions usable from SQL after registration") {
+    val d = spark.sql(
+      "SELECT graft_euclidean(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d"
+    ).head().getDouble(0)
+    assert(d === 5.0)
+    val dtw = spark.sql(
+      "SELECT graft_dtw(array(0.0d, 0.0d, 1.0d), array(0.0d, 1.0d)) AS d"
+    ).head().getDouble(0)
+    assert(dtw === 0.0)
+  }
+
+  test("expression dtw/fastdtw agree with the Scala kernels") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 50).map { i =>
+      (i.toLong,
+        Seq.fill(1 + rnd.nextInt(20))(rnd.nextDouble() * 10),
+        Seq.fill(1 + rnd.nextInt(20))(rnd.nextDouble() * 10))
+    }.toDF("id", "a", "b")
+    rows.select($"a", $"b",
+      SF.dtw($"a", $"b").as("d"), SF.fastdtw($"a", $"b", 2).as("f"))
+      .collect().foreach { r =>
+        val a = r.getSeq[Double](0).toArray
+        val b = r.getSeq[Double](1).toArray
+        assert(math.abs(r.getDouble(2) - Kernels.dtw(a, b)) < 1e-12)
+        assert(math.abs(r.getDouble(3) - Kernels.fastdtw(a, b, 2)) < 1e-12)
+      }
+  }
+
+  test("float arrays implicitly cast to double (embeddings parity)") {
+    val d = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .limit(2)
+      .select(SF.euclidean($"embedding", $"embedding").as("d"))
+      .collect()
+    d.foreach(r => assert(r.getDouble(0) === 0.0))
+  }
+
+  test("simhash64: deterministic, identical inputs collide, hamming sane") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated phrase")
+    ).toDF("id", "text")
+      .select($"id", SF.simhash64(TF.tokens($"text")).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val ham = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(ham > 0)
+  }
+
+  test("shingle hashes: sorted, distinct, match wordShingles composition") {
+    val df = Seq((1L, "a b c d"), (2L, "a"), (3L, "")).toDF("id", "text")
+    val got = df.select($"id",
+      SF.shingleHashes(TF.tokens($"text"), 2).as("hs"),
+      sort_array(array_distinct(transform(
+        array_distinct(TF.wordShingles($"text", 2)), t => xxhash64(t)))).as("expected"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("jaccardSorted matches set-based jaccard") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)), // |I|=2 |U|=4 -> 0.5
+      (Seq(1L), Seq(1L)), // 1.0
+      (Seq(1L), Seq(2L)) // 0.0
+    ).toDF("a", "b")
+    val r = df.select(SF.jaccardSorted($"a", $"b").as("j")).collect().map(_.getDouble(0))
+    assert(r(0) === 0.5 && r(1) === 1.0 && r(2) === 0.0)
+  }
+
+  test("minhash signature: more-similar sets share more signature slots") {
+    val base = (1 to 100).map(_.toLong)
+    val near = base.drop(5) ++ Seq(1001L, 1002L, 1003L, 1004L, 1005L)
+    val far = (1001 to 1100).map(_.toLong)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "s")
+      .select($"id", SF.minhash(sort_array(array_distinct($"s")), 64).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(overlap(sigs(1L), sigs(2L)) > overlap(sigs(1L), sigs(3L)))
+    assert(overlap(sigs(1L), sigs(3L)) <= 5) // disjoint sets: near-zero agreement
+  }
+
+  test("barrier is a transparent identity") {
+    val r = vecs.select(SF.barrier($"id").as("id2"), $"id").collect()
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+  }
+}

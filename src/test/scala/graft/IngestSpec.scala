@@ -1,0 +1,55 @@
+package graft
+
+import graft.ingest.SeriesIngest
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parseSeries: whitespace splitting, cleaning, cast (EP1 P1/P2/P5)") {
+    val df = Seq(" 1.0  2.5 3.0 ", "4.5\t5.0", "").toDF("value")
+      .select(SeriesIngest.parseSeries($"value").as("s"))
+    val rows = df.collect().map(_.getSeq[Double](0))
+    assert(rows(0) === Seq(1.0, 2.5, 3.0))
+    assert(rows(1) === Seq(4.5, 5.0))
+    assert(rows(2) === Seq.empty)
+  }
+
+  test("pivotSeries emits feature_1..n; assembleSeries inverts it") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0, 6.0)))
+      .toDF("row_id", "series")
+    val wide = SeriesIngest.pivotSeries(df, "series", 3)
+    assert(wide.columns.toSeq === Seq("row_id", "feature_1", "feature_2", "feature_3"))
+    assert(wide.orderBy("row_id").collect()(0).getDouble(1) === 1.0)
+    val back = SeriesIngest.assembleSeries(wide, "series", Seq("feature_1", "feature_2", "feature_3"))
+    assert(back.orderBy("row_id").collect()(1).getSeq[Double](4) === Seq(4.0, 5.0, 6.0))
+  }
+
+  test("withRowId: contiguous 1..N in source order, parallelism preserved") {
+    val df = spark.range(0, 1000, 1, 8).toDF("v") // 8 partitions
+    val withId = SeriesIngest.withRowId(df)
+    val rows = withId.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sorted.toSeq === (1L to 1000L))
+    // source order preserved: row_id order == value order
+    assert(rows.sortBy(_._2).map(_._1).toSeq === (0L until 1000L))
+  }
+
+  test("zipByPosition joins two equally-ordered frames positionally (W1/J1)") {
+    val feats = Seq("a", "b", "c").toDF("f")
+    val labels = Seq(1.0, 2.0, 3.0).toDF("l")
+    val zipped = SeriesIngest.zipByPosition(feats, labels)
+      .orderBy("row_id").collect()
+    assert(zipped.map(r => (r.getString(1), r.getDouble(2))).toSeq ===
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+  }
+
+  test("loadLabeledSeries: full EP1 on HAR-shaped raw strings") {
+    val feats = Seq("1.0 2.0  3.0", " 4.0 5.0 6.0", "7.0 8.0 9.0 ").toDF("value")
+    val labels = Seq("1", "2", "1").toDF("value")
+    val out = SeriesIngest.loadLabeledSeries(feats, labels).orderBy("row_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getSeq[Double](1) === Seq(1.0, 2.0, 3.0))
+    assert(out(0).getDouble(2) === 1.0)
+    assert(out(2).getDouble(2) === 1.0)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.Kernels
+import org.scalatest.funsuite.AnyFunSuite
+
+class KernelsSpec extends AnyFunSuite {
+
+  private def randomSeries(rnd: scala.util.Random): Array[Double] =
+    Array.fill(1 + rnd.nextInt(32))(rnd.nextDouble() * 20 - 10)
+
+  private def forRandomPairs(trials: Int)(check: (Array[Double], Array[Double]) => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (1 to trials).foreach { _ => check(randomSeries(rnd), randomSeries(rnd)) }
+  }
+
+  test("euclidean matches hand-computed values") {
+    assert(Kernels.euclidean(Array(0.0, 0.0), Array(3.0, 4.0)) === 5.0)
+    assert(Kernels.euclidean(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)) === 0.0)
+  }
+
+  test("dtw matches hand-computed values (|x-y| point cost)") {
+    assert(Kernels.dtw(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)) === 0.0)
+    // [0,0,1] vs [0,1]: warp both zeros onto the first 0 -> cost 0
+    assert(Kernels.dtw(Array(0.0, 0.0, 1.0), Array(0.0, 1.0)) === 0.0)
+    assert(Kernels.dtw(Array(2.0), Array(5.0)) === 3.0)
+    // [1,3] vs [1,2,3]: optimum warps 2 onto 1 or 3 -> cost 1
+    assert(Kernels.dtw(Array(1.0, 3.0), Array(1.0, 2.0, 3.0)) === 1.0)
+  }
+
+  test("dtw properties: identity, symmetry, non-negativity") {
+    forRandomPairs(200) { (a, b) =>
+      val d = Kernels.dtw(a, b)
+      assert(d >= 0.0)
+      assert(math.abs(d - Kernels.dtw(b, a)) < 1e-9)
+      assert(Kernels.dtw(a, a) === 0.0)
+    }
+  }
+
+  test("dtw <= any-path upper bounds (diagonal for equal lengths)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val a = randomSeries(rnd)
+      val b = a.map(_ + rnd.nextDouble())
+      val diag = a.indices.map(i => math.abs(a(i) - b(i))).sum
+      assert(Kernels.dtw(a, b) <= diag + 1e-9)
+    }
+  }
+
+  test("banded dtw >= unconstrained; wide band == unconstrained") {
+    forRandomPairs(200) { (a, b) =>
+      val full = Kernels.dtw(a, b)
+      assert(Kernels.dtw(a, b, 2) >= full - 1e-9)
+      val wide = math.max(a.length, b.length)
+      assert(math.abs(Kernels.dtw(a, b, wide) - full) < 1e-9)
+    }
+  }
+
+  test("fastdtw converges to exact dtw as radius grows") {
+    forRandomPairs(200) { (a, b) =>
+      val exact = Kernels.dtw(a, b)
+      val r = math.max(a.length, b.length)
+      assert(math.abs(Kernels.fastdtw(a, b, r) - exact) < 1e-9)
+    }
+  }
+
+  test("fastdtw is a valid-path cost: never below the optimum") {
+    forRandomPairs(500) { (a, b) =>
+      assert(Kernels.fastdtw(a, b, 1) >= Kernels.dtw(a, b) - 1e-9)
+    }
+  }
+
+  test("fastdtw radius=1 stays close to exact on smooth series") {
+    // FastDTW's guarantee is empirical accuracy on realistic series
+    // (Salvador & Chan report <1% error for radius>=1 on smooth data)
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val n = 32 + rnd.nextInt(64)
+      val phase = rnd.nextDouble() * math.Pi
+      val a = Array.tabulate(n)(i => math.sin(i * 0.2 + phase))
+      val b = Array.tabulate(n)(i => math.sin(i * 0.2 + phase + 0.3))
+      val exact = Kernels.dtw(a, b)
+      val approx = Kernels.fastdtw(a, b, 1)
+      assert(approx <= exact * 1.25 + 0.2, s"fastdtw=$approx exact=$exact")
+    }
+  }
+
+  test("cosine: orthogonal -> 0, parallel -> 1, zero-norm -> 0") {
+    assert(math.abs(Kernels.cosine(Array(1.0, 0.0), Array(0.0, 1.0))) < 1e-12)
+    assert(math.abs(Kernels.cosine(Array(2.0, 2.0), Array(4.0, 4.0)) - 1.0) < 1e-12)
+    assert(Kernels.cosine(Array(0.0, 0.0), Array(1.0, 1.0)) === 0.0)
+  }
+
+  test("manhattan and sqdist basics") {
+    assert(Kernels.manhattan(Array(1.0, 2.0), Array(3.0, 0.0)) === 4.0)
+    assert(Kernels.sqdist(Array(1.0, 2.0), Array(3.0, 0.0)) === 8.0)
+  }
+
+  test("unequal lengths: tail treated as distance-to-zero (documented extension)") {
+    assert(Kernels.sqdist(Array(1.0), Array(1.0, 2.0)) === 4.0)
+    assert(Kernels.manhattan(Array(1.0), Array(1.0, 2.0)) === 2.0)
+  }
+}

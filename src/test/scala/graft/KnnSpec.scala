@@ -1,0 +1,124 @@
+package graft
+
+import graft.core.KnnParams
+import graft.functions.Kernels
+import graft.operators.{Evaluation, Knn}
+import org.apache.spark.sql.functions._
+
+/** KNN against an in-memory brute-force oracle (FIXTURES.md a6): both
+  * distances, k in {1,5}, both strategies, plus partition-count
+  * invariance (the reference's partition knobs must not change answers,
+  * SURVEY §5.2).
+  */
+class KnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic fixture: 40 train / 12 test, 3 classes, length 16
+  private val rnd = new scala.util.Random(42)
+  private val trainData: Seq[(Long, Array[Double], Double)] =
+    (1 to 40).map { i =>
+      val label = (i % 3).toDouble
+      val base = Array.tabulate(16)(t => math.sin(t * 0.3 + label))
+      (i.toLong, base.map(_ + rnd.nextGaussian() * 0.3), label)
+    }
+  private val testData: Seq[(Long, Array[Double])] =
+    (101 to 112).map { i =>
+      val label = (i % 3).toDouble
+      val base = Array.tabulate(16)(t => math.sin(t * 0.3 + label))
+      (i.toLong, base.map(_ + rnd.nextGaussian() * 0.3))
+    }
+
+  private lazy val trainDf = trainData.toDF("train_id", "train_series", "label")
+  private lazy val testDf = testData.map { case (i, s) => (i, s) }.toDF("test_id", "test_series")
+
+  /** Brute-force oracle with the engine's documented tie-breaks. */
+  private def bruteForce(k: Int, dist: (Array[Double], Array[Double]) => Double): Map[Long, Double] =
+    testData.map { case (tid, ts) =>
+      val neigh = trainData
+        .map { case (id, s, l) => (dist(ts, s), id, l) }
+        .filter(_._1 != 0.0)
+        .sortBy(t => (t._1, t._2))
+        .take(k)
+        .zipWithIndex
+      val votes = neigh.groupBy(_._1._3).map { case (label, g) =>
+        (g.size, -g.map(_._2).min, -label) // count desc, best rank asc, label asc
+      }.toSeq
+      val best = votes.max
+      tid -> -best._3
+    }.toMap
+
+  private def engine(k: Int, distance: String, strategy: String): Map[Long, Double] =
+    Knn.classify(trainDf, testDf,
+      KnnParams(k = k, distance = distance, strategy = strategy))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  for {
+    k <- Seq(1, 5)
+    (distance, fn) <- Seq[(String, (Array[Double], Array[Double]) => Double)](
+      "euclidean" -> ((a, b) => Kernels.euclidean(a, b)),
+      "dtw" -> ((a, b) => Kernels.dtw(a, b)))
+  } test(s"classify matches brute force: k=$k $distance") {
+    val expected = bruteForce(k, fn)
+    assert(engine(k, distance, "broadcast") === expected)
+  }
+
+  test("broadcast and cartesian strategies agree") {
+    val b = engine(5, "euclidean", "broadcast")
+    val c = engine(5, "euclidean", "cartesian")
+    assert(b === c)
+  }
+
+  test("partition knobs do not change answers") {
+    val base = engine(5, "euclidean", "broadcast")
+    val knobbed = Knn.classify(trainDf, testDf,
+      KnnParams(k = 5, distance = "euclidean", strategy = "cartesian",
+        trainPartitions = 7, testPartitions = 3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(knobbed === base)
+  }
+
+  test("classify1NN (Model-2 min_by path) matches k=1 window path") {
+    val windowPath = engine(1, "euclidean", "broadcast")
+    val minByPath = Knn.classify1NN(trainDf, testDf, KnnParams(distance = "euclidean"))
+      .select("test_id", "predicted_label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(minByPath === windowPath)
+  }
+
+  test("fastdtw classification runs and mostly agrees with exact dtw (k=5)") {
+    val exact = engine(5, "dtw", "broadcast")
+    val approx = engine(5, "fastdtw", "broadcast")
+    val agree = exact.keys.count(k => exact(k) == approx(k))
+    assert(agree >= exact.size - 2, s"agree=$agree of ${exact.size}")
+  }
+
+  test("neighbors returns exactly k rows per test point with rank 1..k") {
+    val n = Knn.neighbors(trainDf, testDf, KnnParams(k = 3, distance = "euclidean"))
+    val counts = n.groupBy("test_id").agg(count(lit(1)).as("c"), max("rank").as("m"))
+      .collect()
+    assert(counts.length === testData.size)
+    counts.foreach { r => assert(r.getLong(1) === 3L && r.getInt(2) === 3) }
+  }
+
+  test("end-to-end accuracy on separable classes is high") {
+    val truth = testData.map { case (i, _) => (i, (i % 3).toDouble) }.toDF("test_id", "label")
+    val pred = Knn.classify(trainDf, testDf, KnnParams(k = 5, distance = "euclidean"))
+    val acc = Evaluation.accuracy(pred.join(truth, "test_id"),
+      col("predicted_label"), col("label")).head().getDouble(0)
+    assert(acc >= 0.8, s"accuracy $acc")
+  }
+
+  test("excludeZeroDistance drops self-matches") {
+    // test point identical to a train point: with exclusion the neighbor
+    // must be a DIFFERENT row
+    val t1 = trainData.head
+    val probe = Seq((999L, t1._2)).toDF("test_id", "test_series")
+    val withEx = Knn.neighbors(trainDf, probe, KnnParams(k = 1, distance = "euclidean"))
+      .select("dist").head().getDouble(0)
+    assert(withEx > 0.0)
+    val withoutEx = Knn.neighbors(trainDf, probe,
+      KnnParams(k = 1, distance = "euclidean", excludeZeroDistance = false))
+      .select("dist").head().getDouble(0)
+    assert(withoutEx === 0.0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.Kernels
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+class SimilaritySearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(42)
+  private val corpusData: Seq[(Long, Array[Double])] =
+    (1 to 200).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+  private val queryData: Seq[(Long, Array[Double])] =
+    (1001 to 1010).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+
+  private lazy val corpus = corpusData.toDF("item_id", "item_vec")
+  private lazy val queries = queryData.toDF("query_id", "query_vec")
+
+  private def bruteOracle(k: Int): Map[Long, Seq[Long]] =
+    queryData.map { case (qid, qv) =>
+      qid -> corpusData
+        .map { case (id, v) => (-Kernels.cosine(qv, v), id) }
+        .sorted.take(k).map(_._2)
+    }.toMap
+
+  test("bruteForceTopK matches in-memory oracle (ordering + ids)") {
+    val got = SimilaritySearch.bruteForceTopK(queries, corpus, 5)
+      .orderBy("query_id", "rank")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got === bruteOracle(5))
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val exact = bruteOracle(5)
+    val approx = SimilaritySearch.lshTopK(queries, corpus, 5, dim = dim,
+      bits = 6, tables = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      val found = approx.getOrElse(q, Set.empty)
+      ids.count(found.contains).toDouble / ids.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"mean recall $meanRecall")
+  }
+
+  test("lshTopK results are a subset ranking consistent with cosine") {
+    val rows = SimilaritySearch.lshTopK(queries, corpus, 5, dim = dim,
+      bits = 6, tables = 8).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("signBucket is deterministic across invocations") {
+    val b1 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()
+    val b2 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()
+    assert(b1.map(_.getLong(0)).toSeq === b2.map(_.getLong(0)).toSeq)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{SeriesFunctions => SF, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenCount: whitespace tokens, empties dropped") {
+    val df = Seq("a b  c", "  ", "", "one").toDF("text")
+      .select(TF.tokenCount($"text").as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0, 0, 1))
+  }
+
+  test("bpeishTokenCount splits words, numbers, punctuation") {
+    val df = Seq("hello, world42!").toDF("text")
+      .select(TF.bpeishTokens($"text").as("t"), TF.bpeishTokenCount($"text").as("n"))
+    val r = df.head()
+    assert(r.getSeq[String](0) === Seq("hello", ",", "world", "42", "!"))
+    assert(r.getInt(1) === 5)
+  }
+
+  test("stopwordRatio and punctRatio in [0,1]; quality bounded") {
+    val df = Seq(
+      "the quick brown fox is on the run and it jumps",
+      "!!! ??? ...",
+      ""
+    ).toDF("text").select(
+      TF.stopwordRatio($"text").as("sr"),
+      TF.punctRatio($"text").as("pr"),
+      TF.qualityScore($"text").as("q"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) > 0.2) // stopword-rich text
+    assert(rows(1).getDouble(1) > 0.5) // punctuation-heavy text
+    assert(rows(0).getDouble(2) > rows(1).getDouble(2)) // fluent beats noise
+  }
+
+  test("langId picks marker language, und when no markers") {
+    val df = Seq(
+      "the cat and the dog went to the market for food",
+      "der hund und die katze ist nicht zu hause",
+      "el perro y la casa es un lugar en que vivimos",
+      "xyzzy qwerty asdf"
+    ).toDF("text").select(TF.langId($"text").as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint: deterministic and order-sensitive") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("text")
+      .select(SF.fingerprint(TF.tokens($"text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("wordShingles: n-grams with short-input fallback") {
+    val df = Seq("a b c d", "a", "").toDF("text")
+      .select(TF.wordShingles($"text", 2).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) === Seq("a b", "b c", "c d"))
+    assert(rows(1) === Seq("a"))
+    assert(rows(2) === Seq(""))
+  }
+
+  test("charShingles: n-char windows") {
+    val df = Seq("abcd").toDF("text").select(TF.charShingles($"text", 3).as("sh"))
+    assert(df.head().getSeq[String](0) === Seq("abc", "bcd"))
+  }
+}
