@@ -12,6 +12,7 @@ private[operators] object Partitioning {
     * arrive with thousands of splits).
     */
   def spread(df: DataFrame, target: Int = 0): DataFrame = {
+    if (df.isStreaming) return df // micro-batch planner owns partitioning
     val t =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism

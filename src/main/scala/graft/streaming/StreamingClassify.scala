@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.core.KnnParams
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structured Streaming surface: classify an unbounded stream of series
+  * against a static (broadcast) train set, plus windowed event analytics.
+  *
+  * The reference is batch-only (SURVEY §2.7); this is the natural
+  * extension of its Model 2 — the broadcast train set is exactly the
+  * static side Structured Streaming joins support, so [[Knn.classify1NN]]
+  * and [[Knn.classify]] compose with a streaming test side unchanged
+  * (stream-static joins are stateless; the per-microbatch plan is the
+  * same broadcast cross join + aggregation).
+  */
+object StreamingClassify {
+
+  /** Attach a streaming test frame (test_id, test_series) to a static
+    * train frame: emits (test_id, predicted_label, min_distance) per
+    * arriving series. 1-NN (Model-2 semantics); stateless, append-mode.
+    */
+  def classifyStream1NN(trainStatic: DataFrame, testStream: DataFrame, p: KnnParams): DataFrame =
+    Knn.classify1NN(trainStatic, testStream, p)
+
+  /** Windowed event-rate aggregation with watermarked late-data handling:
+    * the standard streaming-analytics shape (event-time window + count +
+    * mean) over the `events` table schema.
+    */
+  def windowedEventStats(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+
+  /** Run a bounded smoke of the streaming classifier: feeds the parquet
+    * test split through a memory sink; returns the collected predictions.
+    * (Used by tests; `processAllAvailable` makes it synchronous.)
+    */
+  def runBoundedSmoke(spark: SparkSession, sfDir: String, p: KnnParams): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val train = e.filter(col("vec_id") % 2 === 0).select(
+      col("vec_id").as("train_id"),
+      col("embedding").cast("array<double>").as("train_series"),
+      col("label"))
+    // file-stream sources read directories; stage the single parquet file
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+      stageDir.resolve("embeddings.parquet"))
+    val schema = e.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir.toString)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("test_id"),
+        col("embedding").cast("array<double>").as("test_series"))
+    val out = classifyStream1NN(train, stream, p)
+    val qname = s"graft_stream_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.core.KnnParams
+import graft.operators.Multimodal
+import graft.streaming.StreamingClassify
+import org.apache.spark.sql.functions._
+
+class StreamingMultimodalSpec extends SparkTestBase {
+
+  test("streaming 1-NN classification matches the batch path") {
+    val streamed = StreamingClassify.runBoundedSmoke(spark, sf001,
+      KnnParams(distance = "euclidean"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = SparkEntry.queries("q9_knn_eu_k1")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed === batch)
+  }
+
+  test("windowed event stats: watermarked event-time aggregation plan builds") {
+    // events ts is nanos-as-long in our sessions; synthesize timestamps
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 00:00:10", "click", 1.0),
+      ("2024-01-01 00:01:10", "click", 3.0),
+      ("2024-01-01 00:07:10", "view", 5.0)
+    ).toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    val out = StreamingClassify.windowedEventStats(ev, "10 minutes", "5 minutes")
+    val rows = out.collect()
+    assert(rows.length === 2) // two 5-min windows
+    assert(rows.map(_.getLong(2)).sum === 3L)
+  }
+
+  test("multimodal: extractFeatures is deterministic with declared schema") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+    val media = Multimodal.syntheticMediaTable(docs)
+    val f1 = Multimodal.extractFeatures(media, "doc_id", "content", dim = 16)
+    assert(f1.schema.fieldNames.toSeq === Seq("id", "features"))
+    val a = f1.orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val b = Multimodal.extractFeatures(media, "doc_id", "content", dim = 16)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(a === b)
+    assert(a.forall(_._2.length == 16))
+    // different payloads -> different features (no degenerate constant)
+    assert(a.map(_._2).distinct.length > 1)
+  }
+
+  test("multimodal: resize updates metadata; sampleFrames explodes by duration") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(5)
+    val media = Multimodal.syntheticMediaTable(docs)
+    val resized = Multimodal.resize(media, "meta", 224, 224)
+    resized.select("meta.width", "meta.height").collect()
+      .foreach(r => assert(r.getInt(0) === 224 && r.getInt(1) === 224))
+    val frames = Multimodal.sampleFrames(media, "doc_id", "meta", 1000L)
+    val counts = frames.groupBy("id").count().collect()
+    assert(counts.forall(_.getLong(1) >= 1))
+    // frame count == ceil(duration/1000) per row
+    val durations = media.select(col("doc_id"), col("meta.duration_ms")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { r =>
+      val expect = (durations(r.getLong(0)) + 999) / 1000
+      assert(r.getLong(1) === expect, s"id=${r.getLong(0)}")
+    }
+  }
+}
