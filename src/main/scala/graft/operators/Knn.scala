@@ -52,7 +52,14 @@ object Knn {
     val useBroadcast = p.strategy match {
       case "broadcast" => true
       case "cartesian" => false
-      case _           => true // auto: train side fits for every tier we run; AQE re-plans otherwise
+      case _ =>
+        // auto: Catalyst-stats-driven choice, mirroring Spark's own
+        // autoBroadcastJoinThreshold logic — broadcast while the train
+        // side fits an executor, partitioned cartesian beyond that
+        val threshold = train.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+        val trainBytes = trainSel.queryExecution.optimizedPlan.stats.sizeInBytes
+        threshold < 0 || trainBytes <= BigInt(math.max(threshold, 10485760L))
     }
     // The stream (test) side often arrives as a handful of input splits
     // (one small parquet file = one partition = one task for the whole
