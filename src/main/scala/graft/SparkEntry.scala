@@ -182,6 +182,17 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // Q25 — LB_Keogh-pruned banded DTW KNN (M3/M4 scale path): O(n)
+    // lower-bound prefilter, exact kernel on candidates only; rows-only
+    // (DTW not SQL-expressible), equality with exact path pinned in tests
+    "q25_knn_dtw_pruned" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, _) = trainTest(s, dir)
+      Knn.classify(train, test,
+        KnnParams(k = 5, distance = "dtw", band = 8, lbPruning = true))
+        .orderBy("test_id")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -16,6 +16,10 @@ case class LabeledSeries(rowId: Long, series: Array[Double], label: Double)
   * @param band               Sakoe-Chiba band for exact DTW; -1 = unconstrained
   * @param trainPartitions    cartesian-strategy train-side repartition (reference `:186`)
   * @param testPartitions     cartesian-strategy test-side repartition (reference `:186`)
+  * @param lbPruning          LB_Keogh candidate pruning for dtw/fastdtw (the
+  *                           100 TB scale path: O(n) bound prefilter, exact
+  *                           kernel only on surviving candidates)
+  * @param candidateFactor    candidates kept per test point = factor * k
   */
 case class KnnParams(
     k: Int = 1,
@@ -25,4 +29,6 @@ case class KnnParams(
     radius: Int = 1,
     band: Int = -1,
     trainPartitions: Int = 0,
-    testPartitions: Int = 0)
+    testPartitions: Int = 0,
+    lbPruning: Boolean = false,
+    candidateFactor: Int = 4)

@@ -32,6 +32,10 @@ object SeriesFunctions {
   def fastdtw(a: Column, b: Column, radius: Int): Column =
     call_function("graft_fastdtw", a, b, lit(radius))
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def envelope(series: Column, band: Int): Column =
+    call_function("graft_envelope", series, lit(band))
+  def lbKeogh(env: Column, candidate: Column): Column =
+    call_function("graft_lb_keogh", env, candidate)
   def jaccardSorted(a: Column, b: Column): Column = call_function("graft_jaccard_sorted", a, b)
   def shingleHashes(tokens: Column, n: Int): Column =
     call_function("graft_shingle_hashes", tokens, lit(n))

@@ -59,6 +59,13 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         WordShingleHashes(es(0), intArg(es(1), "n")),
       "graft_shingle_hashes(tokens, n) - sorted distinct xxhash64 of word n-grams"),
+    ("graft_envelope",
+      (es: Seq[Expression]) =>
+        SeriesEnvelope(es(0), if (es.length > 1) intArg(es(1), "band") else -1),
+      "graft_envelope(series[, band]) - Sakoe-Chiba envelope packed [lower ++ upper]"),
+    ("graft_lb_keogh",
+      (es: Seq[Expression]) => LbKeogh(es(0), es(1)),
+      "graft_lb_keogh(envelope, candidate) - LB_Keogh lower bound on banded DTW"),
     ("graft_barrier",
       (es: Seq[Expression]) => Barrier(es(0)),
       "graft_barrier(x) - identity; blocks predicate pushdown through it"),

@@ -88,9 +88,41 @@ object Knn {
   def neighbors(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
     val w = Window.partitionBy(col("test_id"))
       .orderBy(col("dist"), col("train_id")) // deterministic under distance ties
-    pairs(train, test, p)
+    val candidates =
+      if (p.lbPruning && (p.distance == "dtw" || p.distance == "fastdtw"))
+        prunedCandidates(train, test, p)
+      else pairs(train, test, p)
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= p.k)
+  }
+
+  /** LB_Keogh cascade (Keogh & Ratanamahatana 2005), the DTW scale path:
+    * 1. envelope each TEST series once (scan-side projection);
+    * 2. score every pair with the O(n) LB_Keogh lower bound;
+    * 3. keep the candidateFactor*k lowest bounds per test point (window
+    *    group-limit — partial before the shuffle, like the main top-k);
+    * 4. run the exact kernel only on survivors.
+    * Exact when the true k-th neighbor's bound ranks within the candidate
+    * budget (holds in practice; raise candidateFactor to tighten).
+    */
+  private def prunedCandidates(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
+    val trainSel = train.select(col("train_id"), col("train_series"), col("label"))
+    val testEnv = Partitioning.spread(
+      test.select(col("test_id"), col("test_series")), p.testPartitions)
+      .withColumn("env", SeriesFunctions.envelope(col("test_series"), p.band))
+    val lbW = Window.partitionBy(col("test_id"))
+      .orderBy(col("lb"), col("train_id"))
+    val survivors = testEnv.crossJoin(broadcast(trainSel))
+      .withColumn("lb", SeriesFunctions.lbKeogh(col("env"), col("train_series")))
+      .withColumn("lb_rank", row_number().over(lbW))
+      .filter(col("lb_rank") <= p.candidateFactor * p.k)
+    val withDist = survivors.withColumn("dist",
+      SeriesFunctions.barrier(
+        distanceColumn(p)(col("test_series"), col("train_series"))))
+    val filtered =
+      if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0) else withDist
+    filtered.select(col("test_id"), col("train_id"), col("label"), col("dist"))
   }
 
   /** Majority-vote classification: (test_id, predicted_label). */

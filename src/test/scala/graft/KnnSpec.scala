@@ -92,6 +92,29 @@ class KnnSpec extends SparkTestBase {
     assert(agree >= exact.size - 2, s"agree=$agree of ${exact.size}")
   }
 
+  test("LB_Keogh pruned DTW KNN matches exact DTW KNN (banded)") {
+    for (k <- Seq(1, 5)) {
+      val exact = Knn.classify(trainDf, testDf,
+        KnnParams(k = k, distance = "dtw", band = 4))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val pruned = Knn.classify(trainDf, testDf,
+        KnnParams(k = k, distance = "dtw", band = 4, lbPruning = true))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pruned === exact, s"k=$k")
+    }
+  }
+
+  test("LB_Keogh bound is a true lower bound on banded DTW") {
+    val rnd2 = new scala.util.Random(9)
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(16)(rnd2.nextDouble() * 10)
+      val b = Array.fill(16)(rnd2.nextDouble() * 10)
+      val env = graft.functions.Kernels.envelope(a, 4)
+      assert(graft.functions.Kernels.lbKeogh(env, b) <=
+        graft.functions.Kernels.dtw(a, b, 4) + 1e-9)
+    }
+  }
+
   test("neighbors returns exactly k rows per test point with rank 1..k") {
     val n = Knn.neighbors(trainDf, testDf, KnnParams(k = 3, distance = "euclidean"))
     val counts = n.groupBy("test_id").agg(count(lit(1)).as("c"), max("rank").as("m"))
