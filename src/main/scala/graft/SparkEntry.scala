@@ -193,6 +193,40 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // Q26 — the reference's headline workload at its published size
+    // (BASELINE.md Model 2: broadcast 1-NN over 7352 train / 2947 test x
+    // 561-length series, ~19 s on a Databricks cluster). Series are
+    // synthesized deterministically; size scales with the sf tier
+    // (sf0.1 = full HAR size). Engine plan: LB_Keogh-pruned exact banded
+    // DTW — a strictly stronger answer than the reference's approximate
+    // FastDTW, still broadcast + min_by.
+    "q26_har_model2_1nn" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val scale =
+        if (dir.contains("sf0.1")) 1.0
+        else if (dir.contains("sf0.01")) 0.1 else 0.01
+      val nTrain = math.max((7352 * scale).toInt, 80)
+      val nTest = math.max((2947 * scale).toInt, 30)
+      val L = 561
+      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        s.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          transform(sequence(lit(0), lit(L - 1)),
+            t => sin(t.cast("double") * 0.11 +
+              pmod(col("id") + offset, lit(6)).cast("double")) +
+              (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
+                / 1000.0 - 0.5) * 0.4).as(seriesCol))
+      val train = synth(nTrain, 0, "train_id", "train_series")
+      val test = synth(nTest, 1000000, "test_id", "test_series")
+        .select(col("test_id"), col("test_series"))
+      Knn.classify1NN(train, test,
+        KnnParams(distance = "dtw", band = 56, lbPruning = true,
+          candidateFactor = 8))
+        .select(col("test_id"), col("predicted_label"))
+        .orderBy("test_id")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")

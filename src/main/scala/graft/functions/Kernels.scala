@@ -356,8 +356,25 @@ object Kernels {
   def envelopeAD(a: ArrayData, band: Int): ArrayData =
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       envelope(a.toDoubleArray(), band))
-  def lbKeoghAD(env: ArrayData, c: ArrayData): Double =
-    lbKeogh(env.toDoubleArray(), c.toDoubleArray())
+  /** Direct ArrayData reads — this runs once per candidate PAIR on the
+    * hot LB cascade; materializing both sides would memcpy ~13 KB per
+    * pair (hundreds of GB over a HAR-size crossJoin) and thrash GC.
+    */
+  def lbKeoghAD(env: ArrayData, c: ArrayData): Double = {
+    val n = env.numElements() / 2
+    val m = math.min(n, c.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val v = c.getDouble(i)
+      val lo = env.getDouble(i)
+      val hi = env.getDouble(n + i)
+      if (v > hi) s += v - hi
+      else if (v < lo) s += lo - v
+      i += 1
+    }
+    s
+  }
   def fastdtwAD(a: ArrayData, b: ArrayData, radius: Int): Double =
     fastdtw(a.toDoubleArray(), b.toDoubleArray(), radius)
 }

@@ -108,18 +108,32 @@ object Knn {
     */
   private def prunedCandidates(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
     val trainSel = train.select(col("train_id"), col("train_series"), col("label"))
-    val testEnv = Partitioning.spread(
-      test.select(col("test_id"), col("test_series")), p.testPartitions)
-      .withColumn("env", SeriesFunctions.envelope(col("test_series"), p.band))
+    val testSel = test.select(col("test_id"), col("test_series"))
+    // barrier(): a single-use alias gets inlined by CollapseProject, which
+    // would recompute the O(n*band) envelope once per PAIR instead of once
+    // per test row
+    val testEnv = Partitioning.spread(testSel, p.testPartitions)
+      .withColumn("env", SeriesFunctions.barrier(
+        SeriesFunctions.envelope(col("test_series"), p.band)))
     val lbW = Window.partitionBy(col("test_id"))
       .orderBy(col("lb"), col("train_id"))
+    // SLIM ranking rows: only (test_id, train_id, lb) flow into the
+    // group-limit sort — carrying the series/envelope payloads through it
+    // would put candidateCount * seriesBytes into every sort buffer
     val survivors = testEnv.crossJoin(broadcast(trainSel))
-      .withColumn("lb", SeriesFunctions.lbKeogh(col("env"), col("train_series")))
+      .select(col("test_id"), col("train_id"),
+        SeriesFunctions.lbKeogh(col("env"), col("train_series")).as("lb"))
       .withColumn("lb_rank", row_number().over(lbW))
       .filter(col("lb_rank") <= p.candidateFactor * p.k)
-    val withDist = survivors.withColumn("dist",
-      SeriesFunctions.barrier(
-        distanceColumn(p)(col("test_series"), col("train_series"))))
+      .select("test_id", "train_id")
+    // join the payloads back for the exact phase (candidates are k-scale,
+    // so these joins move factor*k rows per test point, not n*m)
+    val withDist = survivors
+      .join(testSel, "test_id")
+      .join(broadcast(trainSel), "train_id")
+      .withColumn("dist",
+        SeriesFunctions.barrier(
+          distanceColumn(p)(col("test_series"), col("train_series"))))
     val filtered =
       if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0) else withDist
     filtered.select(col("test_id"), col("train_id"), col("label"), col("dist"))
@@ -143,7 +157,10 @@ object Knn {
     * (map-side) + final, no window, one shuffle of one row per test point.
     */
   def classify1NN(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
-    val pr = pairs(train, test, p.copy(k = 1))
+    val pr =
+      if (p.lbPruning && (p.distance == "dtw" || p.distance == "fastdtw"))
+        prunedCandidates(train, test, p.copy(k = 1))
+      else pairs(train, test, p.copy(k = 1))
     pr.groupBy(col("test_id"))
       .agg(min_by(
         struct(col("dist"), col("train_id"), col("label")),
