@@ -1,0 +1,51 @@
+package graft
+
+import graft.core.KnnParams
+import graft.operators.{Evaluation, Knn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Hyper-parameter sweep driver — the reference ran k in {5,10,20,50,70}
+  * as manual notebook cells, one table + accuracy per k
+  * (`Team11-Project.py:237-322`, `:391-476`). Here: one main, k list and
+  * distance as args, a JSON result line per (distance, k).
+  *
+  * Usage: runMain graft.KSweep [sfDir] [distance[,distance...]] [k,k,...]
+  */
+object KSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val distances = args.lift(1).getOrElse("euclidean,dtw").split(",").toSeq
+    val ks = args.lift(2).getOrElse("1,5,10,20").split(",").map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val train = e.filter(col("vec_id") % 2 === 0).select(
+      col("vec_id").as("train_id"),
+      col("embedding").cast("array<double>").as("train_series"), col("label"))
+    val test = e.filter(col("vec_id") % 2 === 1).select(
+      col("vec_id").as("test_id"),
+      col("embedding").cast("array<double>").as("test_series"))
+    val truth = e.filter(col("vec_id") % 2 === 1).select(
+      col("vec_id").as("test_id"), col("label"))
+    train.cache().count(); test.cache().count()
+
+    for (d <- distances; k <- ks) {
+      val t0 = System.nanoTime()
+      val pred = Knn.classify(train, test, KnnParams(k = k, distance = d))
+      val acc = Evaluation.accuracy(pred.join(truth, "test_id"),
+        col("predicted_label"), col("label")).head().getDouble(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"distance":"$d","k":$k,"accuracy":$acc,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

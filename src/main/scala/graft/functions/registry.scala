@@ -98,16 +98,26 @@ object GraftFunctions {
         registry.registerFunction(id, info(name, usage), b)
     }
 
-  /** Idempotent post-hoc registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent post-hoc registration on a live session: functions via
+    * the registry bridge, optimizer rules via the public
+    * `experimental.extraOptimizations` hook.
+    */
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.RegistryBridge.install(spark, installInto)
+    val rule = graft.plans.EuclideanThresholdToSqdist
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions`-compatible hook. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b, usage) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""), b))
     }
+    e.injectOptimizerRule(_ => graft.plans.EuclideanThresholdToSqdist)
+  }
 }

@@ -55,6 +55,23 @@ class RelationalParitySpec extends SparkTestBase {
     assert(pred === 5.0)
   }
 
+  test("optimizer rule: euclidean threshold filter rewrites to sqdist (no sqrt)") {
+    import graft.functions.{SeriesFunctions => SF}
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet").limit(20)
+    val probe = e.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val df = probe.as("x").join(probe.as("y"))
+      .filter(SF.euclidean($"x.v", $"y.v") < 2.0)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_sqdist"), s"plan:\n$optimized")
+    assert(!optimized.contains("graft_euclidean"), s"plan:\n$optimized")
+    // semantics preserved vs the un-rewritten comparison
+    val viaSqdist = df.count()
+    val manual = probe.as("x").join(probe.as("y"))
+      .withColumn("d", SF.barrier(SF.euclidean($"x.v", $"y.v")))
+      .filter($"d" < 2.0).count()
+    assert(viaSqdist === manual)
+  }
+
   test("W1 hazard documented: withRowId preserves order without single partition") {
     val df = spark.range(0, 100, 1, 8).toDF("v")
     val ids = graft.ingest.SeriesIngest.withRowId(df)
