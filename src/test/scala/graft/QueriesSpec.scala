@@ -11,6 +11,12 @@ class QueriesSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("GraftSession.getOrCreate yields a session with graft functions") {
+    val s = GraftSession.getOrCreate()
+    assert(s.sql("SELECT graft_euclidean(array(0.0d,0.0d), array(3.0d,4.0d)) d")
+      .head().getDouble(0) === 5.0)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val qs = SparkEntry.queries.keySet
     val orphan = SparkEntry.oracleSql.keySet.diff(qs)
