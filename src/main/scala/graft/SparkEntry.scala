@@ -227,6 +227,14 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // Q27 — duplicate clusters: connected components of the jaccard>=0.3
+    // pair graph, min-id labels (oracle: DuckDB recursive CTE closure)
+    "q27_dedup_clusters" -> ((s, dir) => {
+      Dedup.duplicateClusters(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, threshold = 0.3)
+        .orderBy("id")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -444,6 +452,27 @@ object SparkEntry {
     "q14_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q27_dedup_clusters" ->
+      s"""WITH RECURSIVE
+              toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              sh AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM toks),
+              edges AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM sh a CROSS JOIN sh b
+                WHERE a.doc_id < b.doc_id
+                  AND ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3),
+              und AS (SELECT ia AS src, ib AS dst FROM edges
+                      UNION SELECT ib AS src, ia AS dst FROM edges),
+              reach(src, dst) AS (
+                SELECT src, dst FROM und
+                UNION
+                SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+         SELECT d.doc_id AS id,
+                LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+         FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         GROUP BY d.doc_id ORDER BY id""",
 
     "q15_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),

@@ -125,6 +125,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate CLUSTERS: connected components over the near-duplicate
+    * pair graph, labeled by the smallest member id. Iterative min-label
+    * propagation (Pregel-style, converges in O(component diameter)
+    * rounds — near-dup clusters are shallow), with `localCheckpoint` per
+    * round so the lineage stays flat at scale.
+    *
+    * Output: (id, cluster_id) for EVERY input row (singletons keep their
+    * own id).
+    */
+  def duplicateClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, threshold: Double = 0.5,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold)
+      .select(col("id_a"), col("id_b"))
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = df.select(col(idCol).as("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = und
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-duplicate pairs by cosine similarity. Brute-force
     * pair generation with broadcast; for the billion-row path route
     * through [[SimilaritySearch.lshTopK]] first.

@@ -37,6 +37,29 @@ object StreamingClassify {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
 
+  /** Stateful streaming: per-user running (count, sum) via
+    * `mapGroupsWithState` — the custom-state shape
+    * (`KeyValueGroupedDataset` + `GroupState`) for accumulating per-key
+    * aggregates across micro-batches. Works identically on batch frames
+    * (state starts empty, one group pass).
+    */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val typed = events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
+          var (c, s) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { case (_, v) => c += 1; s += v }
+          state.update((c, s))
+          (uid, c, s)
+        })
+      .toDF("user_id", "events", "total_value")
+  }
+
   /** Run a bounded smoke of the streaming classifier: feeds the parquet
     * test split through a memory sink; returns the collected predictions.
     * (Used by tests; `processAllAvailable` makes it synchronous.)

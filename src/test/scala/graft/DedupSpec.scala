@@ -66,6 +66,29 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L && p._2 == 5L))
   }
 
+  test("duplicateClusters: components labeled by smallest member; singletons kept") {
+    val clustered = Dedup.duplicateClusters(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.size === 6) // every doc labeled
+    assert(clustered(1L) === 1L && clustered(2L) === 1L && clustered(3L) === 1L)
+    assert(clustered(4L) === 4L && clustered(5L) === 5L && clustered(6L) === 6L)
+  }
+
+  test("duplicateClusters handles transitive chains (A~B, B~C, A!~C)") {
+    import spark.implicits._
+    // B shares half its text with A and the other half with C
+    val chain = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "epsilon zeta eta theta iota kappa lambda mu"),
+      (12L, "iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val clustered = Dedup.duplicateClusters(chain, "doc_id", "text",
+      shingleSize = 1, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("embeddingNearDupPairs finds duplicate vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

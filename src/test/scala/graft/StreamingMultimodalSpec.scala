@@ -31,6 +31,33 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum === 3L)
   }
 
+  test("stateful streaming: running per-user stats accumulate across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val out = StreamingClassify.runningUserStats(
+      input.toDF().toDF("user_id", "value"))
+    val qname = s"running_stats_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName(qname).start()
+    input.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table(qname).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(afterBatch1(1L) === ((2L, 5.0)) && afterBatch1(2L) === ((1L, 10.0)))
+    input.addData((1L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: latest row per user carries accumulated state
+    val latest = spark.table(qname).collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        u -> rows.map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)
+      }
+    assert(latest(1L) === ((3L, 10.0)))
+    assert(latest(2L) === ((1L, 10.0)))
+  }
+
   test("multimodal: extractFeatures is deterministic with declared schema") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
     val media = Multimodal.syntheticMediaTable(docs)
