@@ -1,9 +1,44 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 
-/** Shared partitioning helpers for pair-generating operators. */
-private[operators] object Partitioning {
+/** Partitioning helpers: stream-side spreading for pair operators, salted
+  * joins for skewed keys, bucketed tables for shuffle-free co-located
+  * joins.
+  */
+object Partitioning {
+
+  /** Skew-resistant equi join: replicate each right-side row `salt` ways
+    * and scatter left-side rows uniformly across the replicas, so one hot
+    * key spreads over `salt` tasks instead of melting one. Inner/left
+    * semantics preserved (each left row meets exactly one replica).
+    * AQE's skew-join handles the sort-merge case at runtime; salting is
+    * the explicit form that also covers hash aggregation feeding joins.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val l = left.withColumn("_salt",
+      pmod(pmod(hash(monotonically_increasing_id()), lit(salt)) + salt, lit(salt)))
+    val r = right.withColumn("_salt_arr",
+      sequence(lit(0), lit(salt - 1)))
+      .withColumn("_salt", explode(col("_salt_arr")))
+      .drop("_salt_arr")
+    l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Write a bucketed+sorted table: joins and aggregations on the bucket
+    * keys then run shuffle-free (`SortMergeJoin` with no `Exchange`).
+    * The table lands in the session warehouse under `name`.
+    */
+  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
 
   /** Ensure a frame has at least `target` partitions (default: the
     * cluster's parallelism). Small inputs — a single parquet split —
