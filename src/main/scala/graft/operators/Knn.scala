@@ -55,9 +55,15 @@ object Knn {
       case _ =>
         // auto: Catalyst-stats-driven choice, mirroring Spark's own
         // autoBroadcastJoinThreshold logic — broadcast while the train
-        // side fits an executor, partitioned cartesian beyond that
-        val threshold = train.sparkSession.conf
-          .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+        // side fits an executor, partitioned cartesian beyond that.
+        // The conf value may carry a byte-unit suffix ("10MB").
+        val threshold =
+          try {
+            val s = train.sparkSession.conf
+              .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            if (s.trim.startsWith("-")) -1L
+            else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+          } catch { case _: Throwable => 10485760L }
         val trainBytes = trainSel.queryExecution.optimizedPlan.stats.sizeInBytes
         threshold < 0 || trainBytes <= BigInt(math.max(threshold, 10485760L))
     }
