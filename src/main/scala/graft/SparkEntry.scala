@@ -314,6 +314,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Q28 — IVF ANN (coarse KMeans quantization + probing; rows-only:
+    // centroid fit is iterative/fp-order dependent; recall + full-probe
+    // equivalence pinned in scalatest)
+    "q28_ann_ivf" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      SimilaritySearch.ivfTopK(queries, corpus, 5, numCells = 16, probes = 4)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q22 — MinHash+LSH near-dup candidates (probabilistic -> rows-only)
     "q22_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",

@@ -31,6 +31,51 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus with KMeans
+    * centroids, probe each query's `probes` nearest cells, rerank exactly
+    * within the probed cells. The standard coarse-quantization trade:
+    * cost ~ n * (probes / numCells) per query instead of n. At 100 TB,
+    * fit the centroids on a sample and broadcast them (they enter the
+    * plan as literals here).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numCells: Int = 16, probes: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
+    val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
+    val km = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("fv").setMaxIter(10)
+      .fit(c.select(array_to_vector(col("cv")).as("fv")))
+    val centers = km.clusterCenters.map(_.toArray)
+    def centerLit(ctr: Array[Double]) = array(ctr.map(lit).toIndexedSeq: _*)
+    // corpus side: argmin cell (array_min over (dist, idx) structs)
+    def cellOf(vec: org.apache.spark.sql.Column) =
+      array_min(array(centers.zipWithIndex.map { case (ctr, i) =>
+        struct(SeriesFunctions.sqdist(vec, centerLit(ctr)).as("d"), lit(i).as("idx"))
+      }.toIndexedSeq: _*)).getField("idx")
+    // query side: the `probes` nearest cells
+    def probeCells(vec: org.apache.spark.sql.Column) =
+      transform(
+        slice(array_sort(array(centers.zipWithIndex.map { case (ctr, i) =>
+          struct(SeriesFunctions.sqdist(vec, centerLit(ctr)).as("d"), lit(i).as("idx"))
+        }.toIndexedSeq: _*)), 1, probes),
+        s => s.getField("idx"))
+    val cCells = c.withColumn("cell", SeriesFunctions.barrier(cellOf(col("cv"))))
+    val qCells = Partitioning.spread(q)
+      .select(col("query_id"), col("qv"),
+        explode(SeriesFunctions.barrier(probeCells(col("qv")))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id"))
+    qCells.join(cCells, "cell")
+      .select(col("query_id"), col("item_id"),
+        SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+  }
+
   /** Deterministic seeded random hyperplanes (driver-side, tiny). */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

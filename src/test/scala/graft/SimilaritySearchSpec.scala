@@ -55,6 +55,25 @@ class SimilaritySearchSpec extends SparkTestBase {
     }
   }
 
+  test("ivfTopK: good recall with partial probing, perfect with full probing") {
+    val exact = bruteOracle(5)
+    val partial = SimilaritySearch.ivfTopK(queries, corpus, 5,
+      numCells = 8, probes = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      ids.count(partial.getOrElse(q, Set.empty).contains).toDouble / ids.size
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean recall ${recalls.sum / recalls.size}")
+    // probing every cell degenerates to exact brute force
+    val full = SimilaritySearch.ivfTopK(queries, corpus, 5,
+      numCells = 8, probes = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(full === exact)
+  }
+
   test("signBucket is deterministic across invocations") {
     val b1 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()
     val b2 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()
