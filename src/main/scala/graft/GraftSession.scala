@@ -17,6 +17,7 @@ object GraftSession {
       .appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (shufflePartitions > 0)

@@ -9,12 +9,63 @@ object Scratch {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    if (args.contains("__probe26")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{SeriesFunctions => SF}
+      import org.apache.spark.sql.expressions.Window
+      val L = 561
+      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        spark.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          transform(sequence(lit(0), lit(L - 1)),
+            t => sin(t.cast("double") * 0.11 +
+              pmod(col("id") + offset, lit(6)).cast("double")) +
+              (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
+                / 1000.0 - 0.5) * 0.4).as(seriesCol))
+      val train = synth(7352, 0, "train_id", "train_series")
+      val test = synth(2947, 1000000, "test_id", "test_series")
+      val testEnv = graft.operators.Partitioning.spread(
+        test.select(col("test_id"), col("test_series")))
+        .withColumn("env", SF.barrier(SF.envelope(col("test_series"), 56)))
+      val lb = testEnv.crossJoin(broadcast(train))
+        .select(col("test_id"), col("train_id"),
+          SF.lbKeogh(col("env"), col("train_series")).as("lb"))
+      var t0 = System.nanoTime()
+      println(s"[p26] lb-only count: ${lb.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      println(s"[p26] lb agg-min: ${lb.groupBy("test_id").agg(min("lb")).count()} in ${(System.nanoTime()-t0)/1e9}s")
+      val w = Window.partitionBy(col("test_id")).orderBy(col("lb"), col("train_id"))
+      t0 = System.nanoTime()
+      val ranked = lb.withColumn("r", row_number().over(w)).filter(col("r") <= 8)
+      println(s"[p26] lb+rank: ${ranked.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      import spark.implicits._
+      val agg = new graft.operators.BoundedTopKByScore(8)
+      val surv = lb.as[(Long, Long, Double)].groupByKey(_._1).agg(agg.toColumn)
+        .flatMap { case (tid, ids) => ids.map(tid -> _) }.toDF("test_id", "train_id")
+      println(s"[p26] lb+heapagg: ${surv.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val joined = surv.join(test.select(col("test_id"), col("test_series")), "test_id")
+        .join(broadcast(train), "train_id")
+        .withColumn("dist", SF.barrier(SF.dtw(col("test_series"), col("train_series"), 56)))
+        .filter(col("dist") =!= 0.0)
+        .groupBy(col("test_id")).agg(min_by(struct(col("dist"), col("train_id"), col("label")),
+          struct(col("dist"), col("train_id"))).as("nn"))
+      println(s"[p26] exact-phase: ${joined.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val full = SparkEntry.queries("q26_har_model2_1nn")(spark, "/root/testdata/sf0.1")
+      full.write.format("noop").mode("overwrite").save()
+      println(s"[p26] full: ${(System.nanoTime()-t0)/1e9}s")
+      spark.stop(); return
+    }
     if (args.contains("__probe")) {
       import org.apache.spark.sql.functions._
       import graft.functions.{SeriesFunctions, TextFunctions}

@@ -217,9 +217,11 @@ object SparkEntry {
               pmod(col("id") + offset, lit(6)).cast("double")) +
               (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
                 / 1000.0 - 0.5) * 0.4).as(seriesCol))
-      val train = synth(nTrain, 0, "train_id", "train_series")
+      // materialize the synthetic inputs once (the reference reads its
+      // inputs from Hive tables; generation is not part of the workload)
+      val train = synth(nTrain, 0, "train_id", "train_series").localCheckpoint()
       val test = synth(nTest, 1000000, "test_id", "test_series")
-        .select(col("test_id"), col("test_series"))
+        .select(col("test_id"), col("test_series")).localCheckpoint()
       Knn.classify1NN(train, test,
         KnnParams(distance = "dtw", band = 56, lbPruning = true,
           candidateFactor = 8))

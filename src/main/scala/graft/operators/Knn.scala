@@ -121,22 +121,32 @@ object Knn {
     val testEnv = Partitioning.spread(testSel, p.testPartitions)
       .withColumn("env", SeriesFunctions.barrier(
         SeriesFunctions.envelope(col("test_series"), p.band)))
-    val lbW = Window.partitionBy(col("test_id"))
-      .orderBy(col("lb"), col("train_id"))
-    // SLIM ranking rows: only (test_id, train_id, lb) flow into the
-    // group-limit sort — carrying the series/envelope payloads through it
-    // would put candidateCount * seriesBytes into every sort buffer
-    val survivors = testEnv.crossJoin(broadcast(trainSel))
+    // SLIM ranking rows: only (test_id, train_id, lb) feed candidate
+    // selection — payloads would put candidateCount * seriesBytes into
+    // every buffer. Selection is a bounded-heap AGGREGATE (the
+    // reference's two-phase heap, `Team11-Project.py:180`/`:195`), not a
+    // window rank: sorting tens of millions of pair rows to keep
+    // factor*k per group costs more than every LB score combined.
+    val spark0 = train.sparkSession
+    import spark0.implicits._
+    val slim = testEnv.crossJoin(broadcast(trainSel))
       .select(col("test_id"), col("train_id"),
         SeriesFunctions.lbKeogh(col("env"), col("train_series")).as("lb"))
-      .withColumn("lb_rank", row_number().over(lbW))
-      .filter(col("lb_rank") <= p.candidateFactor * p.k)
-      .select("test_id", "train_id")
+      .as[(Long, Long, Double)]
+    val agg = new BoundedTopKByScore(p.candidateFactor * p.k)
+    val survivors = slim.groupByKey(_._1).agg(agg.toColumn)
+      .flatMap { case (tid, ids) => ids.map(tid -> _) }
+      .toDF("test_id", "train_id")
     // join the payloads back for the exact phase (candidates are k-scale,
-    // so these joins move factor*k rows per test point, not n*m)
+    // so these joins move factor*k rows per test point, not n*m).
+    // The explicit repartition matters: the candidate set is so small that
+    // AQE coalesces its exchanges to ONE partition, which would serialize
+    // the expensive exact-kernel projection into a single task; an
+    // explicit partition count is respected by AQE.
     val withDist = survivors
       .join(testSel, "test_id")
       .join(broadcast(trainSel), "train_id")
+      .repartition(spark0.sparkContext.defaultParallelism)
       .withColumn("dist",
         SeriesFunctions.barrier(
           distanceColumn(p)(col("test_series"), col("train_series"))))

@@ -18,6 +18,39 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer is a sorted array bounded at k (k is small: reference sweeps
   * 5..70), so partial state is O(k) regardless of partition size.
   */
+/** Bounded top-k of (score, id) keeping the k smallest (score, id) pairs —
+  * the partial/merge heap used by the LB cascade, where a window-rank
+  * sort of every candidate row would dominate the plan (sorting tens of
+  * millions of slim rows to keep 8 per group). ObjectHashAggregate keeps
+  * the buffer as a live object per group; only the k-bounded state
+  * crosses the shuffle.
+  */
+class BoundedTopKByScore(k: Int)
+    extends Aggregator[(Long, Long, Double), Array[(Double, Long)], Array[Long]] {
+
+  private val ord = Ordering.Tuple2[Double, Long]
+
+  override def zero: Array[(Double, Long)] = Array.empty
+
+  private def insert(buf: Array[(Double, Long)], v: (Double, Long)): Array[(Double, Long)] =
+    if (buf.length < k) (buf :+ v).sorted(ord)
+    else if (ord.lt(v, buf(buf.length - 1))) { buf(buf.length - 1) = v; buf.sorted(ord) }
+    else buf
+
+  override def reduce(buf: Array[(Double, Long)], row: (Long, Long, Double)): Array[(Double, Long)] =
+    insert(buf, (row._3, row._2))
+
+  override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+
+  override def finish(buf: Array[(Double, Long)]): Array[Long] = buf.map(_._2)
+
+  override def bufferEncoder: Encoder[Array[(Double, Long)]] =
+    Encoders.kryo[Array[(Double, Long)]]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Double), Array[(Double, Double)], Array[(Double, Double)]] {
 
