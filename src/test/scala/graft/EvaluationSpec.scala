@@ -45,6 +45,20 @@ class EvaluationSpec extends SparkTestBase {
     assert(agg.finish(merged).toSeq === expected)
   }
 
+  test("BoundedTopKByScore: keeps k smallest (score, id), deterministic ties") {
+    import graft.operators.BoundedTopKByScore
+    val agg = new BoundedTopKByScore(3)
+    val rows = Seq( // (group, id, score)
+      (1L, 10L, 5.0), (1L, 11L, 1.0), (1L, 12L, 3.0), (1L, 13L, 1.0), (1L, 14L, 9.0))
+    val buf = rows.foldLeft(agg.zero)(agg.reduce)
+    // ties on score 1.0 broken by id: 11 before 13
+    assert(agg.finish(buf).toSeq === Seq(11L, 13L, 12L))
+    // partial/merge equals single-pass
+    val (l, r) = rows.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged).toSeq === Seq(11L, 13L, 12L))
+  }
+
   test("TopKAggregator as typed Dataset aggregate") {
     val ds = Seq((0.5, 1.0), (0.1, 2.0), (0.9, 1.0), (0.2, 3.0)).toDS()
     val top2 = ds.select(new TopKAggregator(2).toColumn).head()
