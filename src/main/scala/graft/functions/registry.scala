@@ -89,7 +89,7 @@ object GraftFunctions {
   )
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name)
 
   def installInto(registry: FunctionRegistry): Unit =
     builders.foreach { case (name, b, usage) =>
@@ -116,7 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b, usage) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""), b))
+        new ExpressionInfo("graft", null, name), b))
     }
     e.injectOptimizerRule(_ => graft.plans.EuclideanThresholdToSqdist)
   }
