@@ -84,10 +84,13 @@ object Knn {
     // predicate pushdown, so the exclusion filter keeps referencing the
     // dist ATTRIBUTE and the kernel runs once per candidate pair (instead
     // of once in the join condition + once in the projection).
-    if (p.excludeZeroDistance)
-      joined.withColumn("dist", SeriesFunctions.barrier(distExpr))
-        .filter(col("dist") =!= 0.0)
-    else joined.withColumn("dist", distExpr)
+    // Null series yield null distances, which would sort NULLS FIRST in
+    // the rank window and "win" as nearest neighbors — always drop them
+    // (the exclusion predicate already rejects nulls; the plain path needs
+    // the explicit isNotNull).
+    val withDist = joined.withColumn("dist", SeriesFunctions.barrier(distExpr))
+    if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0)
+    else withDist.filter(col("dist").isNotNull)
   }
 
   /** Top-k neighbors per test point: (test_id, train_id, label, dist, rank). */

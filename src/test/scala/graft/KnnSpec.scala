@@ -131,6 +131,18 @@ class KnnSpec extends SparkTestBase {
     assert(acc >= 0.8, s"accuracy $acc")
   }
 
+  test("null series never win as neighbors (either exclusion setting)") {
+    val trainWithNull = trainDf.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Double]], 9.0))
+        .toDF("train_id", "train_series", "label"))
+    for (exclude <- Seq(true, false)) {
+      val n = Knn.neighbors(trainWithNull, testDf,
+        KnnParams(k = 3, distance = "euclidean", excludeZeroDistance = exclude))
+      assert(n.filter(col("train_id") === 999L).isEmpty, s"exclude=$exclude")
+      assert(n.filter(col("dist").isNull).isEmpty, s"exclude=$exclude")
+    }
+  }
+
   test("excludeZeroDistance drops self-matches") {
     // test point identical to a train point: with exclusion the neighbor
     // must be a DIFFERENT row
