@@ -16,6 +16,75 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    if (args.contains("__check26")) {
+      // Does the LB_Keogh cascade stay EXACT on the q26 workload?
+      // band=56 with a ~57-sample signal period makes the envelope span
+      // the whole amplitude range, so lb may be ~0 for every pair and
+      // candidate selection collapses to the tie-break.
+      import org.apache.spark.sql.functions._
+      import graft.functions.{SeriesFunctions => SF}
+      import graft.core.KnnParams
+      val L = 561
+      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        spark.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          transform(sequence(lit(0), lit(L - 1)),
+            t => sin(t.cast("double") * 0.11 +
+              pmod(col("id") + offset, lit(6)).cast("double")) +
+              (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
+                / 1000.0 - 0.5) * 0.4).as(seriesCol))
+      val train = synth(500, 0, "train_id", "train_series").localCheckpoint()
+      val test = synth(200, 1000000, "test_id", "test_series")
+        .select(col("test_id"), col("test_series")).localCheckpoint()
+      // lb distribution
+      val env = test.withColumn("env", SF.barrier(SF.envelope(col("test_series"), 56)))
+      val lb = env.crossJoin(broadcast(train))
+        .select(SF.lbKeogh(col("env"), col("train_series")).as("lb"))
+      lb.agg(min("lb"), max("lb"), avg("lb"),
+        avg(when(col("lb") === 0.0, 1.0).otherwise(0.0)).as("frac_zero")).show(false)
+      val exact = graft.operators.Knn.classify1NN(train, test,
+        KnnParams(distance = "dtw", band = 56))
+        .select(col("test_id"), col("predicted_label").as("p_exact"))
+        .localCheckpoint()
+      val pruned = graft.operators.Knn.classify1NN(train, test,
+        KnnParams(distance = "dtw", band = 56, lbPruning = true, candidateFactor = 8))
+        .select(col("test_id"), col("predicted_label").as("p_pruned"))
+      val cmp = exact.join(pruned, "test_id")
+      val total = cmp.count()
+      val diff = cmp.filter(col("p_exact") =!= col("p_pruned")).count()
+      println(s"[check26] lb_keogh f=8: total=$total mismatched=$diff")
+      // candidate-ranker shootout: rank all pairs by a cheap proxy, keep
+      // F per test, exact banded DTW on survivors, compare vs exact-all
+      import spark.implicits._
+      def rankerCheck(name: String, scoreF: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column, f: Int): Unit = {
+        val slim = test.crossJoin(broadcast(train))
+          .select(col("test_id"), col("train_id"),
+            scoreF(col("test_series"), col("train_series")).as("s"))
+          .as[(Long, Long, Double)]
+        val agg = new graft.operators.BoundedTopKByScore(f)
+        val surv = slim.groupByKey(_._1).agg(agg.toColumn)
+          .flatMap { case (tid, ids) => ids.map(tid -> _) }.toDF("test_id", "train_id")
+        val nn = surv.join(test, "test_id").join(broadcast(train), "train_id")
+          .withColumn("dist", SF.barrier(SF.dtw(col("test_series"), col("train_series"), 56)))
+          .filter(col("dist") =!= 0.0)
+          .groupBy(col("test_id"))
+          .agg(min_by(col("label"), struct(col("dist"), col("train_id"))).as("p_pruned"))
+        val c = exact.join(nn, "test_id")
+        val d = c.filter(col("p_exact") =!= col("p_pruned")).count()
+        println(s"[check26] $name f=$f: mismatched=$d / ${c.count()}")
+      }
+      val pf = 8
+      rankerCheck("manhattan_paa8", (a, b) =>
+        SF.manhattan(SF.paa(a, pf), SF.paa(b, pf)), 8)
+      rankerCheck("manhattan_paa8", (a, b) =>
+        SF.manhattan(SF.paa(a, pf), SF.paa(b, pf)), 32)
+      rankerCheck("dtw_paa8_band8", (a, b) =>
+        SF.dtw(SF.paa(a, pf), SF.paa(b, pf), 8), 8)
+      rankerCheck("dtw_paa8_band8", (a, b) =>
+        SF.dtw(SF.paa(a, pf), SF.paa(b, pf), 8), 32)
+      spark.stop(); return
+    }
     if (args.contains("__probe26")) {
       import org.apache.spark.sql.functions._
       import graft.functions.{SeriesFunctions => SF}

@@ -46,6 +46,41 @@ object SparkEntry {
       .orderBy("test_id")
   }
 
+  /** Deterministic HAR-shaped synthetic workload (Q26/Q31): 6 separable
+    * classes (sine phase offsets) + hash-noise, sized by the sf tier
+    * (sf0.1 = the reference's full 7352x2947x561). Inputs are
+    * materialized once — the reference reads its inputs from Hive tables,
+    * so generation is not part of the measured workload.
+    */
+  private def harSynth(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val scale =
+      if (dir.contains("sf0.1")) 1.0
+      else if (dir.contains("sf0.01")) 0.1 else 0.01
+    val nTrain = math.max((7352 * scale).toInt, 80)
+    val nTest = math.max((2947 * scale).toInt, 30)
+    val L = 561
+    def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+      s.range(n).select(
+        (col("id") + offset).as(idCol),
+        pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+        transform(sequence(lit(0), lit(L - 1)),
+          t => sin(t.cast("double") * 0.11 +
+            pmod(col("id") + offset, lit(6)).cast("double")) +
+            (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
+              / 1000.0 - 0.5) * 0.4).as(seriesCol))
+    val train = synth(nTrain, 0, "train_id", "train_series").localCheckpoint()
+    val testAll = synth(nTest, 1000000, "test_id", "test_series").localCheckpoint()
+    val test = testAll.select(col("test_id"), col("test_series"))
+    val truth = testAll.select(col("test_id"), col("label"))
+    (train, test, truth)
+  }
+
+  /** Q26/Q31 cascade parameters: exact banded DTW (Sakoe-Chiba 10%),
+    * PAA-Manhattan candidate ranking, 16x candidate margin.
+    */
+  private val harParams = KnnParams(distance = "dtw", band = 56,
+    lbPruning = true, candidateFactor = 16, coarsenFactor = 8)
+
   // ------------------------------------------------------------- queries
 
   /** Every query gets the graft function registry installed (idempotent)
@@ -182,6 +217,20 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // Q29 — the DTW kernel under the DuckDB oracle: banded DTW with
+    // band=0 on equal-length series admits only the diagonal warping
+    // path, so graft_dtw(a, b, 0) == Manhattan distance — which DuckDB
+    // CAN compute. Same KNN pipeline as Q10 (crossJoin -> distance ->
+    // top-k -> vote), but the plan's distance expression is the real DTW
+    // dynamic program; a kernel regression now fails the round gate, not
+    // just scalatest.
+    "q29_knn_dtw_band0" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, _) = trainTest(s, dir)
+      Knn.classify(train, test, KnnParams(k = 5, distance = "dtw", band = 0))
+        .orderBy("test_id")
+    }),
+
     // Q25 — LB_Keogh-pruned banded DTW KNN (M3/M4 scale path): O(n)
     // lower-bound prefilter, exact kernel on candidates only; rows-only
     // (DTW not SQL-expressible), equality with exact path pinned in tests
@@ -197,36 +246,30 @@ object SparkEntry {
     // (BASELINE.md Model 2: broadcast 1-NN over 7352 train / 2947 test x
     // 561-length series, ~19 s on a Databricks cluster). Series are
     // synthesized deterministically; size scales with the sf tier
-    // (sf0.1 = full HAR size). Engine plan: LB_Keogh-pruned exact banded
-    // DTW — a strictly stronger answer than the reference's approximate
-    // FastDTW, still broadcast + min_by.
+    // (sf0.1 = full HAR size). Engine plan: PAA-ranked prune cascade +
+    // exact banded DTW on survivors — a strictly stronger answer than the
+    // reference's approximate FastDTW, still broadcast + min_by.
+    // (LB_Keogh ranking is DEGENERATE here: band 56 ~ the signal period,
+    // so the envelope spans the amplitude range and every bound is ~0 —
+    // KnnSpec "PAA ranker stays exact where LB_Keogh degenerates".)
     "q26_har_model2_1nn" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val scale =
-        if (dir.contains("sf0.1")) 1.0
-        else if (dir.contains("sf0.01")) 0.1 else 0.01
-      val nTrain = math.max((7352 * scale).toInt, 80)
-      val nTest = math.max((2947 * scale).toInt, 30)
-      val L = 561
-      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
-        s.range(n).select(
-          (col("id") + offset).as(idCol),
-          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
-          transform(sequence(lit(0), lit(L - 1)),
-            t => sin(t.cast("double") * 0.11 +
-              pmod(col("id") + offset, lit(6)).cast("double")) +
-              (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
-                / 1000.0 - 0.5) * 0.4).as(seriesCol))
-      // materialize the synthetic inputs once (the reference reads its
-      // inputs from Hive tables; generation is not part of the workload)
-      val train = synth(nTrain, 0, "train_id", "train_series").localCheckpoint()
-      val test = synth(nTest, 1000000, "test_id", "test_series")
-        .select(col("test_id"), col("test_series")).localCheckpoint()
-      Knn.classify1NN(train, test,
-        KnnParams(distance = "dtw", band = 56, lbPruning = true,
-          candidateFactor = 8))
+      val (train, test, _) = harSynth(s, dir)
+      Knn.classify1NN(train, test, harParams)
         .select(col("test_id"), col("predicted_label"))
         .orderBy("test_id")
+    }),
+
+    // Q31 — Q26's predictions scored against the synthesized ground
+    // truth (M6 on the HAR workload): the classes are separable, so this
+    // scalar is a deterministic semantic check on the whole DTW cascade,
+    // not just a row count.
+    "q31_har_accuracy" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, truth) = harSynth(s, dir)
+      val pred = Knn.classify1NN(train, test, harParams)
+      Evaluation.accuracy(pred.join(truth, "test_id"),
+        col("predicted_label"), col("label"))
     }),
 
     // Q27 — duplicate clusters: connected components of the jaccard>=0.3
@@ -465,6 +508,26 @@ object SparkEntry {
          SELECT ROUND(AVG(CASE WHEN ABS(p.predicted_label - t.label) = 0 THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
                 COUNT(*) AS n
          FROM pred p JOIN test t ON p.test_id = t.vec_id""",
+
+    "q29_knn_dtw_band0" ->
+      """WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0),
+              test  AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 2 = 1),
+              pairs AS (SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                               list_sum(list_transform(range(1, len(t.e) + 1),
+                                 i -> abs(t.e[i] - tr.e[i]))) AS d
+                        FROM test t CROSS JOIN train tr),
+              nz    AS (SELECT * FROM pairs WHERE d <> 0),
+              topk AS (SELECT * FROM (
+                         SELECT test_id, train_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+                         FROM nz) x WHERE rn <= 5),
+              votes AS (SELECT test_id, label, COUNT(*) AS votes, MIN(rn) AS best_rank
+                        FROM topk GROUP BY test_id, label)
+         SELECT test_id, label AS predicted_label FROM (
+           SELECT test_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, best_rank, label) AS vr
+           FROM votes) v
+         WHERE vr = 1 ORDER BY test_id""",
 
     "q14_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

@@ -16,10 +16,25 @@ case class LabeledSeries(rowId: Long, series: Array[Double], label: Double)
   * @param band               Sakoe-Chiba band for exact DTW; -1 = unconstrained
   * @param trainPartitions    cartesian-strategy train-side repartition (reference `:186`)
   * @param testPartitions     cartesian-strategy test-side repartition (reference `:186`)
-  * @param lbPruning          LB_Keogh candidate pruning for dtw/fastdtw (the
-  *                           100 TB scale path: O(n) bound prefilter, exact
-  *                           kernel only on surviving candidates)
+  * @param lbPruning          candidate pruning for dtw/fastdtw (the 100 TB
+  *                           scale path: cheap per-pair ranking sketch,
+  *                           exact kernel only on surviving candidates)
   * @param candidateFactor    candidates kept per test point = factor * k
+  * @param pruneRanker        "paa" (default): rank candidates by Manhattan
+  *                           distance between PAA sketches — O(n/coarsen)
+  *                           per pair and tracks the DTW ordering closely
+  *                           when the band is small relative to the
+  *                           series length; "paa_dtw": banded DTW on the
+  *                           sketches (FastDTW's coarse level as a
+  *                           ranker) — warp-aware, for band/length ratios
+  *                           where unwarped sketch distance misranks;
+  *                           "lb_keogh": rank by the admissible LB_Keogh
+  *                           bound — useful when the band is narrow
+  *                           relative to the signal's autocorrelation
+  *                           length, DEGENERATE (near-constant ~0) when
+  *                           the band window spans the signal range, which
+  *                           makes candidate selection arbitrary
+  * @param coarsenFactor      PAA block size for the "paa"/"paa_dtw" rankers
   */
 case class KnnParams(
     k: Int = 1,
@@ -31,4 +46,6 @@ case class KnnParams(
     trainPartitions: Int = 0,
     testPartitions: Int = 0,
     lbPruning: Boolean = false,
-    candidateFactor: Int = 4)
+    candidateFactor: Int = 4,
+    pruneRanker: String = "paa",
+    coarsenFactor: Int = 8)

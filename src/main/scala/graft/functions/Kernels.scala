@@ -339,6 +339,34 @@ object Kernels {
     s
   }
 
+  // ------------------------------------------------------------------- PAA
+
+  /** Piecewise Aggregate Approximation (Keogh et al. 2001): coarsen a
+    * series by a block-mean factor — block i = mean(a[i*f .. i*f+f-1])
+    * (last block may be short). The FastDTW coarsening step generalized
+    * beyond factor 2; used by the KNN prune cascade as a cheap
+    * distance-preserving sketch: rank candidates on length-n/f series,
+    * run the exact kernel only on survivors.
+    */
+  def paa(a: Array[Double], factor: Int): Array[Double] = {
+    val n = a.length
+    if (factor <= 1 || n == 0) return a
+    val m = (n + factor - 1) / factor
+    val out = new Array[Double](m)
+    var i = 0
+    var s = 0
+    while (i < m) {
+      val end = math.min(n, s + factor)
+      var sum = 0.0
+      var j = s
+      while (j < end) { sum += a(j); j += 1 }
+      out(i) = sum / (end - s)
+      s = end
+      i += 1
+    }
+    out
+  }
+
   // --------------------------------------------- ArrayData codegen bridges
 
   def euclideanAD(a: ArrayData, b: ArrayData): Double =
@@ -377,4 +405,26 @@ object Kernels {
   }
   def fastdtwAD(a: ArrayData, b: ArrayData, radius: Int): Double =
     fastdtw(a.toDoubleArray(), b.toDoubleArray(), radius)
+  /** PAA sketch without intermediate toDoubleArray memcpy — runs once per
+    * row scan-side, but also appears in probe paths; direct reads keep it
+    * allocation-free except the output.
+    */
+  def paaAD(a: ArrayData, factor: Int): ArrayData = {
+    val n = a.numElements()
+    if (factor <= 1 || n == 0) return a
+    val m = (n + factor - 1) / factor
+    val out = new Array[Double](m)
+    var i = 0
+    var s = 0
+    while (i < m) {
+      val end = math.min(n, s + factor)
+      var sum = 0.0
+      var j = s
+      while (j < end) { sum += a.getDouble(j); j += 1 }
+      out(i) = sum / (end - s)
+      s = end
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }

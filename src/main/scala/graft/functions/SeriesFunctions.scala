@@ -32,6 +32,8 @@ object SeriesFunctions {
   def fastdtw(a: Column, b: Column, radius: Int): Column =
     call_function("graft_fastdtw", a, b, lit(radius))
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def paa(series: Column, factor: Int): Column =
+    call_function("graft_paa", series, lit(factor))
   def envelope(series: Column, band: Int): Column =
     call_function("graft_envelope", series, lit(band))
   def lbKeogh(env: Column, candidate: Column): Column =

@@ -114,6 +114,21 @@ case class SeriesEnvelope(child: Expression, band: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Piecewise Aggregate Approximation sketch — see [[Kernels.paa]]. */
+case class SeriesPaa(child: Expression, factor: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(factor >= 1, "PAA factor must be >= 1")
+  override def prettyName: String = "graft_paa"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    Kernels.paaAD(v.asInstanceOf[ArrayData], factor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.paaAD($c, $factor)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** LB_Keogh lower bound against a precomputed envelope — see
   * [[Kernels.lbKeogh]].
   */

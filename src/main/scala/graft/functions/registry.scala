@@ -63,6 +63,10 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         SeriesEnvelope(es(0), if (es.length > 1) intArg(es(1), "band") else -1),
       "graft_envelope(series[, band]) - Sakoe-Chiba envelope packed [lower ++ upper]"),
+    ("graft_paa",
+      (es: Seq[Expression]) =>
+        SeriesPaa(es(0), intArg(es(1), "factor")),
+      "graft_paa(series, factor) - Piecewise Aggregate Approximation (block means)"),
     ("graft_lb_keogh",
       (es: Seq[Expression]) => LbKeogh(es(0), es(1)),
       "graft_lb_keogh(envelope, candidate) - LB_Keogh lower bound on banded DTW"),

@@ -42,6 +42,39 @@ object Knn {
     case other       => throw new IllegalArgumentException(s"unknown distance: $other")
   }
 
+  /** Strategy selection shared by every pair-generating phase (the
+    * unpruned crossJoin AND the prune cascade's ranking + payload joins):
+    * broadcast while the train side fits an executor, partitioned
+    * cartesian beyond that.
+    */
+  private def useBroadcast(trainSel: DataFrame, p: KnnParams): Boolean = p.strategy match {
+    case "broadcast" => true
+    case "cartesian" => false
+    case _ =>
+      // auto: Catalyst-stats-driven choice, mirroring Spark's own
+      // autoBroadcastJoinThreshold logic.
+      // The conf value may carry a byte-unit suffix ("10MB").
+      val threshold =
+        try {
+          val s = trainSel.sparkSession.conf
+            .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          if (s.trim.startsWith("-")) -1L
+          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+        } catch { case _: Throwable => 10485760L }
+      val trainBytes = trainSel.queryExecution.optimizedPlan.stats.sizeInBytes
+      threshold < 0 || trainBytes <= BigInt(math.max(threshold, 10485760L))
+  }
+
+  /** Strategy-aware all-pairs cross join of a (possibly projected) train
+    * side against the spread test side.
+    */
+  private def crossPairs(trainSel: DataFrame, spreadTest: DataFrame, p: KnnParams): DataFrame =
+    if (useBroadcast(trainSel, p)) spreadTest.crossJoin(broadcast(trainSel))
+    else {
+      val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel
+      spreadTest.crossJoin(t)
+    }
+
   /** All (test x train) candidate pairs with distances.
     * train: (train_id, train_series, label); test: (test_id, test_series).
     */
@@ -49,35 +82,12 @@ object Knn {
     val trainSel = train.select(
       col("train_id"), col("train_series"), col("label"))
     val testSel = test.select(col("test_id"), col("test_series"))
-    val useBroadcast = p.strategy match {
-      case "broadcast" => true
-      case "cartesian" => false
-      case _ =>
-        // auto: Catalyst-stats-driven choice, mirroring Spark's own
-        // autoBroadcastJoinThreshold logic — broadcast while the train
-        // side fits an executor, partitioned cartesian beyond that.
-        // The conf value may carry a byte-unit suffix ("10MB").
-        val threshold =
-          try {
-            val s = train.sparkSession.conf
-              .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-            if (s.trim.startsWith("-")) -1L
-            else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
-          } catch { case _: Throwable => 10485760L }
-        val trainBytes = trainSel.queryExecution.optimizedPlan.stats.sizeInBytes
-        threshold < 0 || trainBytes <= BigInt(math.max(threshold, 10485760L))
-    }
     // The stream (test) side often arrives as a handful of input splits
     // (one small parquet file = one partition = one task for the whole
     // distance loop). Spread it across the cluster before the join; the
     // distance kernels dominate, so this tiny shuffle always pays off.
     val spreadTest = Partitioning.spread(testSel, p.testPartitions)
-    val joined =
-      if (useBroadcast) spreadTest.crossJoin(broadcast(trainSel))
-      else {
-        val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel
-        spreadTest.crossJoin(t)
-      }
+    val joined = crossPairs(trainSel, spreadTest, p)
     val distExpr = distanceColumn(p)(col("test_series"), col("train_series"))
     // When the zero-distance exclusion is on, wrap the distance in a
     // barrier(): a non-deterministic projection field cannot be inlined by
@@ -106,49 +116,92 @@ object Knn {
       .filter(col("rank") <= p.k)
   }
 
-  /** LB_Keogh cascade (Keogh & Ratanamahatana 2005), the DTW scale path:
-    * 1. envelope each TEST series once (scan-side projection);
-    * 2. score every pair with the O(n) LB_Keogh lower bound;
-    * 3. keep the candidateFactor*k lowest bounds per test point (window
-    *    group-limit — partial before the shuffle, like the main top-k);
+  /** Prune cascade, the DTW scale path:
+    * 1. sketch each side ONCE scan-side (PAA block means by default, or
+    *    the test-side LB_Keogh envelope);
+    * 2. score every pair with the cheap ranking kernel — O(n/coarsen)
+    *    for PAA-Manhattan, O(n) for LB_Keogh;
+    * 3. keep the candidateFactor*k best-ranked per test point via a
+    *    bounded-heap aggregate (partial before the shuffle);
     * 4. run the exact kernel only on survivors.
-    * Exact when the true k-th neighbor's bound ranks within the candidate
-    * budget (holds in practice; raise candidateFactor to tighten).
+    *
+    * Ranker choice (KnnParams.pruneRanker): "paa" ranks by Manhattan
+    * distance between PAA sketches — not an admissible bound, but it
+    * tracks the DTW ordering tightly (it is FastDTW's coarse level used
+    * as a ranker, Salvador & Chan 2007 §4.1). "lb_keogh" ranks by the
+    * admissible lower bound (Keogh & Ratanamahatana 2005) — tight for
+    * narrow bands, but DEGENERATE when the band window spans the
+    * signal's value range (envelope covers everything, every bound ~0,
+    * selection collapses to the tie-break). Neither ranker is a proof;
+    * equality with the exact path is pinned per-workload in KnnSpec.
+    *
+    * Every join here follows the same broadcast-vs-partitioned strategy
+    * decision as the unpruned path ([[useBroadcast]]) — when the train
+    * side exceeds executor memory, the ranking join degrades to a
+    * partitioned cross join instead of OOMing.
     */
   private def prunedCandidates(train: DataFrame, test: DataFrame, p: KnnParams): DataFrame = {
     val trainSel = train.select(col("train_id"), col("train_series"), col("label"))
     val testSel = test.select(col("test_id"), col("test_series"))
+    val spreadTest = Partitioning.spread(testSel, p.testPartitions)
     // barrier(): a single-use alias gets inlined by CollapseProject, which
-    // would recompute the O(n*band) envelope once per PAIR instead of once
-    // per test row
-    val testEnv = Partitioning.spread(testSel, p.testPartitions)
-      .withColumn("env", SeriesFunctions.barrier(
-        SeriesFunctions.envelope(col("test_series"), p.band)))
-    // SLIM ranking rows: only (test_id, train_id, lb) feed candidate
+    // would recompute the O(n)/O(n*band) sketch once per PAIR instead of
+    // once per row
+    def paaSide(df: DataFrame, seriesCol: String, idCol: String, out: String) =
+      df.withColumn(out, SeriesFunctions.barrier(
+        SeriesFunctions.paa(col(seriesCol), p.coarsenFactor)))
+        .select(col(idCol), col(out))
+    val (testSketch, trainSketch, scoreExpr) = p.pruneRanker match {
+      case "lb_keogh" =>
+        val ts = spreadTest.withColumn("sk", SeriesFunctions.barrier(
+          SeriesFunctions.envelope(col("test_series"), p.band)))
+          .select(col("test_id"), col("sk"))
+        val tr = trainSel.select(col("train_id"), col("train_series").as("tsk"))
+        (ts, tr, SeriesFunctions.lbKeogh(col("sk"), col("tsk")))
+      case "paa_dtw" =>
+        // warp-aware coarse ranking (FastDTW's coarse level as a ranker):
+        // banded DTW on the sketches, band scaled to sketch resolution —
+        // for series where the band is a large fraction of the length,
+        // an unwarped sketch distance misranks warped near-neighbors
+        val coarseBand =
+          if (p.band < 0) -1 else math.max(1, p.band / p.coarsenFactor + 1)
+        (paaSide(spreadTest, "test_series", "test_id", "sk"),
+          paaSide(trainSel, "train_series", "train_id", "tsk"),
+          SeriesFunctions.dtw(col("sk"), col("tsk"), coarseBand))
+      case _ => // "paa": unwarped Manhattan on the sketches (cheapest)
+        (paaSide(spreadTest, "test_series", "test_id", "sk"),
+          paaSide(trainSel, "train_series", "train_id", "tsk"),
+          SeriesFunctions.manhattan(col("sk"), col("tsk")))
+    }
+    // SLIM ranking rows: only (test_id, train_id, score) feed candidate
     // selection — payloads would put candidateCount * seriesBytes into
     // every buffer. Selection is a bounded-heap AGGREGATE (the
     // reference's two-phase heap, `Team11-Project.py:180`/`:195`), not a
     // window rank: sorting tens of millions of pair rows to keep
-    // factor*k per group costs more than every LB score combined.
+    // factor*k per group costs more than every ranking score combined.
     val spark0 = train.sparkSession
     import spark0.implicits._
-    val slim = testEnv.crossJoin(broadcast(trainSel))
-      .select(col("test_id"), col("train_id"),
-        SeriesFunctions.lbKeogh(col("env"), col("train_series")).as("lb"))
+    val slim = crossPairs(trainSketch, testSketch, p)
+      .select(col("test_id"), col("train_id"), scoreExpr.as("score"))
       .as[(Long, Long, Double)]
     val agg = new BoundedTopKByScore(p.candidateFactor * p.k)
     val survivors = slim.groupByKey(_._1).agg(agg.toColumn)
       .flatMap { case (tid, ids) => ids.map(tid -> _) }
       .toDF("test_id", "train_id")
     // join the payloads back for the exact phase (candidates are k-scale,
-    // so these joins move factor*k rows per test point, not n*m).
+    // so these joins move factor*k rows per test point, not n*m). The
+    // train side keeps the broadcast hint only under the broadcast
+    // strategy; otherwise Catalyst/AQE picks (survivors are tiny, so the
+    // usual runtime choice is to broadcast THEM).
     // The explicit repartition matters: the candidate set is so small that
     // AQE coalesces its exchanges to ONE partition, which would serialize
     // the expensive exact-kernel projection into a single task; an
     // explicit partition count is respected by AQE.
+    val trainBack =
+      if (useBroadcast(trainSel, p)) broadcast(trainSel) else trainSel
     val withDist = survivors
       .join(testSel, "test_id")
-      .join(broadcast(trainSel), "train_id")
+      .join(trainBack, "train_id")
       .repartition(spark0.sparkContext.defaultParallelism)
       .withColumn("dist",
         SeriesFunctions.barrier(

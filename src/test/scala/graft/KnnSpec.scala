@@ -92,16 +92,77 @@ class KnnSpec extends SparkTestBase {
     assert(agree >= exact.size - 2, s"agree=$agree of ${exact.size}")
   }
 
-  test("LB_Keogh pruned DTW KNN matches exact DTW KNN (banded)") {
-    for (k <- Seq(1, 5)) {
+  test("pruned DTW KNN matches exact DTW KNN (banded) — both rankers") {
+    for (k <- Seq(1, 5); ranker <- Seq("paa_dtw", "lb_keogh")) {
       val exact = Knn.classify(trainDf, testDf,
         KnnParams(k = k, distance = "dtw", band = 4))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // band=4 over length-16 series is a 25% warp budget: an UNWARPED
+      // sketch distance ("paa") misranks here by design, so the fixture
+      // pins the warp-aware coarse ranker; the plain-"paa" regime (band
+      // small vs length) is pinned by the q26-shaped test below.
+      // Budget 20 = half the 40-row train set — length-16 series have NN
+      // margins of a few percent, so a 2:1 sketch needs a wide margin
+      // (measured: the true NN of one test point ranks 17th coarse)
+      val (factor, coarsen) = if (ranker == "paa_dtw") (20, 2) else (4, 4)
       val pruned = Knn.classify(trainDf, testDf,
-        KnnParams(k = k, distance = "dtw", band = 4, lbPruning = true))
+        KnnParams(k = k, distance = "dtw", band = 4, lbPruning = true,
+          pruneRanker = ranker, coarsenFactor = coarsen, candidateFactor = factor))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(pruned === exact, s"k=$k")
+      assert(pruned === exact, s"k=$k ranker=$ranker")
     }
+  }
+
+  test("pruned cascade: cartesian strategy == broadcast strategy == exact") {
+    val exact = Knn.classify(trainDf, testDf,
+      KnnParams(k = 5, distance = "dtw", band = 4))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (strategy <- Seq("broadcast", "cartesian")) {
+      val pruned = Knn.classify(trainDf, testDf,
+        KnnParams(k = 5, distance = "dtw", band = 4, lbPruning = true,
+          strategy = strategy, coarsenFactor = 4))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pruned === exact, s"strategy=$strategy")
+    }
+  }
+
+  test("PAA ranker stays exact where LB_Keogh degenerates (wide band)") {
+    // band comparable to the signal period: the envelope spans the whole
+    // amplitude range, every LB_Keogh bound is ~0, and bound-ranked
+    // candidate selection collapses to the tie-break (this is the q26
+    // HAR-workload regime — the regression that motivated the PAA ranker)
+    // the exact q26 regime at reduced n: 561-sample series, period ~57
+    // (t*0.11), band 56 ~ one period — the envelope spans the amplitude
+    // range, every LB_Keogh bound is ~0 (measured: 58% of predictions
+    // wrong under bound-ranked selection), while the 8:1 PAA sketch
+    // (7 samples/block = 1/8 period) preserves phase and stays exact
+    val L = 561
+    // splitmix64 finalizer: well-mixed per-(id,t) noise (a fresh LCG's
+    // first draw correlates with its seed, which would make the "noise" a
+    // smooth function of t — a different, harder workload than q26's
+    // hash-noise)
+    def noise(id: Long, t: Int): Double = {
+      var z = (id * 100003L + t) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.4
+    }
+    def series(id: Long): Array[Double] =
+      Array.tabulate(L)(t => math.sin(t * 0.11 + (id % 6).toDouble) + noise(id, t))
+    val tr = (0L until 120L).map(i => (i, series(i), (i % 6).toDouble))
+    val te = (1000L until 1040L).map(i => (i, series(i)))
+    val trDf = tr.toDF("train_id", "train_series", "label")
+    val teDf = te.toDF("test_id", "test_series")
+    val p0 = KnnParams(k = 1, distance = "dtw", band = 56, candidateFactor = 16)
+    val exact = Knn.classify1NN(trDf, teDf, p0)
+      .select("test_id", "predicted_label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val paa = Knn.classify1NN(trDf, teDf,
+      p0.copy(lbPruning = true, pruneRanker = "paa", coarsenFactor = 8))
+      .select("test_id", "predicted_label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(paa === exact)
   }
 
   test("LB_Keogh bound is a true lower bound on banded DTW") {
