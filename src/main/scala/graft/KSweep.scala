@@ -42,10 +42,15 @@ object KSweep {
     for (d <- distances; k <- ks) {
       val t0 = System.nanoTime()
       val pred = Knn.classify(train, test, KnnParams(k = k, distance = d))
-      val acc = Evaluation.accuracy(pred.join(truth, "test_id"),
+      // one named result table per (distance, k), the reference's sweep
+      // shape (`Team11-Project.py:199`, `:237-322`: saveAsTable then
+      // re-read for evaluation)
+      val tableName = s"graft_knn_${d}_k$k"
+      val back = graft.sources.TableSink.overwriteTable(pred, tableName)
+      val acc = Evaluation.accuracy(back.join(truth, "test_id"),
         col("predicted_label"), col("label")).head().getDouble(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"distance":"$d","k":$k,"accuracy":$acc,"sec":$sec%.2f}""")
+      println(f"""{"distance":"$d","k":$k,"accuracy":$acc,"sec":$sec%.2f,"table":"$tableName"}""")
     }
     spark.stop()
   }

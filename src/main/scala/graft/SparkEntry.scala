@@ -272,9 +272,29 @@ object SparkEntry {
         col("predicted_label"), col("label"))
     }),
 
+    // Q30 — the reference's actual I/O surface round-tripped: predictions
+    // written with `saveAsTable` (the reference writes every model run to
+    // a metastore table, `Team11-Project.py:199`, `:381`), read back with
+    // `spark.table` (`:243`, `:397`), then evaluated — S1 + S3 + M6 in
+    // one oracle-checked lineage.
+    "q30_table_roundtrip" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, truth) = trainTest(s, dir)
+      val back = graft.sources.TableSink.overwriteTable(
+        Knn.classify1NN(train, test, KnnParams(distance = "euclidean"))
+          .select(col("test_id"), col("predicted_label")),
+        "graft_q30_predictions")
+      Evaluation.accuracy(back.join(truth, "test_id"),
+        col("predicted_label"), col("label"))
+    }),
+
     // Q27 — duplicate clusters: connected components of the jaccard>=0.3
-    // pair graph, min-id labels (oracle: DuckDB recursive CTE closure)
+    // pair graph, min-id labels (oracle: DuckDB recursive CTE closure).
+    // Edges come from the LSH generator (sum-of-bucket^2 candidate cost,
+    // exact-Jaccard verified, miss probability ~2e-20/pair) — the same
+    // 100 TB shape as Q22, hash-matching the brute-force oracle.
     "q27_dedup_clusters" -> ((s, dir) => {
+      GraftFunctions.register(s)
       Dedup.duplicateClusters(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 2, threshold = 0.3)
         .orderBy("id")
@@ -374,11 +394,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Q22 — MinHash+LSH near-dup candidates (probabilistic -> rows-only)
+    // Q22 — MinHash+LSH near-dup pairs at full-recall banding
+    // (rowsPerBand=1, 128 single-hash bands: a true pair at jaccard 0.3
+    // is missed with probability 0.7^128 ~ 2e-20, and verification
+    // removes every false positive) — so the LSH output EQUALS the
+    // brute-force Q15 result and shares its DuckDB oracle, while never
+    // shuffling more than (band, bucket, id) triples.
     "q22_minhash_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 2, numHashes = 64, numBands = 16, threshold = 0.3)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        shingleSize = 2, numHashes = 128, numBands = 128, threshold = 0.3,
+        roundDp = 6)
         .orderBy("id_a", "id_b")
     }),
 
@@ -389,13 +415,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Q24 — embedding cosine near-dup pairs (north-star: dedup)
+    // Q24 — embedding cosine near-dup pairs (north-star: dedup); the
+    // operator rounds before thresholding (oracle rounding parity), so
+    // the declared query IS the shape users copy — no outer re-filter
     "q24_embedding_neardup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
-      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.0)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-        .filter(col("cos") >= 0.3)
+      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.3, roundDp = 6)
         .orderBy("id_a", "id_b")
     })
   )
@@ -529,6 +556,23 @@ object SparkEntry {
            FROM votes) v
          WHERE vr = 1 ORDER BY test_id""",
 
+    // Q30 recomputes the written-then-reread predictions: the oracle is
+    // the same 1-NN pipeline evaluated directly (table round-trip is
+    // value-preserving).
+    "q30_table_roundtrip" ->
+      """WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0),
+              test  AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 1),
+              pairs AS (SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                               list_distance(t.e, tr.e) AS d
+                        FROM test t CROSS JOIN train tr
+                        WHERE list_distance(t.e, tr.e) <> 0),
+              pred AS (SELECT test_id, label AS predicted_label FROM (
+                         SELECT test_id, label, ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+                         FROM pairs) x WHERE rn = 1)
+         SELECT ROUND(AVG(CASE WHEN ABS(p.predicted_label - t.label) = 0 THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+                COUNT(*) AS n
+         FROM pred p JOIN test t ON p.test_id = t.vec_id""",
+
     "q14_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
@@ -555,6 +599,18 @@ object SparkEntry {
          GROUP BY d.doc_id ORDER BY id""",
 
     "q15_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              sh AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM toks)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                        len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+           FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id) p
+         WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+
+    // Q22's LSH banding is full-recall and verification is exact, so its
+    // result set is definitionally Q15's — same brute-force oracle.
+    "q22_minhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
               sh AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM toks)
          SELECT id_a, id_b, jaccard FROM (

@@ -52,13 +52,23 @@ object Dedup {
     * Shape at scale: signatures/bands are computed scan-side; the only
     * wide rows ever shuffled are (band, bucket, id) triples; candidate
     * ids join back to the (id, hashed-shingles) table for verification.
+    *
+    * Recall is 1 - (1 - j^r)^b for rowsPerBand r = numHashes/numBands and
+    * b bands. With r = 1 (numBands == numHashes) a true pair at jaccard j
+    * is missed with probability (1-j)^numHashes — at j=0.3, b=128 that is
+    * ~2e-20, i.e. effectively EXACT output (the verification step already
+    * removes all false positives), while still never shuffling text.
+    *
+    * @param roundDp when >= 0, ROUND the verified jaccard to this many
+    *                decimals BEFORE applying the threshold — matches
+    *                [[ngramJaccardPairs]]'s boundary behavior so the two
+    *                operators agree pair-for-pair at full recall.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, roundDp: Int = -1): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val rowsPerBand = numHashes / numBands
     val docs = df.select(col(idCol).as("id"),
       hashedShingles(col(textCol), shingleSize).as("hs"))
     val buckets = docs
@@ -72,12 +82,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    val raw = SeriesFunctions.jaccardSorted(col("hs_a"), col("hs_b"))
+    val verified = if (roundDp >= 0) round(raw, roundDp) else raw
     cand
       .join(docs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        SeriesFunctions.barrier(
-          SeriesFunctions.jaccardSorted(col("hs_a"), col("hs_b"))).as("jaccard"))
+        SeriesFunctions.barrier(verified).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -131,14 +142,27 @@ object Dedup {
     * rounds — near-dup clusters are shallow), with `localCheckpoint` per
     * round so the lineage stays flat at scale.
     *
+    * Edge generation defaults to the LSH path ([[minhashLshPairs]] at
+    * rowsPerBand=1: sum-of-bucket-squared candidate cost, ~2e-20 miss
+    * probability per true pair at threshold 0.3, exact-Jaccard-verified)
+    * — the 100 TB shape. `useLsh = false` selects the O(n^2) brute-force
+    * generator for small-table / oracle-parity runs; both produce
+    * identical edges at these recall parameters (pinned in DedupSpec).
+    *
     * Output: (id, cluster_id) for EVERY input row (singletons keep their
     * own id).
     */
   def duplicateClusters(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, threshold: Double = 0.5,
-      maxIterations: Int = 20): DataFrame = {
-    val edges = ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold)
+      maxIterations: Int = 20, useLsh: Boolean = true,
+      numHashes: Int = 128): DataFrame = {
+    val edges = (
+      if (useLsh)
+        minhashLshPairs(df, idCol, textCol, shingleSize,
+          numHashes = numHashes, numBands = numHashes,
+          threshold = threshold, roundDp = 6)
+      else ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold))
       .select(col("id_a"), col("id_b"))
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -166,18 +190,22 @@ object Dedup {
   /** Embedding near-duplicate pairs by cosine similarity. Brute-force
     * pair generation with broadcast; for the billion-row path route
     * through [[SimilaritySearch.lshTopK]] first.
+    *
+    * @param roundDp when >= 0, round the cosine before thresholding (so
+    *                boundary pairs match oracle rounding semantics)
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, roundDp: Int = -1): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val a = Partitioning.spread(v.select(col("id").as("id_a"), col("v").as("v_a")))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    val raw = SeriesFunctions.cosine(col("v_a"), col("v_b"))
+    val sim = if (roundDp >= 0) round(raw, roundDp) else raw
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        SeriesFunctions.barrier(
-          SeriesFunctions.cosine(col("v_a"), col("v_b"))).as("cos"))
+        SeriesFunctions.barrier(sim).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -51,6 +51,13 @@ object Partitioning {
     val t =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+    // Width check WITHOUT forcing physical planning of the subtree (an
+    // `rdd.getNumPartitions` probe would plan it once per call): a
+    // file-backed frame with >= t input files already scans wide — skip
+    // the shuffle (the 100 TB case: thousands of splits). Fewer files, or
+    // a non-file source (range, localCheckpoint, in-memory), gets the
+    // tiny repartition — stream sides passed here are small by contract.
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files >= t) df else df.repartition(t)
   }
 }

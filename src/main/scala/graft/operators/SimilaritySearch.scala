@@ -34,21 +34,38 @@ object SimilaritySearch {
   /** IVF (inverted-file) ANN: coarse-quantize the corpus with KMeans
     * centroids, probe each query's `probes` nearest cells, rerank exactly
     * within the probed cells. The standard coarse-quantization trade:
-    * cost ~ n * (probes / numCells) per query instead of n. At 100 TB,
-    * fit the centroids on a sample and broadcast them (they enter the
-    * plan as literals here).
+    * cost ~ n * (probes / numCells) per query instead of n.
+    *
+    * The centroid fit runs on a BOUNDED seeded sample (`maxFitRows`) —
+    * at 100 TB, k-means quality saturates long before the corpus size,
+    * and a full-corpus fit would iterate MLlib over every vector per
+    * call. Pre-fit centroids can be passed via [[ivfTopKWithCentroids]]
+    * (they enter the plan as literals, broadcast with the task binary).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      numCells: Int = 16, probes: Int = 4, seed: Long = 42L): DataFrame = {
+      numCells: Int = 16, probes: Int = 4, seed: Long = 42L,
+      maxFitRows: Long = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
-    val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
+    val total = c.count()
+    val fitSet =
+      if (total > maxFitRows)
+        c.sample(withReplacement = false, maxFitRows.toDouble / total, seed)
+      else c
     val km = new KMeans().setK(numCells).setSeed(seed)
       .setFeaturesCol("fv").setMaxIter(10)
-      .fit(c.select(array_to_vector(col("cv")).as("fv")))
-    val centers = km.clusterCenters.map(_.toArray)
+      .fit(fitSet.select(array_to_vector(col("cv")).as("fv")))
+    ivfTopKWithCentroids(queries, corpus, k, km.clusterCenters.map(_.toArray), probes)
+  }
+
+  /** IVF probe/rerank against externally-fit (or sampled-fit) centroids. */
+  def ivfTopKWithCentroids(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      centers: Array[Array[Double]], probes: Int = 4): DataFrame = {
+    val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
+    val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
     def centerLit(ctr: Array[Double]) = array(ctr.map(lit).toIndexedSeq: _*)
     // corpus side: argmin cell (array_min over (dist, idx) structs)
     def cellOf(vec: org.apache.spark.sql.Column) =

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named-table sink — the reference's I/O surface is the metastore
+  * (`saveAsTable` at `Team11-Project.py:199`, `:381`; `spark.table` at
+  * `:243`, `:397`). With an in-memory catalog (tests, the driver
+  * harness), `mode("overwrite")` cannot reclaim a warehouse location
+  * left by a PREVIOUS session (the catalog entry died with that session,
+  * the directory didn't) — so overwrite here means: drop the catalog
+  * entry if present, clear the orphan location, then write.
+  */
+object TableSink {
+
+  /** Overwrite-write `df` as managed parquet table `name` and return the
+    * re-read `spark.table(name)` frame.
+    */
+  def overwriteTable(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    clearOrphanLocation(spark, name)
+    df.write.format("parquet").mode("overwrite").saveAsTable(name)
+    spark.table(name)
+  }
+
+  private def clearOrphanLocation(spark: SparkSession, name: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val dir = new java.io.File(
+      new java.net.URI(wh).getPath match {
+        case null | "" => wh.stripPrefix("file:")
+        case p => p
+      },
+      name.toLowerCase(java.util.Locale.ROOT))
+    if (dir.exists()) delete(dir)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(delete)
+    f.delete(): Unit
+  }
+}

@@ -89,6 +89,29 @@ class DedupSpec extends SparkTestBase {
     assert(clustered === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("full-recall LSH pairs == brute-force pairs (sf0.001 documents)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 128, numBands = 128, threshold = 0.3,
+      roundDp = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleSize = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh === brute)
+  }
+
+  test("LSH-edge clusters == brute-force-edge clusters (sf0.001 documents)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaLsh = Dedup.duplicateClusters(corpus, "doc_id", "text",
+      shingleSize = 2, threshold = 0.3, useLsh = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBrute = Dedup.duplicateClusters(corpus, "doc_id", "text",
+      shingleSize = 2, threshold = 0.3, useLsh = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLsh === viaBrute)
+  }
+
   test("embeddingNearDupPairs finds duplicate vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
