@@ -16,6 +16,23 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    if (args.contains("__lsh")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val brute = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      println(s"[lsh] brute pairs=${brute.size} minJ=${if (brute.nonEmpty) brute.values.min else -1}")
+      for ((nh, nb) <- Seq((128, 64), (96, 48), (64, 32), (128, 32))) {
+        val t0 = System.nanoTime()
+        val lsh = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleSize = 2, numHashes = nh, numBands = nb, threshold = 0.3, roundDp = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[lsh] nh=$nh nb=$nb pairs=${lsh.size} equal=${lsh == brute} $sec%.2fs")
+      }
+      spark.stop(); return
+    }
     if (args.contains("__check26")) {
       // Does the LB_Keogh cascade stay EXACT on the q26 workload?
       // band=56 with a ~57-sample signal period makes the envelope span
@@ -85,6 +102,68 @@ object Scratch {
         SF.dtw(SF.paa(a, pf), SF.paa(b, pf), 8), 32)
       spark.stop(); return
     }
+    if (args.contains("__probe26b")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{SeriesFunctions => SF}
+      import spark.implicits._
+      var t0 = System.nanoTime()
+      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        spark.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          call_function("graft_har_series", col("id") + offset, lit(561)).as(seriesCol))
+      val train = synth(7352, 0, "train_id", "train_series").localCheckpoint()
+      val test = synth(2947, 1000000, "test_id", "test_series")
+        .select(col("test_id"), col("test_series")).localCheckpoint()
+      println(s"[p26b] native synth+checkpoint: ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val testSk = graft.operators.Partitioning.spread(test)
+        .withColumn("sk", SF.barrier(SF.paa(col("test_series"), 8)))
+        .select(col("test_id"), col("sk"))
+      val trainSk = train
+        .withColumn("tsk", SF.barrier(SF.paa(col("train_series"), 8)))
+        .select(col("train_id"), col("tsk"))
+      val sampled = train.filter(pmod(xxhash64(col("train_id")), lit(16)) === 0)
+        .withColumn("tsk", SF.barrier(SF.paa(col("train_series"), 8)))
+        .select(col("train_id"), col("tsk"))
+      val tau = testSk.crossJoin(broadcast(sampled))
+        .select(col("test_id"), SF.barrier(SF.manhattan(col("sk"), col("tsk"))).as("score"))
+        .groupBy(col("test_id"))
+        .agg(sort_array(collect_list(col("score"))).as("ss"))
+        .select(col("test_id"), coalesce(get(col("ss"), lit(15)), lit(Double.MaxValue)).as("tau"))
+      val testTau = testSk.join(broadcast(tau), Seq("test_id"), "left")
+      val slim = testTau.crossJoin(broadcast(trainSk))
+        .select(col("test_id"), col("train_id"),
+          SF.barrier(SF.manhattan(col("sk"), col("tsk"))).as("score"), col("tau"))
+        .filter(col("score") <= coalesce(col("tau"), lit(Double.MaxValue)))
+        .select("test_id", "train_id", "score")
+      println(s"[p26b] fused filtered count: ${slim.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val agg = new graft.operators.BoundedTopKByScore(16)
+      val surv = slim.as[(Long, Long, Double)].groupByKey(_._1).agg(agg.toColumn)
+        .flatMap { case (tid, ids) => ids.map(tid -> _) }.toDF("test_id", "train_id")
+      println(s"[p26b] fused+heap: ${surv.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val surv2 = surv.localCheckpoint()
+      println(s"[p26b] surv checkpoint: ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val withDist = surv2
+        .join(test, "test_id")
+        .join(broadcast(train), "train_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("dist", SF.barrier(SF.dtw(col("test_series"), col("train_series"), 56)))
+        .filter(col("dist") =!= 0.0)
+        .groupBy(col("test_id"))
+        .agg(min_by(col("label"), struct(col("dist"), col("train_id"))).as("p"))
+      println(s"[p26b] exact phase: ${withDist.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val pred = graft.operators.Knn.classify1NN(train, test,
+        graft.core.KnnParams(distance = "dtw", band = 56, lbPruning = true,
+          candidateFactor = 16, coarsenFactor = 8))
+      pred.write.format("noop").mode("overwrite").save()
+      println(s"[p26b] classify1NN on materialized inputs: ${(System.nanoTime()-t0)/1e9}s")
+      spark.stop(); return
+    }
     if (args.contains("__probe26")) {
       import org.apache.spark.sql.functions._
       import graft.functions.{SeriesFunctions => SF}
@@ -99,36 +178,53 @@ object Scratch {
               pmod(col("id") + offset, lit(6)).cast("double")) +
               (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
                 / 1000.0 - 0.5) * 0.4).as(seriesCol))
-      val train = synth(7352, 0, "train_id", "train_series")
+      var t0s = System.nanoTime()
+      val train = synth(7352, 0, "train_id", "train_series").localCheckpoint()
       val test = synth(2947, 1000000, "test_id", "test_series")
-      val testEnv = graft.operators.Partitioning.spread(
-        test.select(col("test_id"), col("test_series")))
-        .withColumn("env", SF.barrier(SF.envelope(col("test_series"), 56)))
-      val lb = testEnv.crossJoin(broadcast(train))
+        .select(col("test_id"), col("test_series")).localCheckpoint()
+      println(s"[p26] synth+checkpoint: ${(System.nanoTime()-t0s)/1e9}s")
+      val testSk = graft.operators.Partitioning.spread(test)
+        .withColumn("sk", SF.barrier(SF.paa(col("test_series"), 8)))
+        .select(col("test_id"), col("sk"))
+      val trainSk = train
+        .withColumn("tsk", SF.barrier(SF.paa(col("train_series"), 8)))
+        .select(col("train_id"), col("tsk"))
+      val slim = testSk.crossJoin(broadcast(trainSk))
         .select(col("test_id"), col("train_id"),
-          SF.lbKeogh(col("env"), col("train_series")).as("lb"))
+          SF.manhattan(col("sk"), col("tsk")).as("score"))
       var t0 = System.nanoTime()
-      println(s"[p26] lb-only count: ${lb.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      println(s"[p26] score-only count: ${slim.count()} in ${(System.nanoTime()-t0)/1e9}s")
       t0 = System.nanoTime()
-      println(s"[p26] lb agg-min: ${lb.groupBy("test_id").agg(min("lb")).count()} in ${(System.nanoTime()-t0)/1e9}s")
-      val w = Window.partitionBy(col("test_id")).orderBy(col("lb"), col("train_id"))
-      t0 = System.nanoTime()
-      val ranked = lb.withColumn("r", row_number().over(w)).filter(col("r") <= 8)
-      println(s"[p26] lb+rank: ${ranked.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      println(s"[p26] score agg-min: ${slim.groupBy("test_id").agg(min("score")).count()} in ${(System.nanoTime()-t0)/1e9}s")
       t0 = System.nanoTime()
       import spark.implicits._
-      val agg = new graft.operators.BoundedTopKByScore(8)
-      val surv = lb.as[(Long, Long, Double)].groupByKey(_._1).agg(agg.toColumn)
+      val agg = new graft.operators.BoundedTopKByScore(16)
+      val surv = slim.as[(Long, Long, Double)].groupByKey(_._1).agg(agg.toColumn)
         .flatMap { case (tid, ids) => ids.map(tid -> _) }.toDF("test_id", "train_id")
-      println(s"[p26] lb+heapagg: ${surv.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      println(s"[p26] score+heapagg: ${surv.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      // prefilter stages
       t0 = System.nanoTime()
-      val joined = surv.join(test.select(col("test_id"), col("test_series")), "test_id")
-        .join(broadcast(train), "train_id")
-        .withColumn("dist", SF.barrier(SF.dtw(col("test_series"), col("train_series"), 56)))
-        .filter(col("dist") =!= 0.0)
-        .groupBy(col("test_id")).agg(min_by(struct(col("dist"), col("train_id"), col("label")),
-          struct(col("dist"), col("train_id"))).as("nn"))
-      println(s"[p26] exact-phase: ${joined.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      val sampled = train.filter(pmod(xxhash64(col("train_id")), lit(16)) === 0)
+        .withColumn("tsk", SF.barrier(SF.paa(col("train_series"), 8)))
+        .select(col("train_id"), col("tsk"))
+      val tau = testSk.crossJoin(broadcast(sampled))
+        .select(col("test_id"), SF.manhattan(col("sk"), col("tsk")).as("score"))
+        .groupBy(col("test_id"))
+        .agg(sort_array(collect_list(col("score"))).as("ss"))
+        .select(col("test_id"), coalesce(get(col("ss"), lit(15)), lit(Double.MaxValue)).as("tau"))
+      println(s"[p26] tau pass: ${tau.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val slimB = testSk.crossJoin(broadcast(trainSk))
+        .select(col("test_id"), col("train_id"),
+          SF.barrier(SF.manhattan(col("sk"), col("tsk"))).as("score"))
+      val filtered = slimB.join(broadcast(tau), Seq("test_id"), "left")
+        .filter(col("score") <= coalesce(col("tau"), lit(Double.MaxValue)))
+        .select("test_id", "train_id", "score")
+      println(s"[p26] filtered count: ${filtered.count()} in ${(System.nanoTime()-t0)/1e9}s")
+      t0 = System.nanoTime()
+      val surv2 = filtered.as[(Long, Long, Double)].groupByKey(_._1).agg(agg.toColumn)
+        .flatMap { case (tid, ids) => ids.map(tid -> _) }.toDF("test_id", "train_id")
+      println(s"[p26] filtered+heapagg: ${surv2.count()} in ${(System.nanoTime()-t0)/1e9}s")
       t0 = System.nanoTime()
       val full = SparkEntry.queries("q26_har_model2_1nn")(spark, "/root/testdata/sf0.1")
       full.write.format("noop").mode("overwrite").save()

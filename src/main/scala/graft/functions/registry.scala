@@ -84,6 +84,10 @@ object GraftFunctions {
     ("graft_jaccard_sorted",
       (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)),
       "graft_jaccard_sorted(a, b) - Jaccard similarity of two sorted array<long> sets"),
+    ("graft_har_series",
+      (es: Seq[Expression]) =>
+        HarSyntheticSeries(es(0), intArg(es(1), "length")),
+      "graft_har_series(id, length) - deterministic HAR-shaped benchmark series"),
     ("graft_simhash64",
       (es: Seq[Expression]) => SimHash64(es(0)),
       "graft_simhash64(tokens) - 64-bit SimHash of an array<string>"),

@@ -54,10 +54,16 @@ object Dedup {
     * ids join back to the (id, hashed-shingles) table for verification.
     *
     * Recall is 1 - (1 - j^r)^b for rowsPerBand r = numHashes/numBands and
-    * b bands. With r = 1 (numBands == numHashes) a true pair at jaccard j
-    * is missed with probability (1-j)^numHashes — at j=0.3, b=128 that is
-    * ~2e-20, i.e. effectively EXACT output (the verification step already
-    * removes all false positives), while still never shuffling text.
+    * b bands. r = 1 maximizes recall but does NOT scale on homogeneous
+    * corpora: a band key is then one minhash value, and every document
+    * whose shingle set contains the globally-minimal common shingle for
+    * that hash function lands in ONE bucket — bucket sizes grow O(n) and
+    * the bucket join degenerates toward n^2 (measured: 30x slowdown at
+    * sf0.1). r = 2 keeps pair-collision probability j^2 per band, so
+    * common-shingle buckets shrink quadratically while recall stays
+    * near-total for real near-dup profiles (miss probability at b=48:
+    * 4e-31 at j=0.8, 5e-10 at j=0.6, 1.9e-3 at j=0.35); verification
+    * removes all false positives.
     *
     * @param roundDp when >= 0, ROUND the verified jaccard to this many
     *                decimals BEFORE applying the threshold — matches
@@ -143,11 +149,12 @@ object Dedup {
     * round so the lineage stays flat at scale.
     *
     * Edge generation defaults to the LSH path ([[minhashLshPairs]] at
-    * rowsPerBand=1: sum-of-bucket-squared candidate cost, ~2e-20 miss
-    * probability per true pair at threshold 0.3, exact-Jaccard-verified)
-    * — the 100 TB shape. `useLsh = false` selects the O(n^2) brute-force
+    * rowsPerBand=2: sum-of-bucket-squared candidate cost with
+    * quadratically-damped bucket sizes, exact-Jaccard-verified edges) —
+    * the 100 TB shape. `useLsh = false` selects the O(n^2) brute-force
     * generator for small-table / oracle-parity runs; both produce
-    * identical edges at these recall parameters (pinned in DedupSpec).
+    * identical edges on real near-dup profiles (pinned in DedupSpec and
+    * by q27's oracle hash-match).
     *
     * Output: (id, cluster_id) for EVERY input row (singletons keep their
     * own id).
@@ -156,11 +163,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, threshold: Double = 0.5,
       maxIterations: Int = 20, useLsh: Boolean = true,
-      numHashes: Int = 128): DataFrame = {
+      numHashes: Int = 96, numBands: Int = 48): DataFrame = {
     val edges = (
       if (useLsh)
         minhashLshPairs(df, idCol, textCol, shingleSize,
-          numHashes = numHashes, numBands = numHashes,
+          numHashes = numHashes, numBands = numBands,
           threshold = threshold, roundDp = 6)
       else ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold))
       .select(col("id_a"), col("id_b"))

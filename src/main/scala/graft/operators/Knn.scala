@@ -151,13 +151,16 @@ object Knn {
       df.withColumn(out, SeriesFunctions.barrier(
         SeriesFunctions.paa(col(seriesCol), p.coarsenFactor)))
         .select(col(idCol), col(out))
-    val (testSketch, trainSketch, scoreExpr) = p.pruneRanker match {
+    def trainSketchOf(tr: DataFrame): DataFrame = p.pruneRanker match {
+      case "lb_keogh" => tr.select(col("train_id"), col("train_series").as("tsk"))
+      case _          => paaSide(tr, "train_series", "train_id", "tsk")
+    }
+    val (testSketch, scoreExpr) = p.pruneRanker match {
       case "lb_keogh" =>
         val ts = spreadTest.withColumn("sk", SeriesFunctions.barrier(
           SeriesFunctions.envelope(col("test_series"), p.band)))
           .select(col("test_id"), col("sk"))
-        val tr = trainSel.select(col("train_id"), col("train_series").as("tsk"))
-        (ts, tr, SeriesFunctions.lbKeogh(col("sk"), col("tsk")))
+        (ts, SeriesFunctions.lbKeogh(col("sk"), col("tsk")))
       case "paa_dtw" =>
         // warp-aware coarse ranking (FastDTW's coarse level as a ranker):
         // banded DTW on the sketches, band scaled to sketch resolution —
@@ -166,43 +169,87 @@ object Knn {
         val coarseBand =
           if (p.band < 0) -1 else math.max(1, p.band / p.coarsenFactor + 1)
         (paaSide(spreadTest, "test_series", "test_id", "sk"),
-          paaSide(trainSel, "train_series", "train_id", "tsk"),
           SeriesFunctions.dtw(col("sk"), col("tsk"), coarseBand))
       case _ => // "paa": unwarped Manhattan on the sketches (cheapest)
         (paaSide(spreadTest, "test_series", "test_id", "sk"),
-          paaSide(trainSel, "train_series", "train_id", "tsk"),
           SeriesFunctions.manhattan(col("sk"), col("tsk")))
     }
+    // barrier on the score: the prefilter path puts a filter + projection
+    // ABOVE this select (across the tau join), and predicate pushdown
+    // would otherwise inline the ranking kernel into the filter — one
+    // evaluation per pair becomes two
+    def slimScores(tr: DataFrame): DataFrame =
+      crossPairs(trainSketchOf(tr), testSketch, p)
+        .select(col("test_id"), col("train_id"),
+          SeriesFunctions.barrier(scoreExpr).as("score"))
+    val fk = p.candidateFactor * p.k
     // SLIM ranking rows: only (test_id, train_id, score) feed candidate
     // selection — payloads would put candidateCount * seriesBytes into
     // every buffer. Selection is a bounded-heap AGGREGATE (the
     // reference's two-phase heap, `Team11-Project.py:180`/`:195`), not a
     // window rank: sorting tens of millions of pair rows to keep
     // factor*k per group costs more than every ranking score combined.
+    //
+    // Sampled-threshold pushdown in front of the heap: the fk-th smallest
+    // score within a deterministic ~1/mod train subsample upper-bounds
+    // the fk-th smallest overall (any subset's order statistic can only
+    // move up), so filtering `score <= tau` provably keeps the true
+    // top-fk — while the aggregate then sees ~fk*mod rows per test point
+    // instead of |train|. This is TakeOrdered's sampling trick applied
+    // map-side; the aggregation machinery (not the score kernel) is the
+    // measured bottleneck at HAR scale.
+    val slimDf =
+      if (p.prefilterSampleMod > 1) {
+        val sampled = trainSel.filter(
+          pmod(xxhash64(col("train_id")), lit(p.prefilterSampleMod)) === 0)
+        val tau = slimScores(sampled)
+          .groupBy(col("test_id"))
+          .agg(sort_array(collect_list(col("score"))).as("ss"))
+          .select(col("test_id"),
+            coalesce(get(col("ss"), lit(fk - 1)), lit(Double.MaxValue)).as("tau"))
+        // attach tau to the TEST side (a |test|-row broadcast join), so
+        // the threshold filter fuses into the crossJoin's output
+        // projection — no second pass over the pair stream. Left join: an
+        // empty subsample (tiny train side) must disable the filter, not
+        // drop every row.
+        val testWithTau = testSketch.join(broadcast(tau), Seq("test_id"), "left")
+        crossPairs(trainSketchOf(trainSel), testWithTau, p)
+          .select(col("test_id"), col("train_id"),
+            SeriesFunctions.barrier(scoreExpr).as("score"), col("tau"))
+          .filter(col("score") <= coalesce(col("tau"), lit(Double.MaxValue)))
+          .select("test_id", "train_id", "score")
+      } else slimScores(trainSel)
     val spark0 = train.sparkSession
     import spark0.implicits._
-    val slim = crossPairs(trainSketch, testSketch, p)
-      .select(col("test_id"), col("train_id"), scoreExpr.as("score"))
-      .as[(Long, Long, Double)]
-    val agg = new BoundedTopKByScore(p.candidateFactor * p.k)
-    val survivors = slim.groupByKey(_._1).agg(agg.toColumn)
-      .flatMap { case (tid, ids) => ids.map(tid -> _) }
-      .toDF("test_id", "train_id")
-    // join the payloads back for the exact phase (candidates are k-scale,
-    // so these joins move factor*k rows per test point, not n*m). The
-    // train side keeps the broadcast hint only under the broadcast
-    // strategy; otherwise Catalyst/AQE picks (survivors are tiny, so the
-    // usual runtime choice is to broadcast THEM).
-    // The explicit repartition matters: the candidate set is so small that
-    // AQE coalesces its exchanges to ONE partition, which would serialize
-    // the expensive exact-kernel projection into a single task; an
-    // explicit partition count is respected by AQE.
+    val slim = slimDf.as[(Long, Long, Double)]
+    val agg = new BoundedTopKByScore(fk)
+    // ONE row per test point (test_id, candidate-id array) out of the
+    // heap — the exact phase joins payloads at |test| row counts, not
+    // |test|*fk:
+    //   1. test payload joins onto the 1-row-per-test frame (tiny);
+    //   2. explicit repartition of that frame (AQE would coalesce a
+    //      ~10 MB exchange to ONE partition and serialize the exact
+    //      kernel into a single task; explicit counts are respected);
+    //   3. candidate ids explode IN-PARTITION (no shuffle of the
+    //      fanned-out rows);
+    //   4. the train side joins broadcast under the broadcast strategy —
+    //      and when train exceeds broadcast size, the exploded frame is
+    //      the small side, so the runtime hash-joins it against a
+    //      streamed (never shuffled) train.
+    // Payload bytes moved: O(|test| + |train|-broadcast), not
+    // O(|test| * fk * seriesBytes) — the earlier shape repartitioned the
+    // fanned-out rows WITH both payloads attached (~430 MB shuffle at
+    // HAR size; this one moves ~13 MB).
+    val perTest = slim.groupByKey(_._1).agg(agg.toColumn)
+      .toDF("test_id", "cand_ids")
     val trainBack =
       if (useBroadcast(trainSel, p)) broadcast(trainSel) else trainSel
-    val withDist = survivors
+    val withDist = perTest
       .join(testSel, "test_id")
-      .join(trainBack, "train_id")
       .repartition(spark0.sparkContext.defaultParallelism)
+      .select(col("test_id"), col("test_series"),
+        explode(col("cand_ids")).as("train_id"))
+      .join(trainBack, "train_id")
       .withColumn("dist",
         SeriesFunctions.barrier(
           distanceColumn(p)(col("test_series"), col("train_series"))))

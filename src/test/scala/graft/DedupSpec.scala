@@ -92,7 +92,7 @@ class DedupSpec extends SparkTestBase {
   test("full-recall LSH pairs == brute-force pairs (sf0.001 documents)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
-      shingleSize = 2, numHashes = 128, numBands = 128, threshold = 0.3,
+      shingleSize = 2, numHashes = 96, numBands = 48, threshold = 0.3,
       roundDp = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",

@@ -117,4 +117,20 @@ class ExpressionsSpec extends SparkTestBase {
     val r = vecs.select(SF.barrier($"id").as("id2"), $"id").collect()
     r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
   }
+
+  test("graft_har_series matches the declarative transform(sequence) form") {
+    val L = 23
+    val ids = spark.range(8).select(($"id" * 997 + 5).as("sid"))
+    val declarative = transform(sequence(lit(0), lit(L - 1)),
+      t => sin(t.cast("double") * 0.11 + pmod($"sid", lit(6)).cast("double")) +
+        (pmod(xxhash64($"sid", t), lit(1000)).cast("double") / 1000.0 - 0.5) * 0.4)
+    val r = ids.select(
+      call_function("graft_har_series", $"sid", lit(L)).as("native"),
+      declarative.as("decl")).collect()
+    r.foreach { row =>
+      val n = row.getSeq[Double](0); val d = row.getSeq[Double](1)
+      assert(n.length === L && d.length === L)
+      n.zip(d).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+  }
 }
