@@ -393,6 +393,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Q32 — multimodal -> ANN end-to-end: binary media payloads decoded
+    // to feature vectors per partition (decode stubbed — no codecs in
+    // this environment — but schema/batching/partitioning real,
+    // Multimodal.scala), then IVF-indexed and probed. Rows-only (KMeans
+    // fit is fp-order-dependent); stability pinned in scalatest.
+    "q32_multimodal_ann" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val media = graft.operators.Multimodal.syntheticMediaTable(
+        t(s, dir, "documents"))
+      val feats = graft.operators.Multimodal.extractFeatures(
+        media, "doc_id", "content", dim = 32)
+      val queries = feats.filter(col("id") % 10 === 0)
+        .select(col("id").as("query_id"), col("features").as("query_vec"))
+      val corpus = feats.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("item_id"), col("features").as("item_vec"))
+      SimilaritySearch.ivfTopK(queries, corpus, 5, numCells = 8, probes = 3)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q22 — MinHash+LSH near-dup pairs at near-total-recall banding
     // (rowsPerBand=2, 48 bands: miss probability 4e-31 at jaccard 0.8,
     // 5e-10 at 0.6 — the corpus's near-dup pairs all sit >= 0.82 — and

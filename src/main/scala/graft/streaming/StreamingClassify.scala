@@ -60,6 +60,31 @@ object StreamingClassify {
       .toDF("user_id", "events", "total_value")
   }
 
+  /** Streaming exact dedup — the canonical ingestion op for a streaming
+    * training-data pipeline: drop rows whose key columns repeat within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`, the
+    * bounded-state form — state for a key is reclaimed once the
+    * watermark passes it, so this runs forever at 100 TB/day ingest,
+    * unlike unbounded `dropDuplicates` whose state grows monotonically).
+    */
+  def dedupStream(
+      stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Content-keyed streaming dedup: key = 64-bit digest of the text
+    * column (never keeps the text itself in state).
+    */
+  def dedupStreamByContent(
+      stream: DataFrame, textCol: String,
+      tsCol: String, watermark: String): DataFrame =
+    dedupStream(
+      stream.withColumn("_digest", xxhash64(col(textCol))),
+      Seq("_digest"), tsCol, watermark)
+      .drop("_digest")
+
   /** Run a bounded smoke of the streaming classifier: feeds the parquet
     * test split through a memory sink; returns the collected predictions.
     * (Used by tests; `processAllAvailable` makes it synchronous.)

@@ -58,6 +58,31 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(latest(2L) === ((1L, 10.0)))
   }
 
+  test("streaming dedup suppresses duplicate content across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts_s")
+      .select($"doc_id", $"text", to_timestamp($"ts_s").as("ts"))
+    val out = StreamingClassify.dedupStreamByContent(stream, "text", "ts", "10 minutes")
+    val qname = s"dedup_stream_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    input.addData(
+      (1L, "the quick brown fox", "2024-01-01 00:00:01"),
+      (2L, "the quick brown fox", "2024-01-01 00:00:02"), // dup within batch
+      (3L, "something else entirely", "2024-01-01 00:00:03"))
+    q.processAllAvailable()
+    input.addData(
+      (4L, "the quick brown fox", "2024-01-01 00:01:00"), // dup across batches
+      (5L, "a genuinely new document", "2024-01-01 00:01:01"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(qname).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L)) // 2 and 4 suppressed
+  }
+
   test("multimodal: extractFeatures is deterministic with declared schema") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
     val media = Multimodal.syntheticMediaTable(docs)
@@ -70,6 +95,15 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(a.forall(_._2.length == 16))
     // different payloads -> different features (no degenerate constant)
     assert(a.map(_._2).distinct.length > 1)
+  }
+
+  test("q32 multimodal -> ANN: deterministic, k results per query") {
+    val a = SparkEntry.queries("q32_multimodal_ann")(spark, sf001).collect()
+    val b = SparkEntry.queries("q32_multimodal_ann")(spark, sf001).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val perQuery = a.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery === Set(5)) // exactly k rows per query
   }
 
   test("multimodal: resize updates metadata; sampleFrames explodes by duration") {
