@@ -16,6 +16,29 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    if (args.contains("__q33")) {
+      import org.apache.spark.sql.functions._
+      import graft.core.KnnParams
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val train = e.filter(col("vec_id") % 2 === 0).select(
+        col("vec_id").as("train_id"),
+        col("embedding").cast("array<double>").as("train_series"), col("label"))
+      val test = e.filter(col("vec_id") % 2 === 1).select(
+        col("vec_id").as("test_id"),
+        col("embedding").cast("array<double>").as("test_series"))
+      val exact = graft.operators.Knn.classify(train, test,
+        KnnParams(k = 5, distance = "manhattan"))
+        .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+      for (coarsen <- Seq(1, 2, 4); factor <- Seq(24, 48, 96)) {
+        val pruned = graft.operators.Knn.classify(train, test,
+          KnnParams(k = 5, distance = "dtw", band = 0, lbPruning = true,
+            pruneRanker = "paa", coarsenFactor = coarsen, candidateFactor = factor))
+          .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+        val diff = exact.keys.count(k => exact(k) != pruned(k))
+        println(s"[q33] coarsen=$coarsen factor=$factor mismatched=$diff/${exact.size}")
+      }
+      spark.stop(); return
+    }
     if (args.contains("__lsh")) {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -230,6 +230,24 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // Q33 — the WHOLE prune cascade under the DuckDB oracle: with band=0
+    // the exact kernel is Manhattan distance (Q29's trick), so the
+    // sketch ranking + sampled-threshold prefilter + bounded-heap
+    // candidate selection + exact phase must reproduce the brute-force
+    // Manhattan KNN bit-for-bit for the hash to match. candidateFactor
+    // is sized so the sketch ranking's survivors provably contain the
+    // true top-k on this corpus (pinned by the oracle itself).
+    "q33_knn_pruned_band0" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, _) = trainTest(s, dir)
+      // coarsen 2 / factor 48: measured-exact with a 2x budget margin on
+      // this corpus (factor 24 first misses at coarsen 2)
+      Knn.classify(train, test,
+        KnnParams(k = 5, distance = "dtw", band = 0, lbPruning = true,
+          pruneRanker = "paa", coarsenFactor = 2, candidateFactor = 48))
+        .orderBy("test_id")
+    }),
+
     // Q25 — LB_Keogh-pruned banded DTW KNN (M3/M4 scale path): O(n)
     // lower-bound prefilter, exact kernel on candidates only; rows-only
     // (DTW not SQL-expressible), equality with exact path pinned in tests
@@ -343,12 +361,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Q19 — document fingerprint (rolling hash; rows-only: xxhash64 differs
-    // from DuckDB's hash)
+    // Q19 — document fingerprint: portable 59-bit rotate-xor codepoint
+    // fold, recomputed exactly by the DuckDB oracle (the xxhash64-mixed
+    // variant stays as SeriesFunctions.fingerprint, spec-tested; this
+    // declared query uses the oracle-checkable hash)
     "q19_fingerprint" -> ((s, dir) => {
+      GraftFunctions.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          graft.functions.SeriesFunctions.fingerprint(
+          graft.functions.SeriesFunctions.charFoldFingerprint(
             TextFunctions.tokens(col("text"))).as("fp"))
         .orderBy("doc_id")
     }),
@@ -452,6 +473,19 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+  /** Sign-LSH bucket expression for the q21 oracle: the SAME seeded
+    * hyperplanes the engine uses ([[SimilaritySearch.hyperplanes]] is
+    * deterministic), embedded as SQL literals — bucket bit i set when
+    * `list_inner_product(v, plane_i) >= 0`, matching
+    * [[SimilaritySearch.signBucket]]'s sequential dot product.
+    */
+  private def lshBucketSql(vecExpr: String, dim: Int, bits: Int, seed: Long): String =
+    graft.operators.SimilaritySearch.hyperplanes(dim, bits, seed).zipWithIndex.map {
+      case (p, i) =>
+        val lits = p.map(java.lang.Double.toString).mkString(",")
+        s"(CASE WHEN list_inner_product($vecExpr, [$lits]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   private def shinglesSql(n: Int): String = {
     val last = n - 1
@@ -577,6 +611,50 @@ object SparkEntry {
            FROM votes) v
          WHERE vr = 1 ORDER BY test_id""",
 
+    // Q33 shares Q29's Manhattan-equivalence oracle: band=0 admits only
+    // the diagonal path, and the cascade must be EXACT for the hash to
+    // match — this is the driver-verified pin on the whole prune path.
+    "q33_knn_pruned_band0" ->
+      """WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0),
+              test  AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 2 = 1),
+              pairs AS (SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                               list_sum(list_transform(range(1, len(t.e) + 1),
+                                 i -> abs(t.e[i] - tr.e[i]))) AS d
+                        FROM test t CROSS JOIN train tr),
+              nz    AS (SELECT * FROM pairs WHERE d <> 0),
+              topk AS (SELECT * FROM (
+                         SELECT test_id, train_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+                         FROM nz) x WHERE rn <= 5),
+              votes AS (SELECT test_id, label, COUNT(*) AS votes, MIN(rn) AS best_rank
+                        FROM topk GROUP BY test_id, label)
+         SELECT test_id, label AS predicted_label FROM (
+           SELECT test_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, best_rank, label) AS vr
+           FROM votes) v
+         WHERE vr = 1 ORDER BY test_id""",
+
+    // Q26/Q31: the synthetic classes are separable BY CONSTRUCTION (six
+    // sine phases, noise amplitude 0.4 << the inter-phase DTW margin),
+    // so exact banded 1-NN provably classifies every test row to its
+    // generator class — predicted_label == test_id % 6 and accuracy 1.0.
+    // The oracle encodes that closed form; the engine must reach it via
+    // the real DTW cascade, so any kernel/cascade regression breaks the
+    // hash. Test-set size mirrors harSynth's sf-tier branch, recovered
+    // from the orders row count (1.5M * sf).
+    "q26_har_model2_1nn" ->
+      """WITH nt AS (SELECT CASE WHEN (SELECT COUNT(*) FROM orders) >= 150000 THEN 2947
+                                 WHEN (SELECT COUNT(*) FROM orders) >= 15000 THEN 294
+                                 ELSE 30 END AS n)
+         SELECT 1000000 + x AS test_id, CAST((1000000 + x) % 6 AS DOUBLE) AS predicted_label
+         FROM (SELECT unnest(range((SELECT n FROM nt))) AS x) ORDER BY test_id""",
+
+    "q31_har_accuracy" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS accuracy,
+                CAST(CASE WHEN (SELECT COUNT(*) FROM orders) >= 150000 THEN 2947
+                          WHEN (SELECT COUNT(*) FROM orders) >= 15000 THEN 294
+                          ELSE 30 END AS BIGINT) AS n""",
+
     // Q30 recomputes the written-then-reread predictions: the oracle is
     // the same 1-NN pipeline evaluated directly (table round-trip is
     // value-preserving).
@@ -628,6 +706,30 @@ object SparkEntry {
                         len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
            FROM sh a CROSS JOIN sh b WHERE a.doc_id < b.doc_id) p
          WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+
+    // Q21: the sign-LSH pipeline is fully deterministic (seeded planes,
+    // exact rerank), so it IS oracle-checkable — the planes enter the SQL
+    // as literals and DuckDB replays bucket assignment, the multi-table
+    // candidate union, and the exact cosine rerank.
+    "q21_ann_lsh" -> {
+      def bucketUnion(src: String) = (0 until 4).map { tbl =>
+        val b = lshBucketSql("v", dim = 64, bits = 10, seed = 42L + tbl)
+        s"SELECT id, v, $tbl AS tbl, $b AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
+              c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0),
+              qb AS (${bucketUnion("q")}),
+              cb AS (${bucketUnion("c")}),
+              cand AS (SELECT qb.id AS query_id, cb.id AS item_id,
+                              MAX(list_cosine_similarity(qb.v, cb.v)) AS cos
+                       FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+                       GROUP BY qb.id, cb.id)
+         SELECT query_id, rank, item_id FROM (
+           SELECT query_id, item_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+           FROM cand) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
 
     // Q22's LSH banding is full-recall and verification is exact, so its
     // result set is definitionally Q15's — same brute-force oracle.
@@ -688,6 +790,24 @@ object SparkEntry {
                      WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
                      ELSE 'zh' END AS lang_pred
          FROM sc ORDER BY doc_id""",
+
+    // 59-bit rotate-left-5 XOR fold, token chars then token hashes —
+    // mirrors graft_charfold_fingerprint exactly (Mask54 = 2^54-1 keeps
+    // every shift non-negative under DuckDB's checked arithmetic)
+    "q19_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              th AS (SELECT doc_id,
+                list_transform(tk, t ->
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(t) + 1),
+                        i -> CAST(unicode(t[CAST(i AS INT)]) AS BIGINT))),
+                    (acc, c) -> xor(((acc & 18014398509481983) << 5) | (acc >> 54), c))) AS hs
+              FROM toks)
+         SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                  (acc, h) -> xor(((acc & 18014398509481983) << 5) | (acc >> 54), h)) AS fp
+         FROM th ORDER BY doc_id""",
 
     "q20_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),

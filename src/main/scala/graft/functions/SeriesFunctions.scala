@@ -96,4 +96,10 @@ object SeriesFunctions {
   def fingerprint(tokens: Column): Column =
     aggregate(transform(tokens, t => xxhash64(t)), lit(0L),
       (acc, h) => (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))).bitwiseXOR(h))
+
+  /** SQL-portable fingerprint variant (oracle-checkable) — see
+    * [[graft.functions.CharFoldFingerprint]].
+    */
+  def charFoldFingerprint(tokens: Column): Column =
+    call_function("graft_charfold_fingerprint", tokens)
 }

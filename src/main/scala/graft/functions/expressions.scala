@@ -367,6 +367,60 @@ object SortedLongJaccard {
   }
 }
 
+/** Order-sensitive document fingerprint with a PORTABLE hash: per token,
+  * fold codepoints with rotate-left-5 XOR; across tokens, fold the token
+  * hashes the same way. Unlike the xxhash64-based
+  * [[SeriesFunctions.fingerprint]] (the better-mixed production variant),
+  * every step here is expressible in ANSI-ish SQL bit ops — so the
+  * driver's DuckDB oracle can recompute it exactly (q19).
+  *
+  * The rotate runs in a 59-BIT space (mask the top 5 bits, shift, OR the
+  * carry): a true 64-bit rotate sets the sign bit, and SQL engines with
+  * checked arithmetic (DuckDB included) refuse to left-shift negative /
+  * overflowing BIGINTs — mask-then-shift never overflows and never goes
+  * negative in either engine.
+  */
+case class CharFoldFingerprint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "graft_charfold_fingerprint"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    CharFoldFingerprint.fingerprint(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharFoldFingerprint.fingerprint($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+object CharFoldFingerprint {
+  private final val Mask54 = (1L << 54) - 1
+  /** 59-bit rotate-left-5 then XOR; all values stay in [0, 2^59). */
+  @inline private def fold(acc: Long, v: Long): Long =
+    (((acc & Mask54) << 5) | (acc >>> 54)) ^ v
+  def fingerprint(tokens: ArrayData): Long = {
+    var doc = 0L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      var th = 0L
+      if (!tokens.isNullAt(i)) {
+        // fold over CODEPOINTS (matches SQL's per-character unicode())
+        val s = tokens.getUTF8String(i).toString
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          th = fold(th, cp.toLong)
+          j += Character.charCount(cp)
+        }
+      }
+      doc = fold(doc, th)
+      i += 1
+    }
+    doc
+  }
+}
+
 /** Deterministic HAR-shaped benchmark series generator (the Q26/Q31
   * workload, BASELINE.md Model 2 sizes): sin(t*0.11 + (id mod 6)) plus
   * uniform hash-noise. Value-identical to the declarative form

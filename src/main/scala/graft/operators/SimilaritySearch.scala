@@ -93,8 +93,12 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
   }
 
-  /** Deterministic seeded random hyperplanes (driver-side, tiny). */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic seeded random hyperplanes (driver-side, tiny).
+    * `private[graft]` so the oracle-SQL builder can embed the SAME planes
+    * as literals (java.util.Random#nextGaussian is algorithmically
+    * specified, so these are stable across JVMs).
+    */
+  private[graft] def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -58,6 +58,16 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(fps(0) !== fps(2))
   }
 
+  test("charFoldFingerprint: deterministic, order-sensitive, 59-bit range") {
+    val df = Seq("a b c", "a b c", "c b a", "").toDF("text")
+      .select(SF.charFoldFingerprint(TF.tokens($"text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    // portable-SQL contract: values stay non-negative below 2^59
+    fps.foreach(fp => assert(fp >= 0L && fp < (1L << 59)))
+  }
+
   test("wordShingles: n-grams with short-input fallback") {
     val df = Seq("a b c d", "a", "").toDF("text")
       .select(TF.wordShingles($"text", 2).as("sh"))
