@@ -423,8 +423,11 @@ object SparkEntry {
       GraftFunctions.register(s)
       val media = graft.operators.Multimodal.syntheticMediaTable(
         t(s, dir, "documents"))
+      // materialize: the decode feeds four downstream actions (corpus
+      // count, centroid fit, probe side, query side) — without this the
+      // mapPartitions extraction re-runs per action
       val feats = graft.operators.Multimodal.extractFeatures(
-        media, "doc_id", "content", dim = 32)
+        media, "doc_id", "content", dim = 32).localCheckpoint()
       val queries = feats.filter(col("id") % 10 === 0)
         .select(col("id").as("query_id"), col("features").as("query_vec"))
       val corpus = feats.filter(col("id") % 10 =!= 0)
