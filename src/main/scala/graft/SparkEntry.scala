@@ -317,6 +317,78 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Q34 — scalar length-inference aggregate (SURVEY A1: the reference's
+    // rdd.map(len).max() at Team11-Project.py:65, declaratively) + count
+    // action shape (S4)
+    "q34_series_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .agg(max(size(col("embedding"))).cast("long").as("max_len"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Q35 — scalable 1..N row ids (SURVEY W1: the reference's
+    // single-partition row_number over orderBy(lit('A')),
+    // Team11-Project.py:93-97, reimplemented as per-partition offsets).
+    // After a global sort the assignment order is the sort order, so the
+    // ids are deterministic and DuckDB-checkable. Also exercises P4
+    // (drop column).
+    "q35_rowid" -> ((s, dir) => {
+      graft.ingest.SeriesIngest.withRowId(
+        t(s, dir, "nation").orderBy("n_nationkey"))
+        .drop("n_comment")
+        .select(col("row_id"), col("n_nationkey"), col("n_name"))
+        .orderBy("row_id")
+    }),
+
+    // Q36 — equi join on a WHOLE-VECTOR key (SURVEY J2: the reference
+    // joins predictions to features on equality of the 561-dim vector,
+    // Team11-Project.py:218 — fragile but supported; arrays are
+    // equatable join keys in both engines). Self-join match count: every
+    // row matches itself plus any exact-duplicate vectors.
+    "q36_vector_equality_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.as("a").join(e.as("b"), col("a.v") === col("b.v"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Q37 — VectorAssembler (SURVEY M1, Team11-Project.py:108-110):
+    // assemble four lineitem measures into an ML vector, compute its L2
+    // norm via vector_to_array — the MLlib interop path under the oracle.
+    "q37_vector_assembler" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.VectorAssembler
+      import org.apache.spark.ml.functions.vector_to_array
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double"),
+          col("l_tax").cast("double"))
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .setOutputCol("features")
+        .transform(li)
+      assembled.select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(aggregate(vector_to_array(col("features")),
+          lit(0.0), (acc, x) => acc + x * x)), 6).as("norm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Q38 — the k hyper-parameter sweep as one declared query (SURVEY
+    // M7: the reference's manual per-k notebook cells,
+    // Team11-Project.py:237-322): per-k accuracy rows, one KNN pipeline
+    // per k, unioned. Exercises the sweep loop under the oracle.
+    "q38_ksweep" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val (train, test, truth) = trainTest(s, dir)
+      Seq(1, 3, 5).map { k =>
+        val pred = Knn.classify(train, test, KnnParams(k = k, distance = "euclidean"))
+        Evaluation.accuracy(pred.join(truth, "test_id"),
+          col("predicted_label"), col("label"))
+          .select(lit(k).as("k"), col("accuracy"), col("n"))
+      }.reduce(_ unionByName _).orderBy("k")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -489,6 +561,30 @@ object SparkEntry {
         val lits = p.map(java.lang.Double.toString).mkString(",")
         s"(CASE WHEN list_inner_product($vecExpr, [$lits]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** KNN-accuracy pipeline SQL for one k (q11's shape, parameterized —
+    * feeds the q38 sweep oracle).
+    */
+  private def knnAccuracySql(k: Int): String =
+    s"""SELECT $k AS k,
+               ROUND(AVG(CASE WHEN ABS(p.predicted_label - t.label) = 0 THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+               COUNT(*) AS n
+        FROM (SELECT test_id, label AS predicted_label FROM (
+                SELECT test_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, best_rank, label) AS vr
+                FROM (SELECT test_id, label, COUNT(*) AS votes, MIN(rn) AS best_rank
+                      FROM (SELECT * FROM (
+                              SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                                     ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                       ORDER BY list_distance(t.e, tr.e), tr.vec_id) AS rn
+                              FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 2 = 1) t
+                              CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0) tr
+                              WHERE list_distance(t.e, tr.e) <> 0) r
+                            WHERE rn <= $k) topk
+                      GROUP BY test_id, label) v) w
+              WHERE vr = 1) p
+        JOIN (SELECT vec_id, label FROM embeddings WHERE vec_id % 2 = 1) t
+          ON p.test_id = t.vec_id"""
 
   private def shinglesSql(n: Int): String = {
     val last = n - 1
@@ -674,6 +770,26 @@ object SparkEntry {
          SELECT ROUND(AVG(CASE WHEN ABS(p.predicted_label - t.label) = 0 THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
                 COUNT(*) AS n
          FROM pred p JOIN test t ON p.test_id = t.vec_id""",
+
+    "q38_ksweep" ->
+      Seq(1, 3, 5).map(knnAccuracySql).mkString("", " UNION ALL ", " ORDER BY k"),
+
+    "q34_series_stats" ->
+      """SELECT CAST(MAX(len(embedding)) AS BIGINT) AS max_len, COUNT(*) AS n FROM embeddings""",
+
+    "q35_rowid" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) AS row_id, n_nationkey, n_name
+         FROM nation ORDER BY row_id""",
+
+    "q36_vector_equality_join" ->
+      """SELECT COUNT(*) AS n FROM embeddings a JOIN embeddings b
+         ON a.embedding::DOUBLE[] = b.embedding::DOUBLE[]""",
+
+    "q37_vector_assembler" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(SQRT(0.0 + l_quantity*l_quantity + l_extendedprice*l_extendedprice
+                           + l_discount*l_discount + l_tax*l_tax), 6) AS norm
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q14_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
