@@ -525,10 +525,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Q23 — SimHash near-dup pairs (rows-only; exact for hamming<=3 by banding)
+    // Q23 — SimHash near-dup pairs with the portable 59-bit signature:
+    // exact for hamming<=3 by 4x15-bit chunk banding (pigeonhole), and
+    // every step — charfold token hash, xorshift finalizer, bit votes,
+    // banding, hamming — is recomputed by the DuckDB oracle.
     "q23_simhash_pairs" -> ((s, dir) => {
       GraftFunctions.register(s)
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairsPortable(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -561,6 +565,17 @@ object SparkEntry {
         val lits = p.map(java.lang.Double.toString).mkString(",")
         s"(CASE WHEN list_inner_product($vecExpr, [$lits]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Portable charfold-59 token hash in DuckDB SQL (mirror of
+    * [[graft.functions.CharFoldFingerprint.tokenHash59]]) — shared by the
+    * q19 and q23 oracles.
+    */
+  private def charFoldSql(t: String): String =
+    s"""list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length($t) + 1),
+              i -> CAST(unicode($t[CAST(i AS INT)]) AS BIGINT))),
+          (acc, c) -> xor(((acc & 18014398509481983) << 5) | (acc >> 54), c))"""
 
   /** KNN-accuracy pipeline SQL for one k (q11's shape, parameterized —
     * feeds the q38 sweep oracle).
@@ -927,6 +942,36 @@ object SparkEntry {
                 list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
                   (acc, h) -> xor(((acc & 18014398509481983) << 5) | (acc >> 54), h)) AS fp
          FROM th ORDER BY doc_id""",
+
+    // mirror of simhashPairsPortable: charfold token hash -> xorshift-59
+    // finalizer -> bit votes -> 4x15-bit chunk banding -> hamming
+    "q23_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+              h0 AS (SELECT doc_id, ${charFoldSql("t")} AS h FROM tok),
+              h1 AS (SELECT doc_id, xor(h, h >> 13) AS h FROM h0),
+              h2 AS (SELECT doc_id, xor(h, (h & 1099511627775) << 19) AS h FROM h1),
+              h3 AS (SELECT doc_id, xor(h, h >> 28) AS h FROM h2),
+              h4 AS (SELECT doc_id, xor(h, (h & 8796093022207) << 16) AS h FROM h3),
+              h5 AS (SELECT doc_id, xor(h, h >> 11) AS h FROM h4),
+              hf AS (SELECT doc_id, xor(h, (h & 137438953471) << 22) AS h FROM h5),
+              votes AS (SELECT doc_id, b,
+                               SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                        FROM hf CROSS JOIN (SELECT unnest(range(59)) AS b) bs
+                        GROUP BY doc_id, b),
+              sig0 AS (SELECT doc_id,
+                              CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sig
+                       FROM votes GROUP BY doc_id),
+              sig AS (SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+                      FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+              chunks AS (SELECT doc_id, sig, c, (sig >> CAST(c * 15 AS INT)) & 32767 AS chunk
+                         FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cs),
+              cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sig AS sa, b.sig AS sb
+                       FROM chunks a JOIN chunks b
+                         ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""",
 
     "q20_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),

@@ -32,6 +32,7 @@ object SeriesFunctions {
   def fastdtw(a: Column, b: Column, radius: Int): Column =
     call_function("graft_fastdtw", a, b, lit(radius))
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def simhash59(tokens: Column): Column = call_function("graft_simhash59", tokens)
   def paa(series: Column, factor: Int): Column =
     call_function("graft_paa", series, lit(factor))
   def envelope(series: Column, band: Int): Column =

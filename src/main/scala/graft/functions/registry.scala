@@ -84,6 +84,9 @@ object GraftFunctions {
     ("graft_jaccard_sorted",
       (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)),
       "graft_jaccard_sorted(a, b) - Jaccard similarity of two sorted array<long> sets"),
+    ("graft_simhash59",
+      (es: Seq[Expression]) => PortableSimHash59(es(0)),
+      "graft_simhash59(tokens) - 59-bit SimHash over portable charfold token hashes"),
     ("graft_charfold_fingerprint",
       (es: Seq[Expression]) => CharFoldFingerprint(es(0)),
       "graft_charfold_fingerprint(tokens) - rotate-xor codepoint-fold fingerprint (SQL-portable)"),

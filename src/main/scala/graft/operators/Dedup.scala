@@ -123,6 +123,34 @@ object Dedup {
       .distinct()
   }
 
+  /** [[simhashPairs]] with the PORTABLE 59-bit signature
+    * ([[graft.functions.PortableSimHash59]]): banding on 4 x 15-bit
+    * chunks keeps the pigeonhole guarantee (hamming <= 3 pairs share at
+    * least one chunk), and every step is SQL-replayable — this variant
+    * is driver-oracle-verified (q23); the xxhash64 one is the
+    * better-mixed production default.
+    */
+  def simhashPairsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      SeriesFunctions.simhash59(TextFunctions.tokens(col(textCol))).as("sig"))
+    val chunked = docs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("sig"), c * 15).bitwiseAND(lit(0x7fffL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SeriesFunctions.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Brute-force n-gram Jaccard similarity pairs (the exact oracle the
     * LSH paths approximate). O(n^2) — correctness baseline and small-table
     * path; at scale use [[minhashLshPairs]].

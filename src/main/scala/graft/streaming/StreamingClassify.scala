@@ -85,6 +85,27 @@ object StreamingClassify {
       Seq("_digest"), tsCol, watermark)
       .drop("_digest")
 
+  /** Watermarked stream-stream interval join (the enrichment shape —
+    * e.g. correlate click and view streams per user): rows with equal
+    * `key` whose event times lie within `within` of each other. The
+    * watermarks plus the interval condition bound the join state on BOTH
+    * sides — without the time bound a stream-stream join buffers
+    * forever, which is the difference between a demo and something that
+    * survives a week of 100 TB/day ingest.
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      key: String, watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+          r.$rightTs >= l.$leftTs - INTERVAL $within AND
+          r.$rightTs <= l.$leftTs + INTERVAL $within"""))
+      .drop(r(key))
+  }
+
   /** Run a bounded smoke of the streaming classifier: feeds the parquet
     * test split through a memory sink; returns the collected predictions.
     * (Used by tests; `processAllAvailable` makes it synchronous.)

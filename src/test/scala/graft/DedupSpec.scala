@@ -66,6 +66,19 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L && p._2 == 5L))
   }
 
+  test("portable simhash59: exact dups at hamming 0; near-dups close; unrelated apart") {
+    val pairs = Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 === 0)
+    assert(!pairs.exists(p => p._1 == 4L && p._2 == 5L))
+    // signature bits are balanced enough to discriminate (not constant)
+    val sigs = docs.select(
+      graft.functions.SeriesFunctions.simhash59(
+        graft.functions.TextFunctions.tokens(col("text")))).collect().map(_.getLong(0))
+    assert(sigs.distinct.length >= 4)
+  }
+
   test("duplicateClusters: components labeled by smallest member; singletons kept") {
     val clustered = Dedup.duplicateClusters(docs, "doc_id", "text",
       shingleSize = 2, threshold = 0.5)

@@ -99,4 +99,29 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.sqdist(Array(1.0), Array(1.0, 2.0)) === 4.0)
     assert(Kernels.manhattan(Array(1.0), Array(1.0, 2.0)) === 2.0)
   }
+
+  test("paa: block means, short-tail handling, factor<=1 identity") {
+    assert(Kernels.paa(Array(1.0, 3.0, 5.0, 7.0), 2).toSeq === Seq(2.0, 6.0))
+    assert(Kernels.paa(Array(1.0, 3.0, 5.0), 2).toSeq === Seq(2.0, 5.0)) // short last block
+    assert(Kernels.paa(Array(1.0, 2.0), 1).toSeq === Seq(1.0, 2.0))
+  }
+
+  test("paa admissibility: factor * manhattan(paa(a), paa(b)) <= manhattan(a, b)") {
+    // per block |mean(a_blk) - mean(b_blk)| * len <= sum |a_i - b_i|
+    // (Jensen) — this is why the band=0 cascade (q33) can be made exact
+    // with a bounded candidate budget
+    // (full blocks only: a short tail block of length l < f contributes
+    // l * |mean diff| to the true bound, not f * |mean diff|)
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val n0 = 8 + rnd.nextInt(56)
+      for (f <- Seq(2, 4, 8)) {
+        val n = (n0 / f) * f
+        val a = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+        val b = Array.fill(n)(rnd.nextDouble() * 10 - 5)
+        val sketch = Kernels.manhattan(Kernels.paa(a, f), Kernels.paa(b, f))
+        assert(sketch * f <= Kernels.manhattan(a, b) + 1e-9, s"n=$n f=$f")
+      }
+    }
+  }
 }

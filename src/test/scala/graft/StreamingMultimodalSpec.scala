@@ -97,6 +97,32 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("stream-stream interval join: matches within bound, drops outside") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, String)]
+    val views = MemoryStream[(Long, String)]
+    val c = clicks.toDF().toDF("user_id", "ts_s")
+      .select($"user_id", to_timestamp($"ts_s").as("click_ts"))
+    val v = views.toDF().toDF("user_id", "ts_s")
+      .select($"user_id", to_timestamp($"ts_s").as("view_ts"))
+    val out = StreamingClassify.intervalJoin(
+      c, "click_ts", v, "view_ts", "user_id", "10 minutes", "2 minutes")
+    val qname = s"ssj_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    clicks.addData((1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 00:10:00"))
+    views.addData(
+      (1L, "2024-01-01 00:11:00"), // within 2 min -> match
+      (2L, "2024-01-01 00:20:00"), // 10 min away -> no match
+      (3L, "2024-01-01 00:10:30")) // no click for user 3
+    q.processAllAvailable()
+    q.stop()
+    val matched = spark.table(qname).collect().map(_.getLong(0)).toSet
+    assert(matched === Set(1L))
+  }
+
   test("q32 multimodal -> ANN: deterministic, k results per query") {
     val a = SparkEntry.queries("q32_multimodal_ann")(spark, sf001).collect()
     val b = SparkEntry.queries("q32_multimodal_ann")(spark, sf001).collect()
