@@ -223,8 +223,8 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs by cosine similarity. Brute-force
-    * pair generation with broadcast; for the billion-row path route
-    * through [[SimilaritySearch.lshTopK]] first.
+    * pair generation with broadcast — the exact baseline;
+    * [[embeddingNearDupPairsLsh]] is the billion-row path.
     *
     * @param roundDp when >= 0, round the cosine before thresholding (so
     *                boundary pairs match oracle rounding semantics)
@@ -241,6 +241,43 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         SeriesFunctions.barrier(sim).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Scale path for embedding near-dup: sign-LSH bucketed candidate
+    * generation (Charikar 2002 random hyperplanes — collision
+    * probability per table is (1 - theta/pi)^bits, so HIGH-similarity
+    * pairs collide reliably), exact cosine verification of candidates.
+    * Shuffle keys are (table, bucket, id) — vectors join back by id only
+    * for the verification of candidate pairs, never all-pairs.
+    *
+    * Recall for a pair at angle theta: 1 - (1 - (1-theta/pi)^bits)^tables.
+    * Defaults (bits=6, tables=8) give ~99.8% at cos 0.95 and ~97% at
+    * cos 0.9; raise `tables` to tighten. Output is a verified SUBSET of
+    * [[embeddingNearDupPairs]] (no false positives, by construction).
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, bits: Int = 6, tables: Int = 8,
+      seed: Long = 42L, roundDp: Int = -1): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bucketed = Partitioning.spread(v).select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t =>
+        SimilaritySearch.signBucket(col("v"), dim, bits, seed + t)): _*))
+        .as(Seq("table", "bucket")))
+    val slim = bucketed.select(col("table"), col("bucket"), col("id"))
+    val cand = slim.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(slim.select(col("table"), col("bucket"), col("id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val raw = SeriesFunctions.cosine(col("v_a"), col("v_b"))
+    val sim = if (roundDp >= 0) round(raw, roundDp) else raw
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"), SeriesFunctions.barrier(sim).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

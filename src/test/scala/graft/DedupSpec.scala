@@ -125,6 +125,22 @@ class DedupSpec extends SparkTestBase {
     assert(viaLsh === viaBrute)
   }
 
+  test("LSH embedding near-dup: verified subset of brute force, high recall on near-dups") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val brute = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.9, roundDp = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding", dim,
+      threshold = 0.9, roundDp = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // verification removes all false positives
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${brute.size})")
+    }
+  }
+
   test("embeddingNearDupPairs finds duplicate vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
