@@ -396,6 +396,22 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("k")
     }),
 
+    // Q39 — the EP1 ingestion pipeline under the oracle (SURVEY P1, P2,
+    // P5, P3: the reference's split -> clean-UDF -> cast -> pivot,
+    // Team11-Project.py:38-114): raw whitespace-padded strings are built
+    // from integer columns (integer rendering is engine-portable, float
+    // rendering is not), parsed with the higher-order filter + cast
+    // pipeline, pivoted to wide columns.
+    "q39_ingest_ep1" -> ((s, dir) => {
+      val raw = t(s, dir, "nation").select(col("n_name"),
+        concat_ws(" ", lit(""), col("n_nationkey").cast("string"), lit(""),
+          col("n_regionkey").cast("string"), lit("")).as("raw"))
+      val parsed = raw.select(col("n_name"),
+        graft.ingest.SeriesIngest.parseSeries(col("raw")).as("series"))
+      graft.ingest.SeriesIngest.pivotSeries(parsed, "series", 2)
+        .orderBy("n_name")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -804,6 +820,11 @@ object SparkEntry {
 
     "q38_ksweep" ->
       Seq(1, 3, 5).map(knnAccuracySql).mkString("", " UNION ALL ", " ORDER BY k"),
+
+    "q39_ingest_ep1" ->
+      """SELECT n_name, CAST(n_nationkey AS DOUBLE) AS feature_1,
+                CAST(n_regionkey AS DOUBLE) AS feature_2
+         FROM nation ORDER BY n_name""",
 
     "q34_series_stats" ->
       """SELECT CAST(MAX(len(embedding)) AS BIGINT) AS max_len, COUNT(*) AS n FROM embeddings""",
