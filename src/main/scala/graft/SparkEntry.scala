@@ -412,6 +412,38 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Q40 — skew-resistant salted join: replicate-right / scatter-left
+    // over `salt` shards, then drop the salt — semantics identical to
+    // the plain equi join (the oracle is exactly Q2's), while a hot key
+    // spreads over `salt` tasks instead of melting one. This is the
+    // explicit skew tool; AQE's skew-join handles the sort-merge case
+    // adaptively.
+    "q40_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+      val c = t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey")
+      graft.operators.Partitioning.saltedJoin(o, c, "custkey", salt = 4)
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q41 — co-located bucketed join (S3 + J1 at scale): both sides
+    // written bucketed+sorted on the join key, re-read via spark.table,
+    // joined shuffle-free (SortMergeJoin with no Exchange — asserted in
+    // PartitioningSpec; here the VALUES are oracle-checked against the
+    // raw tables).
+    "q41_bucketed_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      graft.operators.Partitioning.writeBucketed(o, "graft_q41_orders", Seq("o_custkey"), 8)
+      graft.operators.Partitioning.writeBucketed(c, "graft_q41_customer", Seq("c_custkey"), 8)
+      val ob = s.table("graft_q41_orders")
+      val cb = s.table("graft_q41_customer")
+      ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -820,6 +852,15 @@ object SparkEntry {
 
     "q38_ksweep" ->
       Seq(1, 3, 5).map(knnAccuracySql).mkString("", " UNION ALL ", " ORDER BY k"),
+
+    // the salted join is value-identical to the plain equi join
+    "q40_salted_join" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
+
+    "q41_bucketed_join" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
 
     "q39_ingest_ep1" ->
       """SELECT n_name, CAST(n_nationkey AS DOUBLE) AS feature_1,

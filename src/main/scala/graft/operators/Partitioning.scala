@@ -33,12 +33,14 @@ object Partitioning {
     * keys then run shuffle-free (`SortMergeJoin` with no `Exchange`).
     * The table lands in the session warehouse under `name`.
     */
-  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String], buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String], buckets: Int): Unit = {
+    graft.sources.TableSink.prepareOverwrite(df.sparkSession, name)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(name)
+  }
 
   /** Ensure a frame has at least `target` partitions (default: the
     * cluster's parallelism). Small inputs — a single parquet split —

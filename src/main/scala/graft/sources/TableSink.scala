@@ -16,11 +16,18 @@ object TableSink {
     * re-read `spark.table(name)` frame.
     */
   def overwriteTable(df: DataFrame, name: String): DataFrame = {
-    val spark = df.sparkSession
+    prepareOverwrite(df.sparkSession, name)
+    df.write.format("parquet").mode("overwrite").saveAsTable(name)
+    df.sparkSession.table(name)
+  }
+
+  /** Drop `name` from the catalog AND clear any orphan warehouse
+    * location a previous session left behind — call before any
+    * `saveAsTable` that must be re-runnable (bucketed writers included).
+    */
+  def prepareOverwrite(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     clearOrphanLocation(spark, name)
-    df.write.format("parquet").mode("overwrite").saveAsTable(name)
-    spark.table(name)
   }
 
   private def clearOrphanLocation(spark: SparkSession, name: String): Unit = {
