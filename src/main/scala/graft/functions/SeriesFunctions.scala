@@ -46,6 +46,11 @@ object SeriesFunctions {
     call_function("graft_minhash", hashedSet, lit(k))
   def minhashBands(sig: Column, numBands: Int): Column =
     call_function("graft_minhash_bands", sig, lit(numBands))
+  /** Bounded top-k aggregate (see [[graft.functions.BoundedTopKIdsAgg]]):
+    * use inside `groupBy(...).agg(...)`.
+    */
+  def topkIds(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk_ids", score, id, lit(k))
   /** Identity wrapper that blocks predicate pushdown (see [[graft.functions.Barrier]]). */
   def barrier(c: Column): Column = call_function("graft_barrier", c)
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)

@@ -84,6 +84,10 @@ object GraftFunctions {
     ("graft_jaccard_sorted",
       (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1)),
       "graft_jaccard_sorted(a, b) - Jaccard similarity of two sorted array<long> sets"),
+    ("graft_topk_ids",
+      (es: Seq[Expression]) =>
+        BoundedTopKIdsAgg(es(0), es(1), intArg(es(2), "k")),
+      "graft_topk_ids(score, id, k) - ids of the k smallest (score, id) pairs, as array<long>"),
     ("graft_simhash59",
       (es: Seq[Expression]) => PortableSimHash59(es(0)),
       "graft_simhash59(tokens) - 59-bit SimHash over portable charfold token hashes"),

@@ -220,9 +220,6 @@ object Knn {
           .select("test_id", "train_id", "score")
       } else slimScores(trainSel)
     val spark0 = train.sparkSession
-    import spark0.implicits._
-    val slim = slimDf.as[(Long, Long, Double)]
-    val agg = new BoundedTopKByScore(fk)
     // ONE row per test point (test_id, candidate-id array) out of the
     // heap — the exact phase joins payloads at |test| row counts, not
     // |test|*fk:
@@ -240,8 +237,13 @@ object Knn {
     // O(|test| * fk * seriesBytes) — the earlier shape repartitioned the
     // fanned-out rows WITH both payloads attached (~430 MB shuffle at
     // HAR size; this one moves ~13 MB).
-    val perTest = slim.groupByKey(_._1).agg(agg.toColumn)
-      .toDF("test_id", "cand_ids")
+    // selection runs as the native TypedImperativeAggregate
+    // (graft_topk_ids): primitive-array heap buffer, no per-row tuple
+    // boxing or Kryo buffer codec — the typed-Aggregator twin
+    // ([[BoundedTopKByScore]]) keeps identical semantics and cross-checks
+    // it in KnnSpec
+    val perTest = slimDf.groupBy(col("test_id"))
+      .agg(SeriesFunctions.topkIds(col("score"), col("train_id"), fk).as("cand_ids"))
     val trainBack =
       if (useBroadcast(trainSel, p)) broadcast(trainSel) else trainSel
     val withDist = perTest
