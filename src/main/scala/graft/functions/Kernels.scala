@@ -350,7 +350,7 @@ object Kernels {
     */
   def paa(a: Array[Double], factor: Int): Array[Double] = {
     val n = a.length
-    if (factor <= 1 || n == 0) return a
+    if (factor <= 1 || n == 0) return a.clone() // never alias the input
     val m = (n + factor - 1) / factor
     val out = new Array[Double](m)
     var i = 0
@@ -411,7 +411,11 @@ object Kernels {
     */
   def paaAD(a: ArrayData, factor: Int): ArrayData = {
     val n = a.numElements()
-    if (factor <= 1 || n == 0) return a
+    // factor<=1: still copy — returning the input would alias a possibly
+    // buffer-backed ArrayData AND leak input nulls through the declared
+    // containsNull=false output type
+    if (factor <= 1 || n == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toDoubleArray())
     val m = (n + factor - 1) / factor
     val out = new Array[Double](m)
     var i = 0

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 /** Bounded top-k buffer: the k smallest (score, id) pairs in
   * lexicographic order, kept as a binary MAX-heap over primitive arrays —
   * eviction compares against the current maximum in O(1), inserts are
-  * O(log k), and partial state is exactly 12 bytes per kept entry.
+  * O(log k), and partial state serializes at 16 bytes per kept entry.
   */
 final class TopKIdsBuffer(val k: Int) {
   val scores = new Array[Double](k)
@@ -76,11 +76,14 @@ case class BoundedTopKIdsAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKIdsBuffer] {
+    extends TypedImperativeAggregate[TopKIdsBuffer] with ImplicitCastInputTypes {
   require(k >= 1, "k must be >= 1")
 
   override def prettyName: String = "graft_topk_ids"
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
+  // analysis-time coercion: an INT id or FLOAT score would otherwise
+  // pass analysis and ClassCastException per task at execution
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

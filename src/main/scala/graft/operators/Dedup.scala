@@ -184,6 +184,13 @@ object Dedup {
     * identical edges on real near-dup profiles (pinned in DedupSpec and
     * by q27's oracle hash-match).
     *
+    * Recall caveat: the default banding's per-pair miss probability is
+    * (1 - j^2)^numBands — negligible above j ~ 0.5, but a LOW threshold
+    * with many pairs sitting near it (e.g. 0.1: ~38% recall per
+    * borderline pair) fragments clusters silently. For such workloads
+    * raise numBands (with numHashes = 2 * numBands) or pass
+    * `useLsh = false`.
+    *
     * Output: (id, cluster_id) for EVERY input row (singletons keep their
     * own id).
     */

@@ -66,10 +66,16 @@ object Knn {
   }
 
   /** Strategy-aware all-pairs cross join of a (possibly projected) train
-    * side against the spread test side.
+    * side against the spread test side. `broadcastTrain` carries a
+    * pre-computed decision so callers that build several pair joins per
+    * query (the prune cascade: sampled tau pass, main scoring pass,
+    * payload join-back) analyze the train subtree once, not per join.
     */
-  private def crossPairs(trainSel: DataFrame, spreadTest: DataFrame, p: KnnParams): DataFrame =
-    if (useBroadcast(trainSel, p)) spreadTest.crossJoin(broadcast(trainSel))
+  private def crossPairs(
+      trainSel: DataFrame, spreadTest: DataFrame, p: KnnParams,
+      broadcastTrain: Option[Boolean] = None): DataFrame =
+    if (broadcastTrain.getOrElse(useBroadcast(trainSel, p)))
+      spreadTest.crossJoin(broadcast(trainSel))
     else {
       val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel
       spreadTest.crossJoin(t)
@@ -178,8 +184,11 @@ object Knn {
     // ABOVE this select (across the tau join), and predicate pushdown
     // would otherwise inline the ranking kernel into the filter — one
     // evaluation per pair becomes two
+    // one stats-driven decision per query (conservative: measured on the
+    // FULL train projection, reused for the smaller sketch/sample joins)
+    val bcastTrain = useBroadcast(trainSel, p)
     def slimScores(tr: DataFrame): DataFrame =
-      crossPairs(trainSketchOf(tr), testSketch, p)
+      crossPairs(trainSketchOf(tr), testSketch, p, Some(bcastTrain))
         .select(col("test_id"), col("train_id"),
           SeriesFunctions.barrier(scoreExpr).as("score"))
     val fk = p.candidateFactor * p.k
@@ -213,7 +222,7 @@ object Knn {
         // empty subsample (tiny train side) must disable the filter, not
         // drop every row.
         val testWithTau = testSketch.join(broadcast(tau), Seq("test_id"), "left")
-        crossPairs(trainSketchOf(trainSel), testWithTau, p)
+        crossPairs(trainSketchOf(trainSel), testWithTau, p, Some(bcastTrain))
           .select(col("test_id"), col("train_id"),
             SeriesFunctions.barrier(scoreExpr).as("score"), col("tau"))
           .filter(col("score") <= coalesce(col("tau"), lit(Double.MaxValue)))
@@ -244,8 +253,7 @@ object Knn {
     // it in KnnSpec
     val perTest = slimDf.groupBy(col("test_id"))
       .agg(SeriesFunctions.topkIds(col("score"), col("train_id"), fk).as("cand_ids"))
-    val trainBack =
-      if (useBroadcast(trainSel, p)) broadcast(trainSel) else trainSel
+    val trainBack = if (bcastTrain) broadcast(trainSel) else trainSel
     val withDist = perTest
       .join(testSel, "test_id")
       .repartition(spark0.sparkContext.defaultParallelism)

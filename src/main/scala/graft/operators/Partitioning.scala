@@ -50,16 +50,36 @@ object Partitioning {
     */
   def spread(df: DataFrame, target: Int = 0): DataFrame = {
     if (df.isStreaming) return df // micro-batch planner owns partitioning
+    val spark = df.sparkSession
     val t =
       if (target > 0) target
-      else df.sparkSession.sparkContext.defaultParallelism
+      else spark.sparkContext.defaultParallelism
     // Width check WITHOUT forcing physical planning of the subtree (an
-    // `rdd.getNumPartitions` probe would plan it once per call): a
-    // file-backed frame with >= t input files already scans wide — skip
-    // the shuffle (the 100 TB case: thousands of splits). Fewer files, or
-    // a non-file source (range, localCheckpoint, in-memory), gets the
-    // tiny repartition — stream sides passed here are small by contract.
-    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (files >= t) df else df.repartition(t)
+    // `rdd.getNumPartitions` probe would plan it once per call).
+    // File-backed frames: estimate the scan's split count the way
+    // FileSourceScan packs it — total bytes plus a per-file open cost,
+    // divided by maxPartitionBytes (a raw file COUNT over-estimates:
+    // many tiny files bin-pack into one split and would serialize the
+    // pair loop). Non-file frames: logical-plan stats — LocalRelation /
+    // in-memory frames report real (small) sizes and get the tiny
+    // repartition; sources with unknown stats report huge defaults and
+    // skip (range/localCheckpoint frames already carry the session
+    // parallelism).
+    val maxPart = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+    val openCost =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    val files = try df.inputFiles.length.toLong catch { case _: Throwable => 0L }
+    val statBytes =
+      try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    val estPartitions =
+      if (files > 0L)
+        ((statBytes + BigInt(files * openCost)) / maxPart).min(BigInt(Int.MaxValue)).toLong + 1L
+      else if (statBytes < BigInt(maxPart) * t) 1L // small in-memory frame
+      else Long.MaxValue // unknown/huge: assume already wide
+    if (estPartitions >= t) df else df.repartition(t)
   }
 }

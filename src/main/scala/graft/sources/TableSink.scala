@@ -30,15 +30,31 @@ object TableSink {
     clearOrphanLocation(spark, name)
   }
 
+  /** Only LOCAL warehouse locations are cleared: for a remote warehouse
+    * (hdfs://, s3a://, ...) the URI's path would name an unrelated LOCAL
+    * directory — deleting it would destroy data that was never the
+    * table's location. Remote orphans surface as the original
+    * LOCATION_ALREADY_EXISTS error, which is the safe failure. Paths
+    * that don't parse as URIs (spaces, etc.) are treated as raw local
+    * paths.
+    */
   private def clearOrphanLocation(spark: SparkSession, name: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    val dir = new java.io.File(
-      new java.net.URI(wh).getPath match {
-        case null | "" => wh.stripPrefix("file:")
-        case p => p
-      },
-      name.toLowerCase(java.util.Locale.ROOT))
-    if (dir.exists()) delete(dir)
+    val localBase: Option[String] =
+      try {
+        val uri = new java.net.URI(wh)
+        uri.getScheme match {
+          case null | "file" =>
+            Some(if (uri.getPath == null || uri.getPath.isEmpty) wh else uri.getPath)
+          case _ => None // remote warehouse: never touch local disk
+        }
+      } catch {
+        case _: java.net.URISyntaxException => Some(wh.stripPrefix("file:"))
+      }
+    localBase.foreach { base =>
+      val dir = new java.io.File(base, name.toLowerCase(java.util.Locale.ROOT))
+      if (dir.exists()) delete(dir)
+    }
   }
 
   private def delete(f: java.io.File): Unit = {
