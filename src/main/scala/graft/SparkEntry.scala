@@ -444,6 +444,36 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Q42 — event sessionization via session_window (the event-time
+    // session shape Structured Streaming shares with batch): events
+    // within a 5-minute gap merge into one session per user. The events
+    // timestamp column arrives as TIMESTAMP(NANOS) read as long
+    // (nanosAsLong); second precision is used on both engines so the
+    // oracle's gaps-and-islands formulation agrees exactly.
+    "q42_sessionize" -> ((s, dir) => {
+      // integral nanos->seconds division: a double detour (ts / 1e9)
+      // cannot represent ~1.7e18 exactly and flips second boundaries
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_seconds(expr("ts div 1000000000")).as("tss"))
+      ev.groupBy(col("user_id"), session_window(col("tss"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Q43 — corpus vocabulary stats: explode + distinct aggregation (the
+    // engine inherits distinct aggregates from Spark; a training-data
+    // pipeline uses this shape for vocab sizing). countDistinct plans a
+    // two-phase expand+agg — no driver-side set.
+    "q43_vocab" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab"),
+          count(lit(1)).as("total_tokens"))
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -866,6 +896,28 @@ object SparkEntry {
       """SELECT n_name, CAST(n_nationkey AS DOUBLE) AS feature_1,
                 CAST(n_regionkey AS DOUBLE) AS feature_2
          FROM nation ORDER BY n_name""",
+
+    // gaps-and-islands == session_window for a fixed gap: sessions merge
+    // iff the inter-event gap is STRICTLY below the gap (Spark's session
+    // end is exclusive), so a new session starts at diff >= gap.
+    // epoch_ns keeps the nanos integral; // truncates to seconds.
+    "q42_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events),
+              flagged AS (SELECT user_id, s,
+                                 CASE WHEN s - LAG(s) OVER (PARTITION BY user_id ORDER BY s) >= 300
+                                      OR LAG(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+                                      THEN 1 ELSE 0 END AS new_s
+                          FROM ev),
+              sess AS (SELECT user_id, s,
+                              SUM(new_s) OVER (PARTITION BY user_id ORDER BY s
+                                               ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM flagged)
+         SELECT user_id, MIN(s) AS session_start, COUNT(*) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q43_vocab" ->
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS tok FROM documents)
+         SELECT COUNT(DISTINCT tok) AS vocab, COUNT(*) AS total_tokens FROM toks""",
 
     "q34_series_stats" ->
       """SELECT CAST(MAX(len(embedding)) AS BIGINT) AS max_len, COUNT(*) AS n FROM embeddings""",
