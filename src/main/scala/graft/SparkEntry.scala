@@ -52,26 +52,49 @@ object SparkEntry {
     * materialized once — the reference reads its inputs from Hive tables,
     * so generation is not part of the measured workload.
     */
+  private val harCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
   private def harSynth(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val scale =
-      if (dir.contains("sf0.1")) 1.0
-      else if (dir.contains("sf0.01")) 0.1 else 0.01
-    val nTrain = math.max((7352 * scale).toInt, 80)
-    val nTest = math.max((2947 * scale).toInt, 30)
-    val L = 561
-    // native generator expression: value-identical to the declarative
-    // transform(sequence(...)) form (ExpressionsSpec pins this) but one
-    // codegen call per row instead of 561 interpreted lambda evaluations
-    def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
-      s.range(n).select(
-        (col("id") + offset).as(idCol),
-        pmod(col("id") + offset, lit(6)).cast("double").as("label"),
-        call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
-    val train = synth(nTrain, 0, "train_id", "train_series").localCheckpoint()
-    val testAll = synth(nTest, 1000000, "test_id", "test_series").localCheckpoint()
-    val test = testAll.select(col("test_id"), col("test_series"))
-    val truth = testAll.select(col("test_id"), col("label"))
-    (train, test, truth)
+    // ONE materialization per (session, tier), shared by q25/q26/q31 —
+    // per-query checkpoints tripled the block footprint and (never being
+    // released) degraded every query that ran after them in a shared
+    // session (the round-2 bench defect).
+    val (train, testAll) = harCache.computeIfAbsent((s, dir), { _ =>
+      val scale =
+        if (dir.contains("sf0.1")) 1.0
+        else if (dir.contains("sf0.01")) 0.1 else 0.01
+      val nTrain = math.max((7352 * scale).toInt, 80)
+      val nTest = math.max((2947 * scale).toInt, 30)
+      val L = 561
+      // native generator expression: value-identical to the declarative
+      // transform(sequence(...)) form (ExpressionsSpec pins this) but one
+      // codegen call per row instead of 561 interpreted lambda evaluations
+      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        s.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
+      (synth(nTrain, 0, "train_id", "train_series").localCheckpoint(),
+        synth(nTest, 1000000, "test_id", "test_series").localCheckpoint())
+    })
+    (train,
+      testAll.select(col("test_id"), col("test_series")),
+      testAll.select(col("test_id"), col("label")))
+  }
+
+  /** Release every frame this object has materialized for `s` (the HAR
+    * workload inputs). Used by Bench's isolated mode; a long-lived
+    * production session can call it when the series workloads are done.
+    */
+  def clearSessionCaches(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    harCache.keySet.asScala.filter(_._1 eq s).toList.foreach { key =>
+      Option(harCache.remove(key)).foreach { case (train, testAll) =>
+        graft.core.Materialize.releaseCheckpoint(train)
+        graft.core.Materialize.releaseCheckpoint(testAll)
+      }
+    }
   }
 
   /** Q26/Q31 cascade parameters: exact banded DTW (Sakoe-Chiba 10%),

@@ -51,6 +51,12 @@ object SeriesFunctions {
     */
   def topkIds(score: Column, id: Column, k: Int): Column =
     call_function("graft_topk_ids", score, id, lit(k))
+  /** The k smallest scores per group, sorted ascending — bounded-buffer
+    * order statistics (the sampled-tau pass needs the fk-th smallest
+    * without an unbounded collect_list).
+    */
+  def topkScores(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk_scores", score, id, lit(k))
   /** Identity wrapper that blocks predicate pushdown (see [[graft.functions.Barrier]]). */
   def barrier(c: Column): Column = call_function("graft_barrier", c)
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)

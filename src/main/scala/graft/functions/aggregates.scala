@@ -16,8 +16,15 @@ final class TopKIdsBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  @inline private def gt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 > i2)
+  // java.lang.Double.compare: a TOTAL order (NaN greater than everything,
+  // matching Spark's sort order). Raw `>` would strand a NaN inserted
+  // while size < k — not greater AND not smaller than any later score, so
+  // never evicted — and let pruned KNN diverge from the exact window-rank
+  // path on NaN-containing series.
+  @inline private def gt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 > i2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size < k) {
@@ -50,11 +57,19 @@ final class TopKIdsBuffer(val k: Int) {
     }
   }
 
-  /** ids sorted ascending by (score, id) — deterministic output order. */
-  def sortedIds(): Array[Long] = {
-    val idx = Array.range(0, size).sortBy(i => (scores(i), ids(i)))
-    idx.map(ids(_))
+  private def sortedIdx(): Array[Int] = {
+    val idx = Array.range(0, size)
+    idx.sortWith { (x, y) =>
+      val c = java.lang.Double.compare(scores(x), scores(y))
+      c < 0 || (c == 0 && ids(x) < ids(y))
+    }
   }
+
+  /** ids sorted ascending by (score, id) — deterministic output order. */
+  def sortedIds(): Array[Long] = sortedIdx().map(ids(_))
+
+  /** scores sorted ascending by (score, id). */
+  def sortedScores(): Array[Double] = sortedIdx().map(scores(_))
 }
 
 /** Native bounded top-k-by-score aggregate: collects the ids of the k
@@ -74,18 +89,22 @@ case class BoundedTopKIdsAgg(
     scoreChild: Expression,
     idChild: Expression,
     k: Int,
+    emitScores: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKIdsBuffer] with ImplicitCastInputTypes {
   require(k >= 1, "k must be >= 1")
 
-  override def prettyName: String = "graft_topk_ids"
+  override def prettyName: String =
+    if (emitScores) "graft_topk_scores" else "graft_topk_ids"
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
   // analysis-time coercion: an INT id or FLOAT score would otherwise
   // pass analysis and ClassCastException per task at execution
   override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (emitScores) ArrayType(DoubleType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
 
   override def createAggregationBuffer(): TopKIdsBuffer = new TopKIdsBuffer(k)
 
@@ -104,7 +123,8 @@ case class BoundedTopKIdsAgg(
   }
 
   override def eval(buf: TopKIdsBuffer): Any =
-    ArrayData.toArrayData(buf.sortedIds())
+    if (emitScores) ArrayData.toArrayData(buf.sortedScores())
+    else ArrayData.toArrayData(buf.sortedIds())
 
   override def serialize(buf: TopKIdsBuffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)

@@ -88,6 +88,10 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         BoundedTopKIdsAgg(es(0), es(1), intArg(es(2), "k")),
       "graft_topk_ids(score, id, k) - ids of the k smallest (score, id) pairs, as array<long>"),
+    ("graft_topk_scores",
+      (es: Seq[Expression]) =>
+        BoundedTopKIdsAgg(es(0), es(1), intArg(es(2), "k"), emitScores = true),
+      "graft_topk_scores(score, id, k) - scores of the k smallest (score, id) pairs, as array<double>"),
     ("graft_simhash59",
       (es: Seq[Expression]) => PortableSimHash59(es(0)),
       "graft_simhash59(tokens) - 59-bit SimHash over portable charfold token hashes"),

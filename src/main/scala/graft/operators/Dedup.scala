@@ -217,15 +217,22 @@ object Dedup {
       val neighborMin = und
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // localCheckpoint is eager: once `next` exists its blocks are
+      // materialized, so round N-1's labels can release immediately —
+      // without this every iteration leaks a block set into the session
       val next = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("old")).isEmpty
+      graft.core.Materialize.releaseCheckpoint(labels)
       labels = next.select("id", "label")
       iter += 1
     }
+    // the edge set is loop-internal — the returned frame references only
+    // the final labels checkpoint, so und's blocks release here
+    graft.core.Materialize.releaseCheckpoint(und)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -211,9 +211,13 @@ object Knn {
       if (p.prefilterSampleMod > 1) {
         val sampled = trainSel.filter(
           pmod(xxhash64(col("train_id")), lit(p.prefilterSampleMod)) === 0)
+        // bounded-heap order statistic: the fk-th smallest sampled score,
+        // with at most fk doubles of state per group (collect_list would
+        // buffer ~|train|/mod scores per test id — unbounded state inside
+        // the prefilter that exists to bound state)
         val tau = slimScores(sampled)
           .groupBy(col("test_id"))
-          .agg(sort_array(collect_list(col("score"))).as("ss"))
+          .agg(SeriesFunctions.topkScores(col("score"), col("train_id"), fk).as("ss"))
           .select(col("test_id"),
             coalesce(get(col("ss"), lit(fk - 1)), lit(Double.MaxValue)).as("tau"))
         // attach tau to the TEST side (a |test|-row broadcast join), so

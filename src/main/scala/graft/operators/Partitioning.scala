@@ -79,7 +79,20 @@ object Partitioning {
       if (files > 0L)
         ((statBytes + BigInt(files * openCost)) / maxPart).min(BigInt(Int.MaxValue)).toLong + 1L
       else if (statBytes < BigInt(maxPart) * t) 1L // small in-memory frame
-      else Long.MaxValue // unknown/huge: assume already wide
+      else {
+        // Unknown stats and no input files (RDD-backed / LogicalRDD
+        // frames report defaultSizeInBytes): a NARROW such frame would
+        // re-introduce the single-task pair loop if we assumed wide.
+        // LogicalRDD leaves expose their real partitioning without any
+        // physical planning; otherwise pay one planning of the subtree.
+        val viaLeaf = df.queryExecution.optimizedPlan.collectLeaves().collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.getNumPartitions.toLong
+        }
+        viaLeaf.getOrElse(
+          try df.rdd.getNumPartitions.toLong
+          catch { case _: Throwable => Long.MaxValue })
+      }
     if (estPartitions >= t) df else df.repartition(t)
   }
 }

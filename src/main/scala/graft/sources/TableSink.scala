@@ -26,6 +26,12 @@ object TableSink {
     * `saveAsTable` that must be re-runnable (bucketed writers included).
     */
   def prepareOverwrite(spark: SparkSession, name: String): Unit = {
+    // Validated BEFORE the DROP and the filesystem delete: a '/' or '..'
+    // would make the orphan-location delete escape the warehouse dir, a
+    // backtick would break out of the DROP quoting, and a qualified
+    // db.tbl name would resolve to the wrong local path (db.db/tbl).
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"table name must match [A-Za-z0-9_]+ (unqualified, no separators): $name")
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     clearOrphanLocation(spark, name)
   }
