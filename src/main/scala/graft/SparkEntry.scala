@@ -406,17 +406,21 @@ object SparkEntry {
 
     // Q38 — the k hyper-parameter sweep as one declared query (SURVEY
     // M7: the reference's manual per-k notebook cells,
-    // Team11-Project.py:237-322): per-k accuracy rows, one KNN pipeline
-    // per k, unioned. Exercises the sweep loop under the oracle.
+    // Team11-Project.py:237-322). One-pass: rank once at k=max, every
+    // swept k votes on its rank prefix (Knn.sweepClassify) — the pair
+    // matrix is scored once, not once per k.
     "q38_ksweep" -> ((s, dir) => {
       GraftFunctions.register(s)
       val (train, test, truth) = trainTest(s, dir)
-      Seq(1, 3, 5).map { k =>
-        val pred = Knn.classify(train, test, KnnParams(k = k, distance = "euclidean"))
-        Evaluation.accuracy(pred.join(truth, "test_id"),
-          col("predicted_label"), col("label"))
-          .select(lit(k).as("k"), col("accuracy"), col("n"))
-      }.reduce(_ unionByName _).orderBy("k")
+      val preds = Knn.sweepClassify(train, test,
+        KnnParams(distance = "euclidean"), Seq(1, 3, 5))
+      preds.join(truth, "test_id")
+        .groupBy(col("k"))
+        .agg(
+          round(avg(when(abs(col("predicted_label") - col("label")) === 0.0, 1.0)
+            .otherwise(0.0)), 6).as("accuracy"),
+          count(lit(1)).as("n"))
+        .orderBy("k")
     }),
 
     // Q39 — the EP1 ingestion pipeline under the oracle (SURVEY P1, P2,
@@ -495,6 +499,31 @@ object SparkEntry {
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .agg(countDistinct(col("tok")).as("vocab"),
           count(lit(1)).as("total_tokens"))
+    }),
+
+    // Q44 — FastDTW under the hash gate (SURVEY M3; the reference's
+    // DEFAULT distance, Team11-Project.py:339-341): full 1-NN
+    // classification (Model-2 min_by path) with graft_fastdtw over
+    // CONSTANT series of data-driven varied lengths. On constant series
+    // exact DTW is |x-y|*max(n,m) (minimal-cell path) and halving
+    // preserves constancy, so FastDTW hits that closed form at every
+    // recursion depth (KernelsSpec pins this exhaustively for lengths
+    // 1..64) — which makes the whole pipeline DuckDB-replayable.
+    "q44_fastdtw_1nn" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("key"),
+        col("n_regionkey").cast("double").as("label"),
+        (lit(4) + pmod(col("n_nationkey") * 7, lit(41))).cast("int").as("len"))
+      val train = n.select(col("key").as("train_id"),
+        array_repeat(col("key").cast("double"), col("len")).as("train_series"),
+        col("label"))
+      val test = n.select(col("key").as("test_id"),
+        array_repeat(col("key").cast("double"), col("len")).as("test_series"))
+      Knn.classify1NN(train, test, KnnParams(distance = "fastdtw", radius = 1))
+        .select(col("test_id"), col("predicted_label"),
+          round(col("min_distance"), 6).as("min_distance"))
+        .orderBy("test_id")
     }),
 
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
@@ -594,6 +623,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Q45 — IVF ANN under the hash gate: same probe/rerank pipeline as
+    // Q28 but against FIXED pre-fit centroids (the documented production
+    // path for 100 TB — centroids fit once offline, enter the plan as
+    // literals). Fully deterministic, so cell assignment, probing, and
+    // the exact rerank all replay in DuckDB (q21's plane-literal
+    // technique).
+    "q45_ann_ivf_det" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, ivfCentroids, probes = 3)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q32 — multimodal -> ANN end-to-end: binary media payloads decoded
     // to feature vectors per partition (decode stubbed — no codecs in
     // this environment — but schema/batching/partitioning real,
@@ -673,6 +720,13 @@ object SparkEntry {
         val lits = p.map(java.lang.Double.toString).mkString(",")
         s"(CASE WHEN list_inner_product($vecExpr, [$lits]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Deterministic IVF centroids for q45: seeded gaussians scaled to
+    * ~unit norm (java.util.Random#nextGaussian is spec-stable), shared
+    * literal-for-literal between the Spark plan and the oracle SQL.
+    */
+  private lazy val ivfCentroids: Array[Array[Double]] =
+    graft.operators.SimilaritySearch.hyperplanes(64, 8, 4242L).map(_.map(_ / 8.0))
 
   /** Portable charfold-59 token hash in DuckDB SQL (mirror of
     * [[graft.functions.CharFoldFingerprint.tokenHash59]]) — shared by the
@@ -942,6 +996,23 @@ object SparkEntry {
       s"""WITH toks AS (SELECT unnest($tokensSql) AS tok FROM documents)
          SELECT COUNT(DISTINCT tok) AS vocab, COUNT(*) AS total_tokens FROM toks""",
 
+    // constant-series closed form: fastdtw == dtw == |x-y|*max(n,m)
+    // (KernelsSpec pins the equality exhaustively over the length grid)
+    "q44_fastdtw_1nn" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS key,
+                           CAST(n_regionkey AS DOUBLE) AS label,
+                           4 + (n_nationkey * 7) % 41 AS len
+                    FROM nation),
+              pairs AS (SELECT t.key AS test_id, tr.key AS train_id, tr.label,
+                               ABS(CAST(t.key - tr.key AS DOUBLE)) * GREATEST(t.len, tr.len) AS d
+                        FROM n t CROSS JOIN n tr
+                        WHERE t.key <> tr.key)
+         SELECT test_id, label AS predicted_label, ROUND(d, 6) AS min_distance
+         FROM (SELECT test_id, label, d,
+                      ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+               FROM pairs) x
+         WHERE rn = 1 ORDER BY test_id""",
+
     "q34_series_stats" ->
       """SELECT CAST(MAX(len(embedding)) AS BIGINT) AS max_len, COUNT(*) AS n FROM embeddings""",
 
@@ -1015,6 +1086,33 @@ object SparkEntry {
            SELECT query_id, item_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
            FROM cand) t
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // Q45: fixed literal centroids -> cell assignment (argmin over
+    // Euclidean distance; list_distance orders identically to the
+    // engine's sqdist), probe the 3 nearest cells per query, exact
+    // cosine rerank within probed cells.
+    "q45_ann_ivf_det" -> {
+      val ctrRows = ivfCentroids.zipWithIndex.map { case (c, i) =>
+        s"SELECT $i AS idx, [${c.map(java.lang.Double.toString).mkString(",")}]::DOUBLE[] AS ctr"
+      }.mkString(" UNION ALL ")
+      s"""WITH ctr AS ($ctrRows),
+              q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
+              c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0),
+              ca AS (SELECT id, v, idx AS cell,
+                            ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
+                     FROM c CROSS JOIN ctr),
+              cc AS (SELECT id, v, cell FROM ca WHERE rn = 1),
+              qa AS (SELECT id, v, idx AS cell,
+                            ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
+                     FROM q CROSS JOIN ctr),
+              qc AS (SELECT id, v, cell FROM qa WHERE rn <= 3)
+         SELECT query_id, rank, item_id FROM (
+           SELECT qc.id AS query_id, cc.id AS item_id,
+                  ROW_NUMBER() OVER (PARTITION BY qc.id
+                    ORDER BY list_cosine_similarity(qc.v, cc.v) DESC, cc.id) AS rank
+           FROM qc JOIN cc ON qc.cell = cc.cell) x
          WHERE rank <= 5 ORDER BY query_id, rank"""
     },
 

@@ -84,6 +84,22 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("fastdtw on constant series hits the closed form |x-y|*max(n,m), all lengths") {
+    // exact DTW on constant series is |x-y|*max(n,m) (minimal-cell path);
+    // halving preserves constancy, so every FastDTW level sees constant
+    // series and the refinement window always admits the minimal path.
+    // This equality is what puts graft_fastdtw under the DuckDB oracle
+    // (q44) — exhaustive over the length grid the query draws from.
+    for (n <- 1 to 64; m <- 1 to 64; r <- Seq(1, 2)) {
+      val a = Array.fill(n)(3.5)
+      val b = Array.fill(m)(1.25)
+      val expect = 2.25 * math.max(n, m)
+      val got = Kernels.fastdtw(a, b, r)
+      assert(math.abs(got - expect) < 1e-9,
+        s"fastdtw constant closed form failed at n=$n m=$m r=$r: $got != $expect")
+    }
+  }
+
   test("cosine: orthogonal -> 0, parallel -> 1, zero-norm -> 0") {
     assert(math.abs(Kernels.cosine(Array(1.0, 0.0), Array(0.0, 1.0))) < 1e-12)
     assert(math.abs(Kernels.cosine(Array(2.0, 2.0), Array(4.0, 4.0)) - 1.0) < 1e-12)

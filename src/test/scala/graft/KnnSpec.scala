@@ -77,6 +77,25 @@ class KnnSpec extends SparkTestBase {
     assert(knobbed === base)
   }
 
+  test("sweepClassify: one-pass sweep matches per-k classify, scores once") {
+    val ks = Seq(1, 3, 5)
+    val sweep = Knn.sweepClassify(trainDf, testDf,
+      KnnParams(distance = "euclidean"), ks)
+    val got = sweep.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (k <- ks) {
+      val perK = engine(k, "euclidean", "broadcast")
+      assert(perK.map { case (tid, l) => (tid, k) -> l } === got.filter(_._1._2 == k),
+        s"sweep diverges from classify at k=$k")
+    }
+    // the expensive scoring subtree must appear exactly once in the plan:
+    // one join pass over the pairs, not one per swept k
+    val joins = sweep.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1, s"expected 1 pair join in the sweep plan, got ${joins.size}")
+  }
+
   test("classify1NN (Model-2 min_by path) matches k=1 window path") {
     val windowPath = engine(1, "euclidean", "broadcast")
     val minByPath = Knn.classify1NN(trainDf, testDf, KnnParams(distance = "euclidean"))
