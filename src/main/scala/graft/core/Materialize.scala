@@ -28,4 +28,32 @@ object Materialize {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** The block manager's MEASURED byte size of a frame whose leaves are
+    * persisted RDDs (localCheckpoint / cache), or None when no leaf is
+    * persisted.
+    *
+    * Catalyst stats systematically UNDERESTIMATE checkpointed frames:
+    * `LogicalRDD` preserves the pre-materialization plan's estimate,
+    * which cannot see the width of generated or deserialized payload
+    * columns (a 561-double series column estimated from `range(n)` stats
+    * reports ~16 bytes/row against ~4.5 KB/row materialized). Size-driven
+    * strategy decisions (broadcast-vs-partitioned pair joins) must use
+    * the measured size, or they will broadcast an arbitrarily large
+    * train side at scale.
+    */
+  def storageBytes(df: DataFrame): Option[BigInt] = {
+    val persisted = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: LogicalRDD if lr.rdd.getStorageLevel != StorageLevel.NONE => lr.rdd.id
+    }
+    if (persisted.isEmpty) None
+    else {
+      val infos = df.sparkSession.sparkContext.getRDDStorageInfo
+      Some(persisted.map { id =>
+        infos.find(_.id == id)
+          .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
+          .getOrElse(BigInt(0))
+      }.sum)
+    }
+  }
 }

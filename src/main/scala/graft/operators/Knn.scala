@@ -47,22 +47,44 @@ object Knn {
     * broadcast while the train side fits an executor, partitioned
     * cartesian beyond that.
     */
+  /** Measured-size-aware broadcastability: Catalyst stats, raised to the
+    * block manager's measured size for persisted (LogicalRDD) leaves —
+    * the optimizer's estimate pre-dates materialization and cannot see
+    * generated payload width, so the estimate-only path would happily
+    * broadcast an arbitrarily large checkpointed side at scale
+    * ([[graft.core.Materialize.storageBytes]]).
+    *
+    * A pair join replicates one side to every task EITHER way —
+    * broadcast ships one copy per executor, a partitioned cartesian
+    * shuffle-reads a whole side per opposite partition — so broadcast
+    * wins while a side fits comfortably in executor memory. The floor is
+    * deliberately higher than autoBroadcastJoinThreshold's 10 MB
+    * default: that knob guards hash-join build memory, this guards a
+    * replicated dense matrix (tunable via spark.graft.knn.broadcastFloor;
+    * conf values may carry a byte-unit suffix, "64MB").
+    */
+  private def fitsBroadcast(df: DataFrame): Boolean = {
+    val conf = df.sparkSession.conf
+    val floor =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        conf.get("spark.graft.knn.broadcastFloor", "64m"))
+      catch { case _: Throwable => 67108864L }
+    val threshold =
+      try {
+        val s = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        if (s.trim.startsWith("-")) -1L
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      } catch { case _: Throwable => 10485760L }
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = graft.core.Materialize.storageBytes(df)
+      .map(_.max(planBytes)).getOrElse(planBytes)
+    threshold < 0 || bytes <= BigInt(math.max(threshold, floor))
+  }
+
   private def useBroadcast(trainSel: DataFrame, p: KnnParams): Boolean = p.strategy match {
     case "broadcast" => true
     case "cartesian" => false
-    case _ =>
-      // auto: Catalyst-stats-driven choice, mirroring Spark's own
-      // autoBroadcastJoinThreshold logic.
-      // The conf value may carry a byte-unit suffix ("10MB").
-      val threshold =
-        try {
-          val s = trainSel.sparkSession.conf
-            .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-          if (s.trim.startsWith("-")) -1L
-          else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
-        } catch { case _: Throwable => 10485760L }
-      val trainBytes = trainSel.queryExecution.optimizedPlan.stats.sizeInBytes
-      threshold < 0 || trainBytes <= BigInt(math.max(threshold, 10485760L))
+    case _           => fitsBroadcast(trainSel)
   }
 
   /** Strategy-aware all-pairs cross join of a (possibly projected) train
@@ -70,6 +92,16 @@ object Knn {
     * pre-computed decision so callers that build several pair joins per
     * query (the prune cascade: sampled tau pass, main scoring pass,
     * payload join-back) analyze the train subtree once, not per join.
+    *
+    * When the train side exceeds the broadcast budget: broadcast the
+    * TEST side instead if it fits (the train side then STREAMS — never
+    * shuffled, never replicated per partition — the right plan when a
+    * bounded query set probes a huge corpus); only when neither side
+    * fits, force a true partitioned cartesian via shuffle_replicate_nl.
+    * The explicit hint matters: an unhinted cross join lets Catalyst
+    * pick BNLJ from its own stats, which underestimate checkpointed
+    * inputs — it would silently broadcast the huge side this decision
+    * just rejected.
     */
   private def crossPairs(
       trainSel: DataFrame, spreadTest: DataFrame, p: KnnParams,
@@ -78,7 +110,10 @@ object Knn {
       spreadTest.crossJoin(broadcast(trainSel))
     else {
       val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel
-      spreadTest.crossJoin(t)
+      if (p.strategy != "cartesian" && fitsBroadcast(spreadTest))
+        t.crossJoin(broadcast(spreadTest))
+      else
+        spreadTest.hint("shuffle_replicate_nl").crossJoin(t)
     }
 
   /** All (test x train) candidate pairs with distances.

@@ -25,6 +25,47 @@ class IngestSpec extends SparkTestBase {
     assert(back.orderBy("row_id").collect()(1).getSeq[Double](4) === Seq(4.0, 5.0, 6.0))
   }
 
+  test("EP1 at reference width: 561-float strings -> parse -> pivot(561) -> assemble round-trip") {
+    // the width that motivated the one-projection pivot (the reference
+    // pivots 561 columns via 561 chained withColumn calls,
+    // Team11-Project.py:68-74 — a Catalyst analysis stressor). Both the
+    // VectorAssembler and array siblings must round-trip, and ANALYSIS
+    // (plan build through executedPlan) must stay bounded at width.
+    val n = 561
+    val rows = (1 to 50).map { r =>
+      (r.toLong, (1 to n).map(i => s"${r * 10000 + i}.25").mkString(" ", "  ", " "))
+    }
+    val raw = rows.toDF("row_id", "value")
+    val parsed = raw.select($"row_id", SeriesIngest.parseSeries($"value").as("series"))
+    val t0 = System.nanoTime()
+    val wide = SeriesIngest.pivotSeries(parsed, "series", n)
+    val featureCols = (1 to n).map(i => s"feature_$i")
+    val back = SeriesIngest.assembleSeries(wide, "series", featureCols)
+      .select($"row_id", $"series")
+    back.queryExecution.executedPlan // force full analysis + planning at width
+    val analysisSec = (System.nanoTime() - t0) / 1e9
+    assert(analysisSec < 30.0, s"561-wide pivot analysis took ${analysisSec}s")
+
+    assert(wide.columns.toSeq === "row_id" +: featureCols)
+    val got = back.orderBy("row_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = rows.map { case (r, _) =>
+      r -> (1 to n).map(i => (r * 10000 + i) + 0.25)
+    }.toMap
+    assert(got === want, "561-wide parse->pivot->assemble must round-trip exactly")
+
+    // MLlib interop at width: VectorAssembler over the same 561 columns
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.vector_to_array
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(wide)
+      .select($"row_id", vector_to_array($"features").as("series"))
+    val gotMl = assembled.orderBy("row_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(gotMl === want, "VectorAssembler path must agree at width 561")
+  }
+
   test("withRowId: contiguous 1..N in source order, parallelism preserved") {
     val df = spark.range(0, 1000, 1, 8).toDF("v") // 8 partitions
     val withId = SeriesIngest.withRowId(df)

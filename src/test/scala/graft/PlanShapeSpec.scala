@@ -1,0 +1,101 @@
+package graft
+
+import graft.core.{KnnParams, Materialize}
+import graft.operators.Knn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the PHYSICAL plan of the KNN pair-join strategy decision on
+  * checkpointed (LogicalRDD) inputs — what the q26 HAR cascade feeds it.
+  *
+  * Catalyst stats underestimate checkpointed frames (the estimate
+  * pre-dates materialization and cannot see generated payload width), so
+  * the auto strategy must read the block manager's measured size: a spec
+  * failure here means the decision silently flipped — broadcast of a huge
+  * train side (driver/executor OOM at scale) or partitioned cartesian of
+  * a small one (per-partition shuffle re-reads for nothing).
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  /** harSynth's shape: generated 561-point series behind a localCheckpoint. */
+  private def synth(n: Int, offset: Int, idCol: String, seriesCol: String): DataFrame =
+    spark.range(n).select(
+      (col("id") + offset).as(idCol),
+      pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+      call_function("graft_har_series", col("id") + offset, lit(561)).as(seriesCol))
+
+  private val harParams = KnnParams(distance = "dtw", band = 56,
+    lbPruning = true, candidateFactor = 16, coarsenFactor = 8)
+
+  test("storageBytes measures what stats cannot see on a checkpointed frame") {
+    val ck = synth(500, 0, "train_id", "train_series").localCheckpoint()
+    try {
+      val planBytes = ck.queryExecution.optimizedPlan.stats.sizeInBytes
+      val measured = Materialize.storageBytes(ck)
+      assert(measured.isDefined, "checkpointed frame must report storage bytes")
+      // 500 rows x 561 doubles is ~2.2 MB materialized; the range-derived
+      // estimate is a few KB — an order-of-magnitude blind spot
+      assert(measured.get > planBytes * 10,
+        s"expected measured >> estimated, got measured=${measured.get} plan=$planBytes")
+      assert(Materialize.storageBytes(spark.range(10).toDF("id")).isEmpty,
+        "non-persisted frames report None")
+    } finally Materialize.releaseCheckpoint(ck)
+  }
+
+  test("q26 cascade on broadcastable checkpointed inputs plans BroadcastNestedLoopJoin") {
+    val train = synth(400, 0, "train_id", "train_series").localCheckpoint()
+    val test = synth(60, 1000000, "test_id", "test_series")
+      .select(col("test_id"), col("test_series")).localCheckpoint()
+    try {
+      val pred = Knn.classify1NN(train, test, harParams)
+      val plan = pred.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"expected the pair joins to broadcast the train side, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        "broadcastable train must not fall back to partitioned cartesian")
+    } finally { Materialize.releaseCheckpoint(train); Materialize.releaseCheckpoint(test) }
+  }
+
+  test("oversize train, small test: the TEST side broadcasts, train streams") {
+    // effective limit is max(autoBroadcastJoinThreshold=10m default,
+    // floor): lower the floor so the 10m threshold governs, then cross
+    // it with ~14 MB MEASURED train (the stats estimate is a few KB and
+    // would keep broadcasting — only the block-manager size crosses)
+    spark.conf.set("spark.graft.knn.broadcastFloor", "1m")
+    val train = synth(3000, 0, "train_id", "train_series").localCheckpoint()
+    val test = synth(40, 1000000, "test_id", "test_series")
+      .select(col("test_id"), col("test_series")).localCheckpoint()
+    try {
+      val pred = Knn.classify1NN(train, test, harParams)
+      val bnlj = pred.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnlj.nonEmpty, "expected pair joins to broadcast the small test side")
+      assert(bnlj.forall(_.right.output.exists(_.name.startsWith("test_id"))),
+        "the broadcast (build-right) side must be the TEST side — the " +
+          "oversize train side must stream, never replicate")
+    } finally {
+      spark.conf.unset("spark.graft.knn.broadcastFloor")
+      Materialize.releaseCheckpoint(train); Materialize.releaseCheckpoint(test)
+    }
+  }
+
+  test("neither side fits: forced partitioned cartesian, no silent broadcast") {
+    spark.conf.set("spark.graft.knn.broadcastFloor", "1m")
+    val train = synth(3000, 0, "train_id", "train_series").localCheckpoint()
+    val test = synth(3000, 1000000, "test_id", "test_series")
+      .select(col("test_id"), col("test_series")).localCheckpoint()
+    try {
+      val pred = Knn.classify1NN(train, test, harParams)
+      val plan = pred.queryExecution.sparkPlan.toString
+      // Catalyst's own stats underestimate both checkpointed sides and
+      // would BNLJ an unhinted cross join — the shuffle_replicate_nl
+      // hint must win
+      assert(plan.contains("CartesianProduct"),
+        s"expected a true partitioned cartesian when neither side fits, plan:\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.knn.broadcastFloor")
+      Materialize.releaseCheckpoint(train); Materialize.releaseCheckpoint(test)
+    }
+  }
+}
