@@ -526,6 +526,28 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // Q46 — UNCONSTRAINED DTW (band = -1; the full-matrix recurrence,
+    // q12's code path — band=0 and banded runs gate the diagonal and
+    // windowed paths, this gates the unwindowed one) under the same
+    // constant-series closed form as q44: exact DTW on constant series
+    // is |x-y|*max(n,m) with no approximation involved.
+    "q46_dtw_unconstrained_1nn" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("key"),
+        col("n_regionkey").cast("double").as("label"),
+        (lit(4) + pmod(col("n_nationkey") * 7, lit(41))).cast("int").as("len"))
+      val train = n.select(col("key").as("train_id"),
+        array_repeat(col("key").cast("double"), col("len")).as("train_series"),
+        col("label"))
+      val test = n.select(col("key").as("test_id"),
+        array_repeat(col("key").cast("double"), col("len")).as("test_series"))
+      Knn.classify1NN(train, test, KnnParams(distance = "dtw", band = -1))
+        .select(col("test_id"), col("predicted_label"),
+          round(col("min_distance"), 6).as("min_distance"))
+        .orderBy("test_id")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -659,7 +681,12 @@ object SparkEntry {
         .select(col("id").as("query_id"), col("features").as("query_vec"))
       val corpus = feats.filter(col("id") % 10 =!= 0)
         .select(col("id").as("item_id"), col("features").as("item_vec"))
-      SimilaritySearch.ivfTopK(queries, corpus, 5, numCells = 8, probes = 3)
+      // fixed pre-fit centroids (not a KMeans fit): the whole pipeline is
+      // deterministic, so the rows-only gate at least sees a STABLE
+      // result — the oracle hole is solely the binary decode (64-bit
+      // overflow mixing, not expressible in the oracle's ANSI SQL)
+      val centers = SimilaritySearch.hyperplanes(32, 8, 3232L).map(_.map(_ / math.sqrt(32)))
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 3)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
     }),
@@ -995,6 +1022,22 @@ object SparkEntry {
     "q43_vocab" ->
       s"""WITH toks AS (SELECT unnest($tokensSql) AS tok FROM documents)
          SELECT COUNT(DISTINCT tok) AS vocab, COUNT(*) AS total_tokens FROM toks""",
+
+    // same construction, unconstrained exact DTW (closed form is exact)
+    "q46_dtw_unconstrained_1nn" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS key,
+                           CAST(n_regionkey AS DOUBLE) AS label,
+                           4 + (n_nationkey * 7) % 41 AS len
+                    FROM nation),
+              pairs AS (SELECT t.key AS test_id, tr.key AS train_id, tr.label,
+                               ABS(CAST(t.key - tr.key AS DOUBLE)) * GREATEST(t.len, tr.len) AS d
+                        FROM n t CROSS JOIN n tr
+                        WHERE t.key <> tr.key)
+         SELECT test_id, label AS predicted_label, ROUND(d, 6) AS min_distance
+         FROM (SELECT test_id, label, d,
+                      ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+               FROM pairs) x
+         WHERE rn = 1 ORDER BY test_id""",
 
     // constant-series closed form: fastdtw == dtw == |x-y|*max(n,m)
     // (KernelsSpec pins the equality exhaustively over the length grid)
