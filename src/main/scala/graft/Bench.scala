@@ -38,6 +38,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    SparkEntry.clearSessionCaches(spark)
     spark.stop()
   }
 }

@@ -60,6 +60,14 @@ object SparkEntry {
     // per-query checkpoints tripled the block footprint and (never being
     // released) degraded every query that ran after them in a shared
     // session (the round-2 bench defect).
+    // evict entries whose session has stopped (their blocks died with
+    // the session, but the map must not pin stopped-session object
+    // graphs in a long-lived JVM that cycles sessions)
+    {
+      import scala.jdk.CollectionConverters._
+      harCache.keySet.asScala.filter(_._1.sparkContext.isStopped).toList
+        .foreach(harCache.remove)
+    }
     val (train, testAll) = harCache.computeIfAbsent((s, dir), { _ =>
       val scale =
         if (dir.contains("sf0.1")) 1.0
@@ -414,12 +422,8 @@ object SparkEntry {
       val (train, test, truth) = trainTest(s, dir)
       val preds = Knn.sweepClassify(train, test,
         KnnParams(distance = "euclidean"), Seq(1, 3, 5))
-      preds.join(truth, "test_id")
-        .groupBy(col("k"))
-        .agg(
-          round(avg(when(abs(col("predicted_label") - col("label")) === 0.0, 1.0)
-            .otherwise(0.0)), 6).as("accuracy"),
-          count(lit(1)).as("n"))
+      Evaluation.groupedAccuracy(preds.join(truth, "test_id"),
+        Seq(col("k")), col("predicted_label"), col("label"))
         .orderBy("k")
     }),
 

@@ -42,6 +42,24 @@ object Materialize {
     * the measured size, or they will broadcast an arbitrarily large
     * train side at scale.
     */
+  /** Whether `df`'s Catalyst size estimate can be TRUSTED for a
+    * broadcast decision. File relations carry real on-disk byte counts
+    * and LocalRelations are literal rows; a persisted LogicalRDD has a
+    * measured size ([[storageBytes]]). Anything else — `Range` under a
+    * generator projection, a non-persisted RDD scan — reports a
+    * width-blind estimate that can undercount payload columns by orders
+    * of magnitude, so callers must treat the frame as NOT broadcastable
+    * rather than gamble on it.
+    */
+  def estimateTrusted(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().forall {
+      case lr: LogicalRDD => lr.rdd.getStorageLevel != StorageLevel.NONE
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+
   def storageBytes(df: DataFrame): Option[BigInt] = {
     val persisted = df.queryExecution.optimizedPlan.collectLeaves().collect {
       case lr: LogicalRDD if lr.rdd.getStorageLevel != StorageLevel.NONE => lr.rdd.id

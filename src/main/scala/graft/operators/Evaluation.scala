@@ -18,6 +18,12 @@ object Evaluation {
       round(avg(when(abs(pred - truth) === 0.0, 1.0).otherwise(0.0)), 6).as("accuracy"),
       count(lit(1)).as("n"))
 
+  /** Accuracy per group (the k-sweep shape) — same metric as [[accuracy]]. */
+  def groupedAccuracy(joined: DataFrame, groupCols: Seq[Column], pred: Column, truth: Column): DataFrame =
+    joined.groupBy(groupCols: _*).agg(
+      round(avg(when(abs(pred - truth) === 0.0, 1.0).otherwise(0.0)), 6).as("accuracy"),
+      count(lit(1)).as("n"))
+
   /** Accuracy joining predictions (id, predicted_label) to truth (id, label). */
   def accuracy(predictions: DataFrame, truth: DataFrame, idCol: String): DataFrame =
     accuracy(

@@ -75,10 +75,18 @@ object Knn {
         if (s.trim.startsWith("-")) -1L
         else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
       } catch { case _: Throwable => 10485760L }
+    // -1 is Spark's documented "broadcast disabled": honor it (an
+    // explicit strategy="broadcast" still overrides via useBroadcast)
+    if (threshold < 0) return false
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // measured size when persisted; the raw estimate only when its
+    // sources make it trustworthy — an untrusted estimate (generated
+    // payloads over Range, non-persisted RDD scans) means NOT
+    // broadcastable, never "probably fine"
     val bytes = graft.core.Materialize.storageBytes(df)
-      .map(_.max(planBytes)).getOrElse(planBytes)
-    threshold < 0 || bytes <= BigInt(math.max(threshold, floor))
+      .map(_.max(planBytes))
+      .orElse(if (graft.core.Materialize.estimateTrusted(df)) Some(planBytes) else None)
+    bytes.exists(_ <= BigInt(math.max(threshold, floor)))
   }
 
   private def useBroadcast(trainSel: DataFrame, p: KnnParams): Boolean = p.strategy match {
@@ -105,12 +113,14 @@ object Knn {
     */
   private def crossPairs(
       trainSel: DataFrame, spreadTest: DataFrame, p: KnnParams,
-      broadcastTrain: Option[Boolean] = None): DataFrame =
+      broadcastTrain: Option[Boolean] = None,
+      broadcastTest: Option[Boolean] = None): DataFrame =
     if (broadcastTrain.getOrElse(useBroadcast(trainSel, p)))
       spreadTest.crossJoin(broadcast(trainSel))
     else {
       val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel
-      if (p.strategy != "cartesian" && fitsBroadcast(spreadTest))
+      if (p.strategy != "cartesian" &&
+          broadcastTest.getOrElse(fitsBroadcast(spreadTest)))
         t.crossJoin(broadcast(spreadTest))
       else
         spreadTest.hint("shuffle_replicate_nl").crossJoin(t)
@@ -219,11 +229,14 @@ object Knn {
     // ABOVE this select (across the tau join), and predicate pushdown
     // would otherwise inline the ranking kernel into the filter — one
     // evaluation per pair becomes two
-    // one stats-driven decision per query (conservative: measured on the
-    // FULL train projection, reused for the smaller sketch/sample joins)
+    // one stats-driven decision per query and side (conservative:
+    // measured on the FULL train projection, reused for the smaller
+    // sketch/sample joins; the test-side decision is only consulted when
+    // the train side exceeds the budget)
     val bcastTrain = useBroadcast(trainSel, p)
+    val bcastTest = !bcastTrain && fitsBroadcast(testSketch)
     def slimScores(tr: DataFrame): DataFrame =
-      crossPairs(trainSketchOf(tr), testSketch, p, Some(bcastTrain))
+      crossPairs(trainSketchOf(tr), testSketch, p, Some(bcastTrain), Some(bcastTest))
         .select(col("test_id"), col("train_id"),
           SeriesFunctions.barrier(scoreExpr).as("score"))
     val fk = p.candidateFactor * p.k
@@ -261,7 +274,7 @@ object Knn {
         // empty subsample (tiny train side) must disable the filter, not
         // drop every row.
         val testWithTau = testSketch.join(broadcast(tau), Seq("test_id"), "left")
-        crossPairs(trainSketchOf(trainSel), testWithTau, p, Some(bcastTrain))
+        crossPairs(trainSketchOf(trainSel), testWithTau, p, Some(bcastTrain), Some(bcastTest))
           .select(col("test_id"), col("train_id"),
             SeriesFunctions.barrier(scoreExpr).as("score"), col("tau"))
           .filter(col("score") <= coalesce(col("tau"), lit(Double.MaxValue)))
@@ -277,10 +290,7 @@ object Knn {
     //      kernel into a single task; explicit counts are respected);
     //   3. candidate ids explode IN-PARTITION (no shuffle of the
     //      fanned-out rows);
-    //   4. the train side joins broadcast under the broadcast strategy —
-    //      and when train exceeds broadcast size, the exploded frame is
-    //      the small side, so the runtime hash-joins it against a
-    //      streamed (never shuffled) train.
+    //   4. the train side joins broadcast under the broadcast strategy.
     // Payload bytes moved: O(|test| + |train|-broadcast), not
     // O(|test| * fk * seriesBytes) — the earlier shape repartitioned the
     // fanned-out rows WITH both payloads attached (~430 MB shuffle at
@@ -292,16 +302,33 @@ object Knn {
     // it in KnnSpec
     val perTest = slimDf.groupBy(col("test_id"))
       .agg(SeriesFunctions.topkIds(col("score"), col("train_id"), fk).as("cand_ids"))
-    val trainBack = if (bcastTrain) broadcast(trainSel) else trainSel
-    val withDist = perTest
-      .join(testSel, "test_id")
-      .repartition(spark0.sparkContext.defaultParallelism)
-      .select(col("test_id"), col("test_series"),
-        explode(col("cand_ids")).as("train_id"))
-      .join(trainBack, "train_id")
-      .withColumn("dist",
-        SeriesFunctions.barrier(
-          distanceColumn(p)(col("test_series"), col("train_series"))))
+    val distExpr = SeriesFunctions.barrier(
+      distanceColumn(p)(col("test_series"), col("train_series")))
+    val withDist =
+      if (bcastTrain)
+        perTest
+          .join(testSel, "test_id")
+          .repartition(spark0.sparkContext.defaultParallelism)
+          .select(col("test_id"), col("test_series"),
+            explode(col("cand_ids")).as("train_id"))
+          .join(broadcast(trainSel), "train_id")
+          .withColumn("dist", distExpr)
+      else {
+        // Oversize train: broadcast the SLIM (train_id, test_id)
+        // candidate pairs instead — fk ids per test point, payload-free —
+        // so the train payload STREAMS through the hash join, never
+        // collected, never shuffled. An unhinted equi join here would let
+        // Catalyst build-broadcast the train side from its lying
+        // LogicalRDD estimate. The test-payload join is pinned to
+        // sort-merge for the same reason (exchanges the candidate rows
+        // and |test| payload rows; replicates nothing unbounded).
+        val slimPairs = perTest.select(
+          col("test_id"), explode(col("cand_ids")).as("train_id"))
+        trainSel
+          .join(broadcast(slimPairs), "train_id")
+          .join(testSel.hint("merge"), "test_id")
+          .withColumn("dist", distExpr)
+      }
     val filtered =
       if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0) else withDist
     filtered.select(col("test_id"), col("train_id"), col("label"), col("dist"))

@@ -27,6 +27,19 @@ class PlanShapeSpec extends SparkTestBase {
   private val harParams = KnnParams(distance = "dtw", band = 56,
     lbPruning = true, candidateFactor = 16, coarsenFactor = 8)
 
+  /** No BroadcastExchange anywhere in the plan may carry `payloadCol` —
+    * catches broadcast HASH joins rebuilding an oversize side from lying
+    * stats, not just the pair joins.
+    */
+  private def assertNoPayloadBroadcast(df: DataFrame, payloadCol: String): Unit = {
+    val offending = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.output.exists(_.name.startsWith(payloadCol)) => b
+    }
+    assert(offending.isEmpty,
+      s"$payloadCol must never sit under a BroadcastExchange:\n${offending.mkString("\n")}")
+  }
+
   test("storageBytes measures what stats cannot see on a checkpointed frame") {
     val ck = synth(500, 0, "train_id", "train_series").localCheckpoint()
     try {
@@ -74,6 +87,9 @@ class PlanShapeSpec extends SparkTestBase {
       assert(bnlj.forall(_.right.output.exists(_.name.startsWith("test_id"))),
         "the broadcast (build-right) side must be the TEST side — the " +
           "oversize train side must stream, never replicate")
+      // EVERY broadcast in the plan, hash joins included (the payload
+      // join-back!), must be free of the oversize train payload
+      assertNoPayloadBroadcast(pred, "train_series")
     } finally {
       spark.conf.unset("spark.graft.knn.broadcastFloor")
       Materialize.releaseCheckpoint(train); Materialize.releaseCheckpoint(test)
@@ -93,6 +109,9 @@ class PlanShapeSpec extends SparkTestBase {
       // hint must win
       assert(plan.contains("CartesianProduct"),
         s"expected a true partitioned cartesian when neither side fits, plan:\n$plan")
+      // neither payload may ride a BroadcastExchange anywhere in the plan
+      assertNoPayloadBroadcast(pred, "train_series")
+      assertNoPayloadBroadcast(pred, "test_series")
     } finally {
       spark.conf.unset("spark.graft.knn.broadcastFloor")
       Materialize.releaseCheckpoint(train); Materialize.releaseCheckpoint(test)
