@@ -567,6 +567,24 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
+    // Q47 — as-of join (temporal alignment, beyond the reference): every
+    // click event picks up the most recent PRECEDING view event of the
+    // same user. Spark-first single-shuffle shape (union + side tag +
+    // running last-ignoring-nulls window — no range join, no per-key
+    // explosion); the oracle replays it with a correlated LATERAL top-1.
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.asofBackward(
+        clicks, views, Seq("user_id"), "ts", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -678,6 +696,23 @@ object SparkEntry {
       val corpus = e.filter(col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, ivfCentroids, probes = 3)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q48 — int8-quantized ANN: quantized prefilter (top k*4 per query
+    // on int8 vectors — the 8x-less-bandwidth scan at 100 TB), exact
+    // full-precision rerank of survivors. Fully deterministic, so the
+    // whole approximate pipeline (quantization arithmetic, prefilter
+    // ranking, rerank) replays in the DuckDB oracle.
+    "q48_ann_int8" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      SimilaritySearch.int8TopK(queries, corpus, 5, rerankFactor = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
     }),
@@ -1079,6 +1114,20 @@ object SparkEntry {
                FROM pairs) x
          WHERE rn = 1 ORDER BY test_id""",
 
+    // correlated LATERAL top-1 — an independent formulation of the
+    // union+window as-of semantics (ties: greatest (ts, event_id) wins)
+    "q47_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+                a.event_id AS asof_event_id, a.value AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         LEFT JOIN LATERAL (
+           SELECT r.event_id, r.value FROM events r
+           WHERE r.event_type = 'view' AND r.user_id = l.user_id
+             AND r.ts <= l.ts
+           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+         ) a ON true
+         ORDER BY l.event_id""",
+
     "q34_series_stats" ->
       """SELECT CAST(MAX(len(embedding)) AS BIGINT) AS max_len, COUNT(*) AS n FROM embeddings""",
 
@@ -1298,6 +1347,34 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY q.query_id
                     ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.item_id) AS rank
            FROM q CROSS JOIN c) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // replays the quantization (round(x*127/max|v|)), the quantized
+    // prefilter ranking, and the exact rerank — ties everywhere on id
+    "q48_ann_int8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
+              c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0),
+              qq AS (SELECT query_id,
+                            CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+                                 ELSE list_transform(v, x -> round(x * 127 / m)) END AS q8
+                     FROM (SELECT query_id, v,
+                                  list_max(list_transform(v, x -> abs(x))) AS m FROM q) t),
+              cq AS (SELECT item_id,
+                            CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+                                 ELSE list_transform(v, x -> round(x * 127 / m)) END AS c8
+                     FROM (SELECT item_id, v,
+                                  list_max(list_transform(v, x -> abs(x))) AS m FROM c) t),
+              cand AS (SELECT query_id, item_id FROM (
+                         SELECT qq.query_id, cq.item_id,
+                                ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                                  ORDER BY list_cosine_similarity(qq.q8, cq.c8) DESC, cq.item_id) AS qrank
+                         FROM qq CROSS JOIN cq) t
+                       WHERE qrank <= 20)
+         SELECT query_id, rank, item_id FROM (
+           SELECT cand.query_id, cand.item_id,
+                  ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                    ORDER BY list_cosine_similarity(q.v, c.v) DESC, cand.item_id) AS rank
+           FROM cand JOIN q USING (query_id) JOIN c USING (item_id)) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q24_embedding_neardup" ->

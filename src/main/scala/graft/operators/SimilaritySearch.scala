@@ -158,6 +158,63 @@ object SimilaritySearch {
       .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|v_i| / 127,
+    * q_i = round(v_i / scale) in [-127, 127], stored as array<tinyint> —
+    * 8x smaller than the double vector. COSINE ranking is scale-free, so
+    * the per-vector scale never needs to be carried: cos(q_a, q_b)
+    * approximates cos(a, b) directly.
+    *
+    * The max|v_i| is projected to its own column first: a higher-order
+    * `transform` re-evaluates outer references per element, so referencing
+    * the aggregate expression inline would make quantization O(dim^2).
+    */
+  def withInt8(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_int8_m", array_max(transform(col(vecCol), x => abs(x))))
+      .withColumn(outCol,
+        when(col("_int8_m") === 0d,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+          .otherwise(transform(col(vecCol),
+            x => round(x * lit(127d) / col("_int8_m")).cast("tinyint"))))
+      .drop("_int8_m")
+
+  /** Quantized-prefilter ANN: rank ALL candidates on int8-quantized
+    * vectors (the cheap pass — at scale the quantized corpus is what
+    * streams from storage, 8x less bandwidth than doubles, and what
+    * broadcasts), keep the top k*rerankFactor per query, then rerank
+    * only those exactly at full precision. Deterministic end to end
+    * (quantization is pure arithmetic, every rank ties on item_id), so
+    * unlike the LSH/IVF paths this approximate operator replays fully
+    * in SQL.
+    */
+  def int8TopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
+    val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
+    val qq = withInt8(q, "qv", "q8").select(col("query_id"), col("q8"))
+    val cq = withInt8(c, "cv", "c8").select(col("item_id"), col("c8"))
+    val n = k * rerankFactor
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("item_id"))
+    val cand = Partitioning.spread(qq).crossJoin(broadcast(cq))
+      .select(col("query_id"), col("item_id"),
+        SeriesFunctions.cosine(col("q8").cast("array<double>"),
+          col("c8").cast("array<double>")).as("qcos"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= n)
+      .select(col("query_id"), col("item_id"))
+    // exact rerank joins the full-precision vectors back by id only for
+    // the surviving candidates
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id"))
+    cand.join(q, "query_id").join(c, "item_id")
+      .select(col("query_id"), col("item_id"),
+        SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+  }
+
   /** Deterministic seeded random hyperplanes (driver-side, tiny).
     * `private[graft]` so the oracle-SQL builder can embed the SAME planes
     * as literals (java.util.Random#nextGaussian is algorithmically

@@ -74,6 +74,42 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(full === exact)
   }
 
+  test("int8TopK: quantization bounded to [-127,127]; rerank ranking consistent") {
+    val quantized = SimilaritySearch.withInt8(
+      corpus.select($"item_id", $"item_vec".cast("array<double>").as("item_vec")),
+      "item_vec", "q8")
+      .select($"q8").collect()
+    quantized.foreach { r =>
+      val arr = r.getSeq[Byte](0)
+      assert(arr.forall(b => b >= -127 && b <= 127))
+      assert(arr.exists(b => math.abs(b.toInt) == 127)) // scale anchors the max
+    }
+    val rows = SimilaritySearch.int8TopK(queries, corpus, 5, rerankFactor = 4).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length === 5)
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("int8TopK: high recall vs exact brute force; full-corpus prefilter is exact") {
+    val exact = bruteOracle(5)
+    val approx = SimilaritySearch.int8TopK(queries, corpus, 5, rerankFactor = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      ids.count(approx.getOrElse(q, Set.empty).contains).toDouble / ids.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"mean recall ${recalls.sum / recalls.size}")
+    // a rerank window covering the whole corpus degenerates to exact
+    val full = SimilaritySearch.int8TopK(queries, corpus, 5,
+      rerankFactor = corpusData.size)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(full === exact)
+  }
+
   test("signBucket is deterministic across invocations") {
     val b1 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()
     val b2 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()
