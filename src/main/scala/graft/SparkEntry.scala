@@ -585,6 +585,39 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Q49 — bounded-fanout range join (temporal correlation, beyond the
+    // reference): each click event counts the error events of the same
+    // user within +-10 minutes. Equi join on (key, time bucket) with
+    // fanout 2 + exact post-filter — never an inequality nested loop.
+    // Nanos stay integral end to end (q42's epoch_ns convention).
+    "q49_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val w = 600000000000L // 10 min in nanos
+      val pairs = graft.operators.RangeJoin.rangePairs(
+        clicks, errors, Seq("user_id"), "ts", -w, w, Seq("event_id"))
+      clicks
+        .join(pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n_errors")),
+          Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+        .orderBy("event_id")
+    }),
+
+    // Q50 — TF-IDF top terms per document (text-analysis north star):
+    // tf per (doc, term), smoothed idf from per-term document
+    // frequency, corpus size as a broadcast scalar, per-doc top-3 by
+    // ROUNDED tf-idf (rounding first makes the cross-engine ordering
+    // exact: near-ties become ties, broken by term).
+    "q50_tfidf" -> ((s, dir) => {
+      graft.operators.Tfidf.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1127,6 +1160,30 @@ object SparkEntry {
            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
          ) a ON true
          ORDER BY l.event_id""",
+
+    // correlated count over the exact range predicate — the independent
+    // formulation of the bucketed equi-join + post-filter
+    "q49_range_join" ->
+      """SELECT l.event_id, l.user_id,
+                (SELECT COUNT(*) FROM events r
+                 WHERE r.event_type = 'error' AND r.user_id = l.user_id
+                   AND epoch_ns(r.ts) BETWEEN epoch_ns(l.ts) - 600000000000
+                                          AND epoch_ns(l.ts) + 600000000000) AS n_errors
+         FROM events l WHERE l.event_type = 'click' ORDER BY l.event_id""",
+
+    "q50_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+              dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              scored AS (SELECT tf.doc_id, tf.term,
+                                ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+                         FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         SELECT doc_id, rank, term, tfidf FROM (
+           SELECT doc_id, term, tfidf,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+           FROM scored) t
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "q34_series_stats" ->
       """SELECT CAST(MAX(len(embedding)) AS BIGINT) AS max_len, COUNT(*) AS n FROM embeddings""",
