@@ -618,6 +618,48 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // Q51 — multi-level aggregate via ROLLUP (beyond the reference's
+    // flat groupBy): per-(flag,status) totals, per-flag subtotals, and
+    // the grand total in ONE pass — Spark plans this as an Expand (each
+    // input row replicated per grouping set) feeding a single hash
+    // aggregate, not three scans. Ordering pins NULLS FIRST because the
+    // engines' defaults differ.
+    "q51_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 4).as("sq"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Q52 — grouped EXACT percentiles (quality-scoring cutoffs are
+    // percentile-driven in data pipelines): median and p90 of value per
+    // event type. Spark's `percentile` and DuckDB's `quantile_cont`
+    // share linear-interpolation semantics; rounding absorbs the last
+    // ulp of the interpolation arithmetic.
+    "q52_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Q53 — pivot aggregation (wide per-entity feature rows from long
+    // event logs — the classic feature-engineering reshape). Explicit
+    // pivot values keep the plan one-pass (no distinct-scan) and the
+    // output schema static.
+    "q53_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1184,6 +1226,28 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
            FROM scored) t
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q51_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                ROUND(SUM(l_quantity), 4) AS sq
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q52_percentiles" ->
+      """SELECT event_type,
+                ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q53_pivot" ->
+      """SELECT user_id,
+                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q34_series_stats" ->
       """SELECT CAST(MAX(len(embedding)) AS BIGINT) AS max_len, COUNT(*) AS n FROM embeddings""",

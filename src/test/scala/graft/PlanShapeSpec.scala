@@ -96,6 +96,42 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("as-of join plans as ONE hash exchange + window — no join operator") {
+    val l = spark.range(100).select(col("id").as("event_id"),
+      pmod(col("id"), lit(5)).as("key"), (col("id") * 7).as("ts"))
+    val r = spark.range(100).select(col("id").as("event_id"),
+      pmod(col("id"), lit(5)).as("key"), (col("id") * 3).as("ts"),
+      col("id").cast("double").as("value"))
+    val out = graft.operators.AsofJoin.asofBackward(
+      l, r, Seq("key"), "ts", Seq("event_id", "value"))
+    // executedPlan: sparkPlan pre-dates EnsureRequirements, which is
+    // what inserts the Exchange this test pins
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly one hash exchange (the key shuffle), got:\n$plan")
+  }
+
+  test("range join plans as an equi join — never a nested loop") {
+    val l = spark.range(100).select(col("id").as("event_id"),
+      pmod(col("id"), lit(5)).as("key"), (col("id") * 7).as("ts"))
+    val r = spark.range(100).select(col("id").as("event_id"),
+      pmod(col("id"), lit(5)).as("key"), (col("id") * 3).as("ts"))
+    val out = graft.operators.RangeJoin.rangePairs(
+      l, r, Seq("key"), "ts", -100L, 100L, Seq("event_id"))
+    val plan = out.queryExecution.sparkPlan
+    val loops = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty, s"range join must bucket to an equi join:\n$plan")
+    val equi = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec if j.leftKeys.nonEmpty => j
+    }
+    assert(equi.nonEmpty, s"expected an equi join on (key, bucket):\n$plan")
+  }
+
   test("neither side fits: forced partitioned cartesian, no silent broadcast") {
     spark.conf.set("spark.graft.knn.broadcastFloor", "1m")
     val train = synth(3000, 0, "train_id", "train_series").localCheckpoint()
