@@ -106,6 +106,52 @@ object StreamingClassify {
       .drop(r(key))
   }
 
+  /** Online as-of enrichment — the streaming sibling of
+    * [[graft.operators.AsofJoin]]: probe rows pick up the latest
+    * reference value of their key with reference ts <= probe ts (the
+    * online-feature-store lookup: "the feature value as of event
+    * time"). Both inputs union into one side-tagged stream keyed by
+    * `key`; `flatMapGroupsWithState` keeps ONLY the latest reference
+    * (ts, value) per key — O(1) state per key, runs forever.
+    *
+    * Ordering semantics: within a micro-batch rows process in (ts,
+    * side) order (reference first at equal ts), so a batch's own
+    * reference updates are visible to its probes exactly as in the
+    * batch operator. ACROSS batches the match is best-effort by
+    * arrival: a reference row that arrives after a probe with a later
+    * event time has already been emitted cannot retro-fill it — the
+    * online-serving semantic, vs. the batch operator's global order.
+    *
+    * probe: (id, key, ts); reference: (key, ts, value).
+    * Output: (id, key, ts, asof_value nullable).
+    */
+  def asofEnrichStream(probe: DataFrame, reference: DataFrame): DataFrame = {
+    import probe.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val p = probe.select(col("id").cast("long"), col("key").cast("long"),
+      col("ts").cast("long"), lit(1).as("side"), lit(0.0).as("value"))
+    val r = reference.select(lit(-1L).as("id"), col("key").cast("long"),
+      col("ts").cast("long"), lit(0).as("side"), col("value").cast("double"))
+    p.union(r).as[(Long, Long, Long, Int, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[(Long, Long, Long, Int, Double)],
+         state: GroupState[(Long, Double)]) => {
+          val rows = it.toArray.sortBy(t => (t._3, t._4))
+          var st = state.getOption
+          val out = Seq.newBuilder[(Long, Long, Long, Option[Double])]
+          rows.foreach { case (id, k, ts, side, v) =>
+            if (side == 0) {
+              if (st.forall(_._1 <= ts)) { st = Some((ts, v)); state.update((ts, v)) }
+            } else {
+              out += ((id, k, ts, st.filter(_._1 <= ts).map(_._2)))
+            }
+          }
+          out.result().iterator
+        })
+      .toDF("id", "key", "ts", "asof_value")
+  }
+
   /** Run a bounded smoke of the streaming classifier: feeds the parquet
     * test split through a memory sink; returns the collected predictions.
     * (Used by tests; `processAllAvailable` makes it synchronous.)

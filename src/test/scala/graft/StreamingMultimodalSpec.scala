@@ -123,6 +123,35 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(matched === Set(1L))
   }
 
+  test("streaming as-of enrichment: within-batch order exact, state carries across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val probes = MemoryStream[(Long, Long, Long)]     // (id, key, ts)
+    val refs = MemoryStream[(Long, Long, Double)]     // (key, ts, value)
+    val out = StreamingClassify.asofEnrichStream(
+      probes.toDF().toDF("id", "key", "ts"),
+      refs.toDF().toDF("key", "ts", "value"))
+    val qname = s"asof_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    // batch 1: ref at ts=10 arrives WITH probes before and after it
+    refs.addData((1L, 10L, 1.5))
+    probes.addData((100L, 1L, 5L), (101L, 1L, 20L))
+    q.processAllAvailable()
+    // batch 2: probe sees batch-1 state; stale ref (ts=8) must not clobber
+    refs.addData((1L, 8L, 9.9))
+    probes.addData((102L, 1L, 30L), (103L, 2L, 30L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(qname).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getDouble(3))).toMap
+    assert(got(100L) === None)        // probe ts=5 precedes the ts=10 ref
+    assert(got(101L) === Some(1.5))   // same-batch ref visible in ts order
+    assert(got(102L) === Some(1.5))   // state carried; stale ref ignored
+    assert(got(103L) === None)        // key with no reference
+  }
+
   test("q32 multimodal -> ANN: deterministic, k results per query") {
     val a = SparkEntry.queries("q32_multimodal_ann")(spark, sf001).collect()
     val b = SparkEntry.queries("q32_multimodal_ann")(spark, sf001).collect()
