@@ -813,9 +813,14 @@ object SparkEntry {
       // fixed pre-fit centroids (not a KMeans fit): the whole pipeline is
       // deterministic, so the rows-only gate at least sees a STABLE
       // result — the oracle hole is solely the binary decode (64-bit
-      // overflow mixing, not expressible in the oracle's ANSI SQL)
-      val centers = SimilaritySearch.hyperplanes(32, 8, 3232L).map(_.map(_ / math.sqrt(32)))
-      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 3)
+      // overflow mixing, not expressible in the oracle's ANSI SQL).
+      // Centers sit IN the feature cube (decode emits [0,1]^32) — seeded
+      // gaussians scaled around 0.5; 32 cells/4 probes keeps the probed
+      // fraction ~1/8 where the old 8-cell config probed ~3/8 of the
+      // corpus (2.3x the pair volume for nothing)
+      val centers = SimilaritySearch.hyperplanes(32, 32, 3232L)
+        .map(_.map(x => 0.5 + 0.25 * x / math.sqrt(32.0 / 12.0)))
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
     }),
