@@ -40,6 +40,11 @@ object AsofJoin {
     *                      first for fully deterministic output.
     * @param strict        when true, a right row at EXACTLY the left
     *                      timestamp is not visible (r.ts < l.ts)
+    *
+    * NULL-key semantics: the window PARTITION BY groups null keys
+    * together (like GROUP BY), so null-key left rows can match null-key
+    * right rows — unlike an equi join, where NULL = NULL never matches.
+    * Filter null keys out first if join semantics are required.
     */
   def asofBackward(
       left: DataFrame, right: DataFrame,
