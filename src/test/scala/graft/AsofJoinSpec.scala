@@ -52,6 +52,45 @@ class AsofJoinSpec extends SparkTestBase {
       (5L, None)))
   }
 
+  test("forward as-of: earliest right row at or after; strict excludes equal ts") {
+    val got = AsofJoin.asofForward(trades, quotes,
+      Seq("key"), "ts", Seq("event_id"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_ => r.getLong(3))))
+    assert(got.toSeq === Seq(
+      (1L, Some(101L)), // next quote after ts=5 is ts=10
+      (2L, Some(102L)), // equal ts visible; SMALLEST id wins the tie
+      (3L, None),       // nothing after ts=50
+      (4L, Some(104L)), // exact hit
+      (5L, None)))
+    val strictGot = AsofJoin.asofForward(trades, quotes,
+      Seq("key"), "ts", Seq("event_id"), strict = true)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_ => r.getLong(3))))
+    assert(strictGot.toSeq === Seq(
+      (1L, Some(101L)),
+      (2L, None),       // ts=20 quotes excluded, nothing later for key a
+      (3L, None),
+      (4L, None),
+      (5L, None)))
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    val got = AsofJoin.asofBackward(trades, quotes,
+      Seq("key"), "ts", Seq("event_id"), tolerance = Some(5L))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_ => r.getLong(3))))
+    assert(got.toSeq === Seq(
+      (1L, None),
+      (2L, Some(103L)), // gap 0 <= 5
+      (3L, None),       // nearest quote is 30 back -> out of tolerance
+      (4L, Some(104L)), // gap 0
+      (5L, None)))
+  }
+
   test("every left row appears exactly once; left columns pass through") {
     val out = AsofJoin.asofBackward(trades, quotes,
       Seq("key"), "ts", Seq("value"))
