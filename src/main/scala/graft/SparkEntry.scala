@@ -660,6 +660,40 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Q54 — semi + anti joins (SURVEY §2.7 named these absent from the
+    // reference; they are the existence-filter shape every pipeline
+    // needs): customers WITH at least one order (left semi — no
+    // duplication, no payload from the right side) and WITHOUT any
+    // (left anti), counted per nation.
+    "q54_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val okeys = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      val withOrders = c.join(okeys, Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
+      val withoutOrders = c.join(okeys, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("without_orders"))
+      withOrders.join(withoutOrders, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Q55 — set operations (INTERSECT / EXCEPT, also §2.7-absent):
+    // users who both click and error vs. users who only click. Spark's
+    // intersect/except are the DISTINCT forms, matching SQL.
+    "q55_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clickers = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val erroring = ev.filter(col("event_type") === "error")
+        .select(col("user_id"))
+      clickers.intersect(erroring).withColumn("tag", lit("both"))
+        .union(clickers.except(erroring).withColumn("tag", lit("click_only")))
+        .orderBy("user_id", "tag")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1237,6 +1271,24 @@ object SparkEntry {
                 ROUND(SUM(l_quantity), 4) AS sq
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q54_semi_anti" ->
+      """SELECT c_nationkey,
+                COUNT(CASE WHEN has_o THEN 1 END) AS with_orders,
+                COUNT(CASE WHEN NOT has_o THEN 1 END) AS without_orders
+         FROM (SELECT c_nationkey,
+                      EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey) AS has_o
+               FROM customer c) t
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q55_setops" ->
+      """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+              erroring AS (SELECT user_id FROM events WHERE event_type = 'error')
+         SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM erroring)
+         UNION ALL
+         SELECT user_id, 'click_only' AS tag FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM erroring)
+         ORDER BY user_id, tag""",
 
     "q52_percentiles" ->
       """SELECT event_type,
