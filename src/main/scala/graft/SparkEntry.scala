@@ -694,6 +694,32 @@ object SparkEntry {
         .orderBy("user_id", "tag")
     }),
 
+    // Q56 — JSON scalar extraction (§2.7-absent category; semi-
+    // structured props columns are universal in event pipelines):
+    // pull props.k out of the JSON string, aggregate per event type.
+    "q56_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"),
+          round(avg(col("k")), 6).as("k_avg"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Q57 — date bucketing on the nanos timeline (§2.7 date-function
+    // category, kept integral: day = ts div 86_400e9 — a double detour
+    // loses whole seconds at 1e18, q42's lesson): daily event counts
+    // and distinct users.
+    "q57_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(expr("ts div 86400000000000").as("epoch_day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("epoch_day")
+    }),
+
     // Q14 — exact dedup groups (north-star: Deduplication/exact)
     "q14_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1289,6 +1315,19 @@ object SparkEntry {
          UNION ALL
          SELECT user_id, 'click_only' AS tag FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM erroring)
          ORDER BY user_id, tag""",
+
+    "q56_json" ->
+      """SELECT event_type,
+                SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+                ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS k_avg,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q57_daily" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS epoch_day,
+                COUNT(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY epoch_day""",
 
     "q52_percentiles" ->
       """SELECT event_type,
