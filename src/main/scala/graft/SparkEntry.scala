@@ -1318,7 +1318,7 @@ object SparkEntry {
 
     "q56_json" ->
       """SELECT event_type,
-                SUM(CAST(props->>'k' AS BIGINT)) AS k_sum,
+                CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
                 ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS k_avg,
                 COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
