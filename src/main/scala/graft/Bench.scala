@@ -1,6 +1,24 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Counts scheduler events between `reset()`s (SPARK_GRAFT_JOBS=1). */
+private[graft] final class BenchListener extends SparkListener {
+  val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+  def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0) }
+  override def onJobStart(e: SparkListenerJobStart): Unit = {
+    jobs.incrementAndGet()
+    if (sys.env.get("SPARK_GRAFT_JOBS").contains("2")) {
+      val names = e.stageInfos.map(si => s"${si.stageId}:${si.name.takeWhile(_ != '(').trim}:${si.numTasks}").mkString(" | ")
+      System.err.println(s"[jobsite] job=${e.jobId} $names")
+    }
+  }
+  override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = tasks.incrementAndGet()
+}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Each query is forced through a `noop` write so
@@ -14,7 +32,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -38,13 +57,34 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // SPARK_GRAFT_JOBS=1 prints per-query job/stage/task counts (stderr).
+    // Scheduler round-trips are a first-class cost under co-tenant driver
+    // load: many-small-job queries inflate 3-7x while single-job queries
+    // track local time (NOTES_r4); this makes the job count observable.
+    val jobStats = if (sys.env.get("SPARK_GRAFT_JOBS").exists(_.nonEmpty)) {
+      val l = new BenchListener
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
     val results = selected.map { case (name, fn) =>
+      jobStats.foreach(_.reset())
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      jobStats.foreach { l =>
+        System.err.println(f"[jobs] $name jobs=${l.jobs.get()} stages=${l.stages.get()} tasks=${l.tasks.get()} time=$dt%.2f")
+      }
+      // Untimed inter-query drain: ContextCleaner reclaims shuffle files
+      // and broadcasts via GC'd weak refs, so a heavy query's cleanup
+      // otherwise runs asynchronously INSIDE the next query's measured
+      // window (and a mid-suite full GC lands on whichever query is
+      // unlucky). Forcing the GC between measurements charges JVM
+      // hygiene to the bench harness, not to a random neighbor query.
+      if (!sys.env.get("SPARK_GRAFT_NO_DRAIN").contains("1")) System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
