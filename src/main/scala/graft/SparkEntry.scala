@@ -925,8 +925,123 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
         threshold = 0.3, roundDp = 6)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Q58 — moving-window analytics (§2.5 frame-based windows): lag/
+    // lead and a 7-row trailing mean per user over event time, plus a
+    // running sum. One hash exchange on user_id serves every window
+    // (same partitioning, one sort); rounded before output so the
+    // sliding-frame float association is portable (rsum at 4 dp: the
+    // running sum's error grows with prefix length).
+    "q58_moving_window" -> ((s, dir) => {
+      // micros, not nanos: the oracle engine reads the parquet NANOS
+      // timestamps at micro precision, so the exposed instant AND the
+      // window sort key must both live in micro space for parity. The
+      // trailing mean uses the explicit floor-round (GapFill's lesson:
+      // round(double, n) differs across engines at half-ulp boundaries
+      // and x/7 lands on them); the running sum of 2 dp values stays
+      // ~exact so plain rounding is safe there.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("next_v", lead(col("value"), 1).over(w))
+        .withColumn("mavg7",
+          floor(avg(col("value")).over(w.rowsBetween(-6, 0)) *
+            lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .withColumn("rsum",
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Q59 — CUBE over (returnflag, linestatus) (§2.4 grouping sets; q51
+    // covers ROLLUP): one Expand + one hash-agg pass, not 4 scans. The
+    // sum rounds at 2 dp — the grand-total row sums 600k doubles, whose
+    // association-order error (~1e-6) must sit far inside the rounding
+    // granularity (DECIMAL would be exact but the oracle driver coerces
+    // decimals through float, the q56 lesson).
+    "q59_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sq"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
+    // Q60 — edit-distance near-dup pairs under (lang, length-bucket)
+    // blocking (north-star: dedup family; complements shingle/simhash
+    // with the character-typo regime). Threshold-bounded levenshtein
+    // early-abandons per pair; the oracle replays the block predicate
+    // and the plain kernel.
+    "q60_editdist_pairs" -> ((s, dir) => {
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang"), lengthBucket = 50,
+        maxDist = 12, prefixLen = 32)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Q61 — text normalization (north-star: text analysis): lowercase,
+    // whitespace-collapse, stopword-strip, rejoin — the canonical form
+    // fed to shingle/embedding dedup. Scan-side projection only.
+    "q61_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.normalize(col("text")).as("norm_text"))
+        .withColumn("n_norm_chars", length(col("norm_text")))
+        .orderBy("doc_id")
+    }),
+
+    // Q62 — gap-fill resampling: each user's irregular event values
+    // projected onto the daily grid with linear interpolation
+    // (operators.GapFill: grouped span + in-partition sequence explode +
+    // two as-of windows, no join operator, no per-key loop).
+    "q62_gapfill" -> ((s, dir) => {
+      // micro-space instants (ts div 1000): the oracle engine reads the
+      // NANOS timestamps at micro precision, and the interpolation
+      // RATIO is precision-sensitive — both engines must see identical
+      // sample instants, not just identical grid instants.
+      graft.operators.GapFill.resampleLinear(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts"), col("value")),
+        Seq("user_id"), "ts", "value", step = 86400000000L)
+        .orderBy("user_id", "ts")
+    }),
+
+    // Q63 — bloom-prefiltered semi join (operators.BloomJoin): the
+    // materialized-runtime-filter shape — build-side bloom aggregate,
+    // foldable-literal membership probe at the probe scan, residual
+    // exact semi join. Output is bit-for-bit the plain semi join; the
+    // EXISTS oracle checks exactly that.
+    "q63_bloom_semi" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.BloomJoin.semiJoin(
+        t(s, dir, "customer"),
+        t(s, dir, "orders").filter(col("o_totalprice") > 300000.0),
+        "c_custkey", "o_custkey", expectedItems = 100000L)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q64 — deterministic stratified hash sampling (operators.Sampling):
+    // membership keyed on md5(event_id), so the SAMPLE ITSELF is
+    // oracle-checked — reproducible across engines, partitionings, and
+    // re-runs, unlike seeded sample()/sampleBy().
+    "q64_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedHashSample(
+        t(s, dir, "events"), "event_id", "event_type", sampleRates)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id")
     })
   )
+
+  /** Q64 strata (shared with the oracle SQL builder). */
+  private val sampleRates: Map[String, Double] = Map(
+    "click" -> 0.25, "view" -> 0.1, "purchase" -> 0.5,
+    "error" -> 1.0, "signup" -> 0.05)
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -1599,6 +1714,87 @@ object SparkEntry {
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
            FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id) t
-         WHERE cos >= 0.3 ORDER BY id_a, id_b"""
+         WHERE cos >= 0.3 ORDER BY id_a, id_b""",
+
+    "q58_moving_window" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_v,
+                LEAD(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_v,
+                FLOOR(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0 AS mavg7,
+                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rsum
+         FROM events ORDER BY user_id, ts_us, event_id""",
+
+    "q59_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                ROUND(SUM(l_quantity), 2) AS sq
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q60_editdist_pairs" ->
+      """SELECT id_a, id_b, dist FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) AS dist
+           FROM documents a JOIN documents b
+             ON a.lang = b.lang
+            AND LENGTH(a.text) // 50 = LENGTH(b.text) // 50
+            AND a.doc_id < b.doc_id) t
+         WHERE dist <= 12 ORDER BY id_a, id_b""",
+
+    "q61_normalize" -> {
+      val stop = TextFunctions.stopwordsEn.map("'" + _ + "'").mkString(", ")
+      s"""SELECT doc_id, norm_text, LENGTH(norm_text) AS n_norm_chars FROM (
+            SELECT doc_id,
+                   array_to_string(list_filter($tokensSql,
+                     x -> NOT list_contains([$stop], x)), ' ') AS norm_text
+            FROM documents) t
+          ORDER BY doc_id"""
+    },
+
+    "q62_gapfill" ->
+      """WITH pts AS (
+           SELECT user_id, epoch_us(ts) AS t, ROUND(AVG(value), 6) AS v
+           FROM events GROUP BY user_id, epoch_us(ts)),
+         bounds AS (
+           SELECT user_id,
+                  ((MIN(t) + 86399999999) // 86400000000) * 86400000000 AS g0,
+                  (MAX(t) // 86400000000) * 86400000000 AS g1
+           FROM pts GROUP BY user_id),
+         grid AS (
+           SELECT user_id, UNNEST(generate_series(g0, g1, 86400000000)) AS t
+           FROM bounds WHERE g0 <= g1),
+         j AS (
+           SELECT g.user_id, g.t,
+                  p.t AS prev_ts, p.v AS prev_v, n.t AS next_ts, n.v AS next_v
+           FROM grid g
+           LEFT JOIN LATERAL (SELECT t, v FROM pts p
+             WHERE p.user_id = g.user_id AND p.t <= g.t
+             ORDER BY p.t DESC LIMIT 1) p ON TRUE
+           LEFT JOIN LATERAL (SELECT t, v FROM pts n
+             WHERE n.user_id = g.user_id AND n.t >= g.t
+             ORDER BY n.t ASC LIMIT 1) n ON TRUE)
+         SELECT user_id, t AS ts,
+                CASE WHEN prev_ts = t THEN prev_v
+                     WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+                     ELSE FLOOR((prev_v + (next_v - prev_v) *
+                       (CAST(t - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END AS value
+         FROM j ORDER BY user_id, ts""",
+
+    "q63_bloom_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q64_sample" -> {
+      val cases = sampleRates.toSeq.sortBy(_._1).map { case (stratum, rate) =>
+        s"WHEN '$stratum' THEN '${graft.operators.Sampling.hexThreshold(rate)}'"
+      }.mkString(" ")
+      s"""SELECT event_id, event_type, user_id FROM events
+          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+                CASE event_type $cases ELSE NULL END
+          ORDER BY event_id"""
+    }
   )
 }

@@ -36,6 +36,21 @@ object TextFunctions {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(array_intersect(toks, array(words.map(lit): _*)))
 
+  /** Normalized text for dedup/embedding pipelines: lowercase, collapse
+    * whitespace, strip the fixed stopword list, rejoin with single
+    * spaces. Pure per-row projection (tokenize → filter → join), so it
+    * runs scan-side with no shuffle; the token-level filter replays
+    * verbatim as a SQL list_filter, which puts normalization itself
+    * under an exact oracle. (The HOFs are interpreted per element — fine
+    * for a once-per-document pass; a per-PAIR hot path would want a
+    * native expression instead, see `graft_shingle_hashes`.)
+    */
+  def normalize(text: Column): Column =
+    array_join(
+      filter(tokens(text),
+        t => !array_contains(array(stopwordsEn.map(lit): _*), t)),
+      " ")
+
   /** Fraction of distinct tokens that are stopwords — a fluency signal. */
   def stopwordRatio(text: Column): Column = {
     val t = array_distinct(tokens(text))

@@ -108,6 +108,20 @@ object GraftFunctions {
     ("graft_hamming64",
       (es: Seq[Expression]) => HammingDistance64(es(0), es(1)),
       "graft_hamming64(a, b) - Hamming distance between 64-bit signatures"),
+    // Spark's own runtime-filter machinery (BloomFilterAggregate /
+    // BloomFilterMightContain, used by InjectRuntimeFilter) surfaced as
+    // callable functions, so BloomJoin can materialize an explicit
+    // bloom-pruned semi join (exact: no false negatives + residual join).
+    ("graft_bloom_agg",
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2)),
+      "graft_bloom_agg(key, items, bits) - bloom filter over long keys, as binary"),
+    ("graft_might_contain",
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es(0), es(1)),
+      "graft_might_contain(bloom, key) - bloom membership probe (no false negatives)"),
   )
 
   private def info(name: String, usage: String): ExpressionInfo =

@@ -174,6 +174,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance (Levenshtein) near-duplicate pairs under standard
+    * BLOCKING: candidates are generated only within (blockCols,
+    * length-bucket) groups, then verified with the exact kernel.
+    * Blocking is part of the operator's DEFINITION (the universal
+    * fuzzy-matching scale pattern — an unblocked O(n^2 * m^2) edit
+    * distance over a corpus is not a plan): two rows in different
+    * blocks are never compared, and the oracle replays the same block
+    * predicate. Within a block the candidate join is equi (shuffles by
+    * block key, no cross product across blocks); Spark's
+    * threshold-bounded `levenshtein(a, b, k)` abandons a pair the
+    * moment its running distance exceeds `maxDist` — O(k * m) per pair
+    * instead of O(m^2).
+    *
+    * The kernel runs on a fixed-length prefix (`prefixLen`): bounded
+    * per-pair cost regardless of document size, and the standard title/
+    * head fuzzy-dedup semantics.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist <= maxDist.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], lengthBucket: Int,
+      maxDist: Int = 3, prefixLen: Int = 64): DataFrame = {
+    require(lengthBucket > 0, "lengthBucket must be positive")
+    val base = df.select(
+      (col(idCol).as("id") +:
+        substring(col(textCol), 1, prefixLen).as("pfx") +:
+        expr(s"length($textCol) div $lengthBucket").as("len_bucket") +:
+        blockCols.map(col)): _*)
+    val keys = "len_bucket" +: blockCols
+    val a = Partitioning.spread(base.select(
+      (col("id").as("id_a") +: col("pfx").as("pfx_a") +: keys.map(col)): _*))
+    val b = base.select(
+      (col("id").as("id_b") +: col("pfx").as("pfx_b") +: keys.map(col)): _*)
+    a.join(b, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** Duplicate CLUSTERS: connected components over the near-duplicate
     * pair graph, labeled by the smallest member id. Iterative min-label
     * propagation (Pregel-style, converges in O(component diameter)
