@@ -163,4 +163,44 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
     assert(!pairs.exists(_._2 == 4L))
   }
+
+  test("editDistancePairs: typo pairs found within blocks, blocking respected") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "the quick brown fox jumpz", "en"),   // 1 edit from doc 1
+      (3L, "the quick brown fox jumps", "de"),   // identical text, other block
+      (4L, "a completely different doc", "en"),
+      (5L, "the quick brown fox jumps over the lazy dog and keeps going", "en") // other length bucket
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), lengthBucket = 10, maxDist = 3, prefixLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 1)))
+  }
+
+  test("editDistancePairs: identical texts in one block pair at distance 0, once") {
+    val docs = Seq(
+      (1L, "same text here", "en"),
+      (2L, "same text here", "en"),
+      (3L, "same text here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), lengthBucket = 10, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
+  test("editDistancePairs: distances beyond maxDist are excluded") {
+    val docs = Seq(
+      (1L, "aaaaaaaaaa", "en"),
+      (2L, "aaaaaaabbb", "en")  // distance 3
+    ).toDF("doc_id", "text", "lang")
+    val strict = Dedup.editDistancePairs(docs, "doc_id", "text",
+      Seq("lang"), lengthBucket = 100, maxDist = 2)
+    assert(strict.count() === 0)
+    val loose = Dedup.editDistancePairs(docs, "doc_id", "text",
+      Seq("lang"), lengthBucket = 100, maxDist = 3)
+    assert(loose.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      === Set((1L, 2L, 3)))
+  }
 }

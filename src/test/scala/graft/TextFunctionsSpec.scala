@@ -81,4 +81,16 @@ class TextFunctionsSpec extends SparkTestBase {
     val df = Seq("abcd").toDF("text").select(TF.charShingles($"text", 3).as("sh"))
     assert(df.head().getSeq[String](0) === Seq("abc", "bcd"))
   }
+
+  test("normalize: lowercases, collapses whitespace, strips stopwords") {
+    val df = Seq("  The  Quick\tbrown FOX is on THE run  ").toDF("text")
+      .select(TF.normalize($"text").as("n"))
+    assert(df.head().getString(0) === "quick brown fox run")
+  }
+
+  test("normalize: all-stopword and blank inputs become empty strings") {
+    val df = Seq("the a an and", "   ", "").toDF("text")
+      .select(TF.normalize($"text").as("n"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("", "", ""))
+  }
 }
