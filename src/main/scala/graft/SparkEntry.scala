@@ -1035,6 +1035,33 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "event_type", sampleRates)
         .select(col("event_id"), col("event_type"), col("user_id"))
         .orderBy("event_id")
+    }),
+
+    // Q65 — deterministic k-fold cross-validated 1-NN accuracy
+    // (operators.CrossValidation): every fold evaluates in ONE pair
+    // pass (the fold != fold predicate), extending the reference's
+    // fixed-split evaluation loop (M6/M7 family) to rotated splits.
+    "q65_kfold_cv" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      graft.operators.CrossValidation.kfold1NNAccuracy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", folds = 5)
+        .orderBy("fold")
+    }),
+
+    // Q66 — z-order (Morton) clustering key over two quantized embedding
+    // dims (operators.Partitioning.zorder2): the data-LAYOUT primitive —
+    // sort 100 TB by z and min/max file stats prune BOTH dimensions.
+    // Pure shift/mask arithmetic; the oracle replays every bit.
+    "q66_zorder" -> ((s, dir) => {
+      def q8(i: Int) = floor(least(greatest(
+        (get(col("embedding"), lit(i)).cast("double") + 1.0) / 2.0 * 256.0,
+        lit(0.0)), lit(255.0))).cast("long")
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), q8(0).as("x8"), q8(1).as("y8"))
+        .withColumn("z",
+          graft.operators.Partitioning.zorder2(col("x8"), col("y8"), 8))
+        .withColumn("zbucket", shiftright(col("z"), 6))
+        .orderBy("vec_id")
     })
   )
 
@@ -1795,6 +1822,30 @@ object SparkEntry {
           WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
                 CASE event_type $cases ELSE NULL END
           ORDER BY event_id"""
+    },
+
+    "q65_kfold_cv" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label, vec_id % 5 AS fold
+                    FROM embeddings),
+         nn AS (SELECT a.vec_id, a.fold, a.label,
+                       (SELECT b.label FROM e b WHERE b.fold <> a.fold
+                        ORDER BY list_distance(a.v, b.v), b.vec_id LIMIT 1) AS pred
+                FROM e a)
+         SELECT fold, ROUND(AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS acc,
+                COUNT(*) AS n
+         FROM nn GROUP BY fold ORDER BY fold""",
+
+    "q66_zorder" -> {
+      val z = (0 until 8).map(i =>
+        s"(((x8 >> $i) & 1) << ${2 * i}) + (((y8 >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH q AS (
+            SELECT vec_id,
+                   CAST(FLOOR(LEAST(GREATEST((CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 * 256.0, 0.0), 255.0)) AS BIGINT) AS x8,
+                   CAST(FLOOR(LEAST(GREATEST((CAST(embedding[2] AS DOUBLE) + 1.0) / 2.0 * 256.0, 0.0), 255.0)) AS BIGINT) AS y8
+            FROM embeddings),
+          qz AS (SELECT vec_id, x8, y8, $z AS z FROM q)
+          SELECT vec_id, x8, y8, z, z >> 6 AS zbucket FROM qz ORDER BY vec_id"""
     }
   )
 }

@@ -42,6 +42,24 @@ object Partitioning {
       .saveAsTable(name)
   }
 
+  /** Z-order (Morton) interleave of two pre-quantized codes: bit i of
+    * `x` lands at output bit 2i, bit i of `y` at 2i+1. Locality-
+    * preserving multi-dimensional clustering for data LAYOUT at scale —
+    * sort (or range-partition) a 100 TB table by the z-value of its two
+    * hottest filter columns and min/max file statistics prune both
+    * dimensions at once, where a lexicographic sort prunes only the
+    * leading one. Pure shift/mask arithmetic (codegen'd, replays
+    * verbatim in any SQL engine); inputs must already be quantized to
+    * `bits` bits (0 <= code < 2^bits).
+    */
+  def zorder2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
   /** Ensure a frame has at least `target` partitions (default: the
     * cluster's parallelism). Small inputs — a single parquet split —
     * otherwise serialize an entire crossJoin distance loop into ONE task.

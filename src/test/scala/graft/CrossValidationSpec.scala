@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.KnnParams
+import graft.operators.{CrossValidation, Knn}
+import org.apache.spark.sql.functions._
+
+class CrossValidationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("kfold1NNAccuracy: separable clusters score 1.0 in every fold") {
+    // ids 0..19, label = id % 2, vectors on two far-apart points plus a
+    // tiny id-dependent wiggle so distances are unique
+    val df = spark.range(20).select(
+      col("id"),
+      array(col("id").cast("double") % 2 * 100.0 + col("id") * 1e-3,
+        lit(0.0)).as("v"),
+      (col("id") % 2).as("label"))
+    val acc = CrossValidation.kfold1NNAccuracy(df, "id", "v", "label", folds = 4)
+      .orderBy("fold").as[(Long, Double, Long)].collect()
+    assert(acc.length === 4)
+    assert(acc.forall(_._2 === 1.0))
+    assert(acc.map(_._3).sum === 20)
+  }
+
+  test("kfold1NNAccuracy: a point's own fold is never its neighbor") {
+    // doc 0 has an identical twin in ITS OWN fold (id 4, fold 0 with
+    // folds=2? -> choose ids so twin shares fold) and a differently
+    // labeled near-neighbor in the other fold: if the own fold leaked,
+    // the twin (distance 0) would win and score 1.0; correct exclusion
+    // must pick the foreign point and score 0.0 for that row.
+    val rows = Seq(
+      (0L, Seq(0.0, 0.0), 1L),  // fold 0
+      (2L, Seq(0.0, 0.0), 1L),  // fold 0 — identical twin, same fold
+      (1L, Seq(0.1, 0.0), 2L),  // fold 1 — nearest FOREIGN point
+      (3L, Seq(9.0, 9.0), 1L)   // fold 1 — far
+    ).toDF("id", "v", "label")
+    val byFold = CrossValidation.kfold1NNAccuracy(rows, "id", "v", "label", folds = 2)
+      .orderBy("fold").as[(Long, Double, Long)].collect()
+    // fold 0: rows 0 and 2 both predict label 2 (wrong) -> acc 0.0
+    assert(byFold(0) === ((0L, 0.0, 2L)))
+  }
+
+  test("kfold1NNAccuracy matches per-fold classify1NN on real embeddings") {
+    val folds = 3
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val got = CrossValidation
+      .kfold1NNAccuracy(e, "vec_id", "embedding", "label", folds)
+      .orderBy("fold").as[(Long, Double, Long)].collect()
+    val want = (0 until folds).map { f =>
+      val train = e.filter(col("vec_id") % folds =!= f).select(
+        col("vec_id").as("train_id"),
+        col("embedding").cast("array<double>").as("train_series"),
+        col("label"))
+      val test = e.filter(col("vec_id") % folds === f).select(
+        col("vec_id").as("test_id"),
+        col("embedding").cast("array<double>").as("test_series"))
+      val truth = e.filter(col("vec_id") % folds === f)
+        .select(col("vec_id").as("test_id"), col("label"))
+      val pred = Knn.classify1NN(train, test, KnnParams(distance = "euclidean"))
+      val scored = pred.join(truth, "test_id")
+      val n = scored.count()
+      val correct = scored
+        .filter(col("predicted_label") === col("label").cast("double")).count()
+      (f.toLong, math.round(correct.toDouble / n * 1e6) / 1e6, n)
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want)
+  }
+}

@@ -66,4 +66,24 @@ class PartitioningSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
   }
+
+  test("zorder2: known bit interleavings") {
+    import spark.implicits._
+    val df = Seq((3L, 1L), (0L, 0L), (255L, 0L), (0L, 255L), (255L, 255L))
+      .toDF("x", "y")
+      .select(graft.operators.Partitioning.zorder2(col("x"), col("y"), 8).as("z"))
+    // x bits land at even positions, y bits at odd ones
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(7L, 0L, 21845L, 43690L, 65535L))
+  }
+
+  test("zorder2: within one x, z is monotonic in y (locality sanity)") {
+    import spark.implicits._
+    val df = (0L until 16L).map(y => (5L, y)).toDF("x", "y")
+      .select(col("y"),
+        graft.operators.Partitioning.zorder2(col("x"), col("y"), 4).as("z"))
+      .orderBy("y")
+    val zs = df.collect().map(_.getLong(1))
+    assert(zs.sliding(2).forall(p => p(0) < p(1)))
+  }
 }
