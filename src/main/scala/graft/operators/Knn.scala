@@ -195,16 +195,26 @@ object Knn {
     val trainSel = train.select(col("train_id"), col("train_series"), col("label"))
     val testSel = test.select(col("test_id"), col("test_series"))
     val spreadTest = Partitioning.spread(testSel, p.testPartitions)
-    // barrier(): a single-use alias gets inlined by CollapseProject, which
-    // would recompute the O(n)/O(n*band) sketch once per PAIR instead of
-    // once per row
-    def paaSide(df: DataFrame, seriesCol: String, idCol: String, out: String) =
-      df.withColumn(out, SeriesFunctions.barrier(
-        SeriesFunctions.paa(col(seriesCol), p.coarsenFactor)))
+    // barrier() on the STREAM side: a single-use alias gets inlined by
+    // CollapseProject, which would recompute the O(n)/O(n*band) sketch
+    // once per PAIR instead of once per row. The TRAIN side deliberately
+    // carries NO barrier: the build side of a pair join materializes its
+    // projection once per row into the broadcast/shuffle block (nothing
+    // collapses across the join boundary), and keeping that subtree
+    // deterministic lets the tau pass and the main pass REUSE one
+    // materialized sketch exchange (sameResult rejects non-deterministic
+    // plans, so a barrier there would force two builds).
+    def paaSide(df: DataFrame, seriesCol: String, idCol: String, out: String,
+        withBarrier: Boolean = true) = {
+      val sketch = SeriesFunctions.paa(col(seriesCol), p.coarsenFactor)
+      df.withColumn(out,
+        if (withBarrier) SeriesFunctions.barrier(sketch) else sketch)
         .select(col(idCol), col(out))
+    }
     def trainSketchOf(tr: DataFrame): DataFrame = p.pruneRanker match {
       case "lb_keogh" => tr.select(col("train_id"), col("train_series").as("tsk"))
-      case _          => paaSide(tr, "train_series", "train_id", "tsk")
+      case _          => paaSide(tr, "train_series", "train_id", "tsk",
+        withBarrier = false)
     }
     val (testSketch, scoreExpr) = p.pruneRanker match {
       case "lb_keogh" =>
@@ -257,13 +267,28 @@ object Knn {
     // measured bottleneck at HAR scale.
     val slimDf =
       if (p.prefilterSampleMod > 1) {
-        val sampled = trainSel.filter(
-          pmod(xxhash64(col("train_id")), lit(p.prefilterSampleMod)) === 0)
+        // The sampled pass reuses the FULL train-sketch subtree and
+        // filters pairs AFTER the join (barrier keeps the predicate out
+        // of the join condition and un-pushable): the tau pass and the
+        // main pass then share ONE materialized sketch exchange
+        // (ReusedExchange) instead of building a second
+        // sketch-of-the-sample broadcast — one fewer scheduler
+        // round-trip and one sketch materialization, at the cost of a
+        // cheap codegen'd hash test per pair (the ranking kernel still
+        // runs only on sampled survivors: the filter sits below the
+        // score projection).
+        val sampledScores =
+          crossPairs(trainSketchOf(trainSel), testSketch, p,
+            Some(bcastTrain), Some(bcastTest))
+            .filter(SeriesFunctions.barrier(
+              pmod(xxhash64(col("train_id")), lit(p.prefilterSampleMod)) === 0))
+            .select(col("test_id"), col("train_id"),
+              SeriesFunctions.barrier(scoreExpr).as("score"))
         // bounded-heap order statistic: the fk-th smallest sampled score,
         // with at most fk doubles of state per group (collect_list would
         // buffer ~|train|/mod scores per test id — unbounded state inside
         // the prefilter that exists to bound state)
-        val tau = slimScores(sampled)
+        val tau = sampledScores
           .groupBy(col("test_id"))
           .agg(SeriesFunctions.topkScores(col("score"), col("train_id"), fk).as("ss"))
           .select(col("test_id"),
