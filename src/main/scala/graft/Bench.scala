@@ -57,26 +57,31 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
-    // SPARK_GRAFT_JOBS=1 prints per-query job/stage/task counts (stderr).
-    // Scheduler round-trips are a first-class cost under co-tenant driver
-    // load: many-small-job queries inflate 3-7x while single-job queries
-    // track local time (NOTES_r4); this makes the job count observable.
-    val jobStats = if (sys.env.get("SPARK_GRAFT_JOBS").exists(_.nonEmpty)) {
-      val l = new BenchListener
-      spark.sparkContext.addSparkListener(l)
-      Some(l)
-    } else None
+    // Per-query job/stage/task counts ride the official JSON artifact:
+    // scheduler round-trips are a first-class cost under co-tenant driver
+    // load — many-small-job queries inflate 3-7x while single-job queries
+    // track local time (NOTES_r4) — so the artifact itself must let a
+    // reader separate co-tenant inflation from engine cost.
+    // SPARK_GRAFT_JOBS=2 additionally prints per-job stage names (stderr).
+    val listener = new BenchListener
+    spark.sparkContext.addSparkListener(listener)
     val results = selected.map { case (name, fn) =>
-      jobStats.foreach(_.reset())
+      // drain the async listener bus so the previous query's tail events
+      // can't leak into this query's counters (reset races otherwise)
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      listener.reset()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      jobStats.foreach { l =>
-        System.err.println(f"[jobs] $name jobs=${l.jobs.get()} stages=${l.stages.get()} tasks=${l.tasks.get()} time=$dt%.2f")
-      }
+      // untimed: flush this query's own events before reading the counts
+      val drained = org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      if (!drained)
+        System.err.println(s"[bench] $name: listener bus drain timed out; counts may undercount")
+      val (j, st, tk) = (listener.jobs.get(), listener.stages.get(), listener.tasks.get())
+      System.err.println(f"[jobs] $name jobs=$j stages=$st tasks=$tk time=$dt%.2f")
       // Untimed inter-query drain: ContextCleaner reclaims shuffle files
       // and broadcasts via GC'd weak refs, so a heavy query's cleanup
       // otherwise runs asynchronously INSIDE the next query's measured
@@ -84,12 +89,15 @@ object Bench {
       // unlucky). Forcing the GC between measurements charges JVM
       // hygiene to the bench harness, not to a random neighbor query.
       if (!sys.env.get("SPARK_GRAFT_NO_DRAIN").contains("1")) System.gc()
-      name -> dt
+      (name, dt, j, st, tk)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val plan = results.map { case (k, _, j, st, tk) =>
+      "\"" + k + "\":{\"jobs\":" + j + ",\"stages\":" + st + ",\"tasks\":" + tk + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec":$plan,"sf":"$sfDir"}""")
     SparkEntry.clearSessionCaches(spark)
     spark.stop()
   }

@@ -39,7 +39,15 @@ object BloomJoin {
       expectedItems: Long = 1000000L): DataFrame = {
     val spark = probe.sparkSession
     GraftFunctions.register(spark)
-    val numBits = math.max(64L, expectedItems * 10L)
+    // clamp to the session's bloom budget: beyond it BloomFilterAggregate
+    // clamps internally anyway, so make the sizing explicit — a build
+    // side past ~maxNumBits/10 items degrades the ~1% fpp (more residual
+    // join work, never wrong results: no false negatives either way)
+    val maxNumBits =
+      try spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      catch { case _: NumberFormatException => 67108864L }
+    val numBits = math.min(maxNumBits, math.max(64L, expectedItems * 10L))
     val bloomRow = build
       .agg(call_function("graft_bloom_agg",
         col(buildKey), lit(expectedItems), lit(numBits)).as("bf"))

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.SeriesFunctions
+import graft.core.KnnParams
+import graft.functions.{GraftFunctions, SeriesFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -21,14 +22,25 @@ object CrossValidation {
   /** Per-fold 1-NN accuracy (Euclidean) over (idCol, vecCol, labelCol).
     * Output: (fold, acc 6 dp, n) — one row per fold.
     *
-    * Broadcast the whole (small-dim) table as the train side; min_by
-    * picks the nearest foreign-fold neighbor with (dist, id) tie-break,
-    * exactly [[Knn.classify1NN]]'s rule.
+    * The pair join routes through [[Knn.crossPairs]]'s measured-size-aware
+    * strategy: broadcast while one side fits the executor budget,
+    * partitioned cartesian (`shuffle_replicate_nl`) beyond it — k-fold over
+    * a 100 TB training table degrades to a streamed pair join instead of
+    * replicating the whole input to every executor. `min_by` picks the
+    * nearest foreign-fold neighbor with (dist, id) tie-break, exactly
+    * [[Knn.classify1NN]]'s rule.
+    *
+    * Rows whose residue class is the only populated one (no foreign-fold
+    * neighbor exists) keep a NULL prediction and count as incorrect — they
+    * are never silently dropped. Fold assignment uses `pmod`, so negative
+    * ids land in [0, folds); an oracle replaying SQL `%` (sign-preserving)
+    * must restrict to non-negative ids.
     */
   def kfold1NNAccuracy(
       df: DataFrame, idCol: String, vecCol: String, labelCol: String,
       folds: Int): DataFrame = {
     require(folds >= 2, "k-fold needs at least 2 folds")
+    GraftFunctions.register(df.sparkSession)
     val e = df.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
@@ -37,14 +49,14 @@ object CrossValidation {
     val test = Partitioning.spread(e.select(col("id"), col("v"), col("fold")))
     val train = e.select(col("id").as("tid"), col("v").as("tv"),
       col("label").as("tlabel"), col("fold").as("tfold"))
-    val pred = test.crossJoin(broadcast(train))
+    val pred = Knn.crossPairs(train, test, KnnParams())
       .filter(col("fold") =!= col("tfold"))
       .withColumn("dist", SeriesFunctions.barrier(
         SeriesFunctions.euclidean(col("v"), col("tv"))))
-      .groupBy(col("id"), col("fold"))
+      .groupBy(col("id"))
       .agg(min_by(col("tlabel"), struct(col("dist"), col("tid"))).as("pred"))
-    pred
-      .join(e.select(col("id"), col("label")), "id")
+    e.select(col("id"), col("fold"), col("label"))
+      .join(pred, Seq("id"), "left")
       .groupBy(col("fold"))
       .agg(
         round(avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)), 6)

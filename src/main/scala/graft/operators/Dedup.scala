@@ -179,40 +179,70 @@ object Dedup {
     * length-bucket) groups, then verified with the exact kernel.
     * Blocking is part of the operator's DEFINITION (the universal
     * fuzzy-matching scale pattern — an unblocked O(n^2 * m^2) edit
-    * distance over a corpus is not a plan): two rows in different
-    * blocks are never compared, and the oracle replays the same block
-    * predicate. Within a block the candidate join is equi (shuffles by
-    * block key, no cross product across blocks); Spark's
-    * threshold-bounded `levenshtein(a, b, k)` abandons a pair the
-    * moment its running distance exceeds `maxDist` — O(k * m) per pair
-    * instead of O(m^2).
+    * distance over a corpus is not a plan): rows in non-adjacent length
+    * buckets are never compared, and the oracle replays the same block
+    * predicate.
     *
-    * The kernel runs on a fixed-length prefix (`prefixLen`): bounded
-    * per-pair cost regardless of document size, and the standard title/
-    * head fuzzy-dedup semantics.
+    * RECALL IS COMPLETE under `lengthBucket > maxDist`: every doc probes
+    * its own AND the next length bucket, so a true pair (|Δlen| <=
+    * maxDist, since |Δlen| lower-bounds the distance) can never straddle
+    * a bucket boundary out of comparison — docs of length 49 and 51 at
+    * bucket width 50 DO meet. Each pair is generated exactly once with
+    * no dedup shuffle: same-bucket pairs via the id order, adjacent
+    * pairs via the shorter doc's +1 probe only.
+    *
+    * `dist` is the FULL-TEXT distance: the sound `|Δlen| <= maxDist`
+    * length prune runs first (free — lengths ride the block key), then
+    * Spark's threshold-bounded `levenshtein(a, b, k)` abandons a pair
+    * the moment its running distance exceeds `maxDist` — O(k * m) per
+    * pair instead of O(m^2), with the exact distance as the output (a
+    * prefix distance is neither a lower bound nor the advertised
+    * semantics).
+    *
+    * Within a block the candidate join is equi (shuffles by block key +
+    * bucket, no cross product across blocks); the probe-side explode
+    * costs 2x candidate rows, not 2x comparisons (adjacent buckets only
+    * meet where lengths allow).
     *
     * Output: (id_a, id_b, dist), id_a < id_b, dist <= maxDist.
     */
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], lengthBucket: Int,
-      maxDist: Int = 3, prefixLen: Int = 64): DataFrame = {
-    require(lengthBucket > 0, "lengthBucket must be positive")
+      maxDist: Int = 3): DataFrame = {
+    require(lengthBucket > maxDist,
+      s"lengthBucket ($lengthBucket) must exceed maxDist ($maxDist): " +
+        "adjacent-bucket probing is complete only when a true pair's " +
+        "length gap (<= maxDist) cannot span a whole bucket")
     val base = df.select(
       (col(idCol).as("id") +:
-        substring(col(textCol), 1, prefixLen).as("pfx") +:
+        col(textCol).as("txt") +:
+        length(col(textCol)).as("len") +:
         expr(s"length($textCol) div $lengthBucket").as("len_bucket") +:
         blockCols.map(col)): _*)
-    val keys = "len_bucket" +: blockCols
-    val a = Partitioning.spread(base.select(
-      (col("id").as("id_a") +: col("pfx").as("pfx_a") +: keys.map(col)): _*))
+    // probe side: own + next bucket, so boundary pairs always meet
+    val a = Partitioning.spread(base
+      .withColumn("bucket", explode(array(col("len_bucket"), col("len_bucket") + 1)))
+      .select((col("id").as("id_a") +: col("txt").as("txt_a") +:
+        col("len").as("len_a") +: col("len_bucket").as("lb_a") +:
+        col("bucket") +: blockCols.map(col)): _*))
     val b = base.select(
-      (col("id").as("id_b") +: col("pfx").as("pfx_b") +: keys.map(col)): _*)
-    a.join(b, keys)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).as("dist"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      (col("id").as("id_b") +: col("txt").as("txt_b") +:
+        col("len").as("len_b") +: col("len_bucket").as("bucket") +:
+        blockCols.map(col)): _*)
+    a.join(b, "bucket" +: blockCols)
+      // exactly-once orientation: same-bucket pairs once by id order,
+      // boundary pairs once via the lower doc's +1 probe (the reverse
+      // orientation's probe set misses by construction)
+      .filter((col("lb_a") === col("bucket") && col("id_a") < col("id_b")) ||
+        col("lb_a") + 1 === col("bucket"))
+      // sound prune: |Δlen| lower-bounds the edit distance
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        levenshtein(col("txt_a"), col("txt_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Duplicate CLUSTERS: connected components over the near-duplicate

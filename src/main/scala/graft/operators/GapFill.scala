@@ -43,10 +43,14 @@ object GapFill {
     val pts = points
       .groupBy((keyCols :+ tsCol).map(col): _*)
       .agg(round(avg(col(valueCol)), 6).as("_v"))
-    // ceil/floor the span to grid multiples in INTEGER space (`div`);
-    // a double detour loses whole ticks at nanosecond epochs (~1e18)
-    val gridStart = expr(s"((_tmin + ${step - 1}) div $step) * $step")
-    val gridEnd = expr(s"(_tmax div $step) * $step")
+    // ceil/floor the span to grid multiples in INTEGER space — a double
+    // detour loses whole ticks at nanosecond epochs (~1e18). FLOOR
+    // division via pmod (x - pmod(x, step) == floor(x/step)*step for
+    // step > 0), not `div`: `div` truncates toward zero, which for
+    // negative timestamps skips the first grid tick and diverges from
+    // SQL floor-division (`//`) oracles
+    val gridStart = expr(s"(_tmin + ${step - 1}) - pmod(_tmin + ${step - 1}, $step)")
+    val gridEnd = expr(s"_tmax - pmod(_tmax, $step)")
     val grid = pts
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(tsCol)).as("_tmin"), max(col(tsCol)).as("_tmax"))

@@ -111,7 +111,7 @@ object Knn {
     * inputs — it would silently broadcast the huge side this decision
     * just rejected.
     */
-  private def crossPairs(
+  private[operators] def crossPairs(
       trainSel: DataFrame, spreadTest: DataFrame, p: KnnParams,
       broadcastTrain: Option[Boolean] = None,
       broadcastTest: Option[Boolean] = None): DataFrame =

@@ -9,12 +9,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   * video as opaque `binary` columns with typed metadata, decoded /
   * feature-extracted per partition.
   *
-  * The Spark-side plumbing here is real — schema contracts, per-partition
+  * The Spark-side plumbing is real — schema contracts, per-partition
   * batched iteration (`mapPartitions`, the Scala analog of PySpark's
-  * `mapInPandas`), partitioning behavior — while the pixel/sample decode
-  * itself is STUBBED with a deterministic fake (media codecs are not in
-  * this environment). Swap [[decodeBytes]] for a real codec (javacv /
-  * ffmpeg bindings) to productionize; every signature stays unchanged.
+  * `mapInPandas`), partitioning behavior — and so is the decode for the
+  * formats the JDK ships codecs for: PNG/JPEG/BMP/GIF via
+  * `javax.imageio` (luminance block means in [0,1]) and PCM WAV via
+  * `javax.sound.sampled` (sample block means mapped to [0,1]).
+  * Payloads that are not decodable media fall back to a deterministic
+  * hash-mix fake, so synthetic corpora keep working and a corrupt blob
+  * never kills a 100 TB pipeline mid-stage. Video decode stays out
+  * (no JDK codec); [[sampleFrames]] plans the row explosion from
+  * metadata so the shape is exercised.
   */
 object Multimodal {
 
@@ -25,13 +30,118 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** STUB decode: deterministic pseudo-decode of a media payload into a
-    * fixed-length feature vector. Real implementation would decode pixels
-    * / samples; the fake derives bytes via xxhash-like mixing so tests
-    * are reproducible and collision behavior is realistic.
+  /** Decode a media payload into a fixed-length feature vector in
+    * [0,1]^dim: real JDK codec when the payload is recognizable media
+    * ([[realDecode]]), deterministic hash-mix fake otherwise — the
+    * fallback keeps the operator total and reproducible on arbitrary
+    * bytes.
     */
-  private[operators] def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below
+  private[operators] def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] =
+    realDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+
+  /** Real codec path, JDK built-ins only. Magic-sniffed so non-media
+    * payloads skip the codec attempt; decode failures (truncated file,
+    * unsupported encoding) return None rather than throw — at scale a
+    * corrupt payload must degrade, not fail the stage.
+    */
+  private[operators] def realDecode(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    try {
+      if (bytes == null || bytes.length < 12) None
+      else if (isWav(bytes)) decodeWav(bytes, dim)
+      else if (isImage(bytes)) decodeImage(bytes, dim)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def isImage(b: Array[Byte]): Boolean =
+    // PNG | JPEG | BMP | GIF
+    ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Image -> dim luminance block means: pixels scan row-major, split
+    * into `dim` contiguous blocks, each averaged (Rec.601 luma, [0,1]).
+    * Decode(encode(pixels)) is lossless for PNG/BMP/GIF-gray, so the
+    * features are a pure function of the pixel content, not the byte
+    * stream.
+    */
+  private def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    javax.imageio.ImageIO.setUseCache(false) // memory-only streams on executors
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      if (n == 0) return None
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0; var idx = 0L
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000.0 / 255.0
+          val d = ((idx * dim) / n).toInt
+          sums(d) += lum; counts(d) += 1
+          x += 1; idx += 1
+        }
+        y += 1
+      }
+      Some(Array.tabulate(dim)(d =>
+        if (counts(d) > 0) (sums(d) / counts(d)).toFloat else 0f))
+    }
+  }
+
+  /** PCM WAV -> dim sample block means: channel-0 samples normalized to
+    * [-1,1], mapped to [0,1] (same cube as the image path), split into
+    * `dim` contiguous blocks, each averaged. 16-bit signed and 8-bit
+    * PCM; anything else returns None.
+    */
+  private def decodeWav(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || (bits != 8 && bits != 16)) return None
+      val raw = ais.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val n = raw.length / frameSize
+      if (n == 0) return None
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < n) {
+        val off = i * frameSize // channel 0 sits first in each frame
+        val v =
+          if (bits == 16) {
+            val lo = raw(off + (if (fmt.isBigEndian) 1 else 0)) & 0xFF
+            val hi = raw(off + (if (fmt.isBigEndian) 0 else 1))
+            ((hi << 8) | lo).toShort / 32768.0
+          } else if (signed) raw(off) / 128.0
+          else ((raw(off) & 0xFF) - 128) / 128.0
+        val d = ((i.toLong * dim) / n).toInt
+        sums(d) += (v + 1.0) / 2.0; counts(d) += 1
+        i += 1
+      }
+      Some(Array.tabulate(dim)(d =>
+        if (counts(d) > 0) (sums(d) / counts(d)).toFloat else 0f))
+    } finally ais.close()
+  }
+
+  /** Deterministic pseudo-decode fallback for non-media payloads:
+    * xxhash-like byte mixing so tests are reproducible and collision
+    * behavior is realistic.
+    */
+  private[operators] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = -7046029254386353131L // xxhash64 prime seed
     var i = 0

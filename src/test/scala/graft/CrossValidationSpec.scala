@@ -40,6 +40,20 @@ class CrossValidationSpec extends SparkTestBase {
     assert(byFold(0) === ((0L, 0.0, 2L)))
   }
 
+  test("kfold1NNAccuracy: rows with no foreign-fold neighbor count as incorrect") {
+    // every id ≡ 0 (mod 2): fold 1 is empty, so no row has a foreign-fold
+    // neighbor — the left join must keep all rows with pred NULL (scored
+    // incorrect), matching the oracle's scalar subquery, not drop them
+    val rows = Seq(
+      (0L, Seq(0.0, 0.0), 1L),
+      (2L, Seq(1.0, 0.0), 1L),
+      (4L, Seq(2.0, 0.0), 1L)
+    ).toDF("id", "v", "label")
+    val byFold = CrossValidation.kfold1NNAccuracy(rows, "id", "v", "label", folds = 2)
+      .orderBy("fold").as[(Long, Double, Long)].collect()
+    assert(byFold.toSeq === Seq((0L, 0.0, 3L)))
+  }
+
   test("kfold1NNAccuracy matches per-fold classify1NN on real embeddings") {
     val folds = 3
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")

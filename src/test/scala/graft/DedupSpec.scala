@@ -173,9 +173,42 @@ class DedupSpec extends SparkTestBase {
       (5L, "the quick brown fox jumps over the lazy dog and keeps going", "en") // other length bucket
     ).toDF("doc_id", "text", "lang")
     val got = Dedup.editDistancePairs(docs, "doc_id", "text",
-      blockCols = Seq("lang"), lengthBucket = 10, maxDist = 3, prefixLen = 64)
+      blockCols = Seq("lang"), lengthBucket = 10, maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === Set((1L, 2L, 1)))
+  }
+
+  test("editDistancePairs: bucket-boundary pairs are not missed") {
+    // lengths 49 and 51 land in buckets 4 and 5 at width 10 — the
+    // round-5 same-bucket blocking silently dropped this distance-2
+    // pair; adjacent-bucket probing must keep it, exactly once
+    val t49 = "x" * 49
+    val t51 = "x" * 51
+    val docs = Seq(
+      (1L, t49, "en"),
+      (2L, t51, "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), lengthBucket = 10, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 2)))
+  }
+
+  test("editDistancePairs: dist is the full-text distance, not a prefix's") {
+    // identical 40-char head, divergent tails: the round-5 prefix kernel
+    // reported these as distance-0 duplicates; the full-text kernel must
+    // measure the tail (distance 4) and exclude them at maxDist = 3
+    val head = "the very same first forty characters !!"
+    val docs = Seq(
+      (1L, head + "aaaa", "en"),
+      (2L, head + "bbbb", "en")
+    ).toDF("doc_id", "text", "lang")
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text",
+      Seq("lang"), lengthBucket = 100, maxDist = 3).count() === 0)
+    val loose = Dedup.editDistancePairs(docs, "doc_id", "text",
+      Seq("lang"), lengthBucket = 100, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(loose.toSeq === Seq((1L, 2L, 4)))
   }
 
   test("editDistancePairs: identical texts in one block pair at distance 0, once") {

@@ -45,6 +45,13 @@ class GapFillSpec extends SparkTestBase {
     assert(got === Array(("a", 20L, 7.25)))
   }
 
+  test("negative span: grid bounds floor, the first tick is not skipped") {
+    // span [-25, -5] at step 10 -> grid {-20, -10}; truncating division
+    // would derive g0 = -10 and silently drop the -20 tick
+    val got = resampled(Seq(("a", -25L, 0.0), ("a", -5L, 4.0)), step = 10L)
+    assert(got === Array(("a", -20L, 1.0), ("a", -10L, 3.0)))
+  }
+
   test("resampled events table: every value sits within its segment's bounds") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))

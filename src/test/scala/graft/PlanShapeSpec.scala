@@ -132,6 +132,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(equi.nonEmpty, s"expected an equi join on (key, bucket):\n$plan")
   }
 
+  test("k-fold CV on an oversize input never broadcasts the vector payload") {
+    // CV's pair join feeds the WHOLE table in as both sides; on an
+    // oversize (measured) input the strategy must degrade to a
+    // partitioned cartesian — the round-5 unconditional broadcast(train)
+    // OOMed executors at any real training-data scale
+    spark.conf.set("spark.graft.knn.broadcastFloor", "1m")
+    val big = spark.range(3000).select(
+      col("id"),
+      call_function("graft_har_series", col("id"), lit(561)).as("v"),
+      pmod(col("id"), lit(6)).as("label")).localCheckpoint()
+    try {
+      val acc = graft.operators.CrossValidation
+        .kfold1NNAccuracy(big, "id", "v", "label", folds = 5)
+      val plan = acc.queryExecution.sparkPlan.toString
+      assert(plan.contains("CartesianProduct"),
+        s"oversize CV input must fall back to partitioned cartesian, plan:\n$plan")
+      assertNoPayloadBroadcast(acc, "v")
+      assertNoPayloadBroadcast(acc, "tv")
+    } finally {
+      spark.conf.unset("spark.graft.knn.broadcastFloor")
+      Materialize.releaseCheckpoint(big)
+    }
+  }
+
   test("neither side fits: forced partitioned cartesian, no silent broadcast") {
     spark.conf.set("spark.graft.knn.broadcastFloor", "1m")
     val train = synth(3000, 0, "train_id", "train_series").localCheckpoint()
