@@ -882,14 +882,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Q32 — multimodal -> ANN end-to-end: binary media payloads decoded
-    // to feature vectors per partition (decode stubbed — no codecs in
-    // this environment — but schema/batching/partitioning real,
-    // Multimodal.scala), then IVF-indexed and probed. Rows-only (KMeans
-    // fit is fp-order-dependent); stability pinned in scalatest.
+    // Q32 — multimodal -> ANN end-to-end with a REAL codec: per-doc
+    // deterministic grayscale PNGs (javax.imageio encode), decoded back
+    // per partition by the same JDK codec into luminance block-mean
+    // features (Multimodal.realDecode — PNG is lossless, so features are
+    // an exact function of the generated pixels), then IVF-indexed and
+    // probed. Rows-only (gray->sRGB luminance isn't ANSI-SQL-expressible);
+    // decode correctness pinned in MultimodalCodecSpec fixtures.
     "q32_multimodal_ann" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val media = graft.operators.Multimodal.syntheticMediaTable(
+      val media = graft.operators.Multimodal.syntheticPngTable(
         t(s, dir, "documents"))
       // materialize: the decode feeds four downstream actions (corpus
       // count, centroid fit, probe side, query side) — without this the

@@ -194,6 +194,60 @@ object Multimodal {
         greatest(coalesce(col(s"$metaCol.duration_ms"), lit(0L)) - 1, lit(0L)),
         lit(everyMs))).as("frame_ms"))
 
+  /** Synthesize a REAL-image multimodal table over the documents corpus:
+    * the container ships no media files, but the JDK ships an encoder —
+    * each doc gets a deterministic `side`x`side` grayscale PNG whose
+    * pixels derive from doc_id (block-constant values via a splitmix64
+    * finalizer, so downstream block-mean features spread uniformly over
+    * [0,1] instead of concentrating at 0.5). Downstream
+    * [[extractFeatures]] then exercises the real `javax.imageio` decode
+    * end to end: PNG is lossless, so the features are an exact function
+    * of the generated pixels.
+    */
+  def syntheticPngTable(docs: DataFrame, idCol: String = "doc_id",
+      side: Int = 16, blocks: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = ExpressionEncoder(outSchema)
+    val s = side; val b = blocks
+    docs.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, pngFor(id, s, s, b), Row("image/png", s, s, null))
+      }
+    }(enc)
+  }
+
+  /** Deterministic grayscale PNG: pixels are block-constant (row-major
+    * blocks matching [[decodeBytes]]'s block mapping), each block's
+    * value a splitmix64 mix of (id, block).
+    */
+  private[operators] def pngFor(id: Long, w: Int, h: Int, blocks: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val n = w.toLong * h
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val idx = y.toLong * w + x
+        val block = ((idx * blocks) / n).toInt
+        var z = id * -7046029254386353131L + block * -4417276706812531889L
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        z = (z ^ (z >>> 27)) * -7723592293110705685L
+        z ^= (z >>> 31)
+        img.getRaster.setSample(x, y, 0, (z & 0xFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Synthesize a small multimodal table over the documents corpus (the
     * container ships no media files): binary payload derived from text
     * bytes + plausible metadata. Used by tests and demos.
