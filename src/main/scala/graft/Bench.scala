@@ -97,7 +97,21 @@ object Bench {
       "\"" + k + "\":{\"jobs\":" + j + ",\"stages\":" + st + ",\"tasks\":" + tk + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec":$plan,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout, so the compact
+    // timings JSON must be the final line. The (larger) per-query
+    // job/stage/task instrumentation goes on its own PRIOR line — in r6 it
+    // sat inside the single JSON line between the timings and the line end
+    // and pushed every timing out of the tail window, leaving BENCH_r06
+    // with no timing data. Optionally the full combined JSON also lands in
+    // a file (SPARK_GRAFT_BENCH_OUT) for offline analysis.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec":$plan,"sf":"$sfDir"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
+    }
+    println(s"""{"metric":"exec","exec":$plan}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     SparkEntry.clearSessionCaches(spark)
     spark.stop()
   }

@@ -283,10 +283,26 @@ object SparkEntry {
         .orderBy("test_id")
     }),
 
-    // Q13 — k-NN FastDTW k=5 (M3, M4): rows-only + fixtures
+    // Q13 — k-NN FastDTW k=5 (M3, M4) under the HASH GATE: q44's
+    // constant-series closed form (fastdtw == dtw == |x-y|*max(n,m) on
+    // constant series at every recursion depth, KernelsSpec-pinned)
+    // composed with the FULL k=5 vote pipeline (top-k + majority vote +
+    // tie-break), so the plan runs graft_fastdtw through Model-1's
+    // cartesian + WindowGroupLimit + vote path and DuckDB replays every
+    // step. Retires the last kernel-family no_oracle (the random-vector
+    // variant this replaces is the same code path — Knn.classify with
+    // distance="fastdtw" — and stays covered by KnnSpec fixtures).
     "q13_knn_fastdtw_k5" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val (train, test, _) = trainTest(s, dir)
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("key"),
+        col("n_regionkey").cast("double").as("label"),
+        (lit(4) + pmod(col("n_nationkey") * 7, lit(41))).cast("int").as("len"))
+      val train = n.select(col("key").as("train_id"),
+        array_repeat(col("key").cast("double"), col("len")).as("train_series"),
+        col("label"))
+      val test = n.select(col("key").as("test_id"),
+        array_repeat(col("key").cast("double"), col("len")).as("test_series"))
       Knn.classify(train, test, KnnParams(k = 5, distance = "fastdtw", radius = 1))
         .orderBy("test_id")
     }),
@@ -917,6 +933,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Q32b — the AUDIO sibling of q32: deterministic 16-bit PCM WAV
+    // payloads (JDK `AudioSystem.write` encoder) decoded by the real
+    // `javax.sound.sampled` path in extractFeatures, then the same
+    // IVF ANN. Rows-only for the same reason as q32 (binary codec work
+    // is not ANSI-SQL-expressible); the pipeline is deterministic
+    // end to end (lossless PCM round-trip), so the result is stable
+    // across runs — MultimodalSpec pins the decode against the closed
+    // form and this entry keeps the audio codec in the driver loop.
+    "q32b_multimodal_wav" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val media = graft.operators.Multimodal.syntheticWavTable(
+        t(s, dir, "documents"))
+      val feats = graft.operators.Multimodal.extractFeatures(
+        media, "doc_id", "content", dim = 32).localCheckpoint()
+      val queries = feats.filter(col("id") % 10 === 0)
+        .select(col("id").as("query_id"), col("features").as("query_vec"))
+      val corpus = feats.filter(col("id") % 10 =!= 0)
+        .select(col("id").as("item_id"), col("features").as("item_vec"))
+      val centers = SimilaritySearch.hyperplanes(32, 32, 3232L)
+        .map(_.map(x => 0.5 + 0.25 * x / math.sqrt(32.0 / 12.0)))
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q22 — MinHash+LSH near-dup pairs at near-total-recall banding
     // (rowsPerBand=3, 32 bands: miss probability 8e-12 at jaccard 0.82 —
     // the corpus's near-dup pairs all sit >= 0.82 — and 4e-4 at 0.6;
@@ -1432,6 +1473,29 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
                FROM pairs) x
          WHERE rn = 1 ORDER BY test_id""",
+
+    // q44's closed form composed with q10's vote replay: FastDTW k=5
+    // fully SQL-expressible on constant series
+    "q13_knn_fastdtw_k5" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS key,
+                           CAST(n_regionkey AS DOUBLE) AS label,
+                           4 + (n_nationkey * 7) % 41 AS len
+                    FROM nation),
+              pairs AS (SELECT t.key AS test_id, tr.key AS train_id, tr.label,
+                               ABS(CAST(t.key - tr.key AS DOUBLE)) * GREATEST(t.len, tr.len) AS d
+                        FROM n t CROSS JOIN n tr
+                        WHERE t.key <> tr.key),
+              topk AS (SELECT * FROM (
+                         SELECT test_id, train_id, label,
+                                ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+                         FROM pairs) x WHERE rn <= 5),
+              votes AS (SELECT test_id, label, COUNT(*) AS votes, MIN(rn) AS best_rank
+                        FROM topk GROUP BY test_id, label)
+         SELECT test_id, label AS predicted_label FROM (
+           SELECT test_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY votes DESC, best_rank, label) AS vr
+           FROM votes) v
+         WHERE vr = 1 ORDER BY test_id""",
 
     // constant-series closed form: fastdtw == dtw == |x-y|*max(n,m)
     // (KernelsSpec pins the equality exhaustively over the length grid)

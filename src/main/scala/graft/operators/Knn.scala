@@ -63,7 +63,7 @@ object Knn {
     * replicated dense matrix (tunable via spark.graft.knn.broadcastFloor;
     * conf values may carry a byte-unit suffix, "64MB").
     */
-  private def fitsBroadcast(df: DataFrame): Boolean = {
+  private[operators] def fitsBroadcast(df: DataFrame): Boolean = {
     val conf = df.sparkSession.conf
     val floor =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

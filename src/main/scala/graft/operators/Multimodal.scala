@@ -36,7 +36,7 @@ object Multimodal {
     * fallback keeps the operator total and reproducible on arbitrary
     * bytes.
     */
-  private[operators] def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] =
+  private[graft] def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] =
     realDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
 
   /** Real codec path, JDK built-ins only. Magic-sniffed so non-media
@@ -245,6 +245,59 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a REAL-audio multimodal table over the documents corpus:
+    * each doc gets a deterministic 16-bit PCM mono WAV (the JDK encoder:
+    * `AudioSystem.write`) whose samples are block-constant values derived
+    * from (doc_id, block) — the audio sibling of [[syntheticPngTable]].
+    * PCM WAV is lossless, so [[extractFeatures]]'s `javax.sound.sampled`
+    * decode recovers the block means exactly: the q32b pipeline gates the
+    * real audio codec end to end.
+    */
+  def syntheticWavTable(docs: DataFrame, idCol: String = "doc_id",
+      samples: Int = 2048, blocks: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = ExpressionEncoder(outSchema)
+    val n = samples; val b = blocks
+    docs.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        // 8 kHz mono: duration_ms = samples / 8
+        Row(id, wavFor(id, n, b), Row("audio/wav", null, null, (n / 8).toLong))
+      }
+    }(enc)
+  }
+
+  /** Deterministic 16-bit PCM mono WAV (8 kHz, little-endian): samples are
+    * block-constant (block mapping matching [[decodeBytes]]'s), each
+    * block's amplitude a splitmix64 mix of (id, block) — the same mixing
+    * as [[pngFor]] so features spread uniformly instead of piling at 0.5.
+    */
+  private[graft] def wavFor(id: Long, nSamples: Int, blocks: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val block = ((i.toLong * blocks) / nSamples).toInt
+      var z = id * -7046029254386353131L + block * -4417276706812531889L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^= (z >>> 31)
+      val v = (z & 0xFFFFL).toShort
+      raw(2 * i) = (v & 0xFF).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

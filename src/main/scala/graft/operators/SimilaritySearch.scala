@@ -42,29 +42,49 @@ object SimilaritySearch {
     * call. Pre-fit centroids can be passed via [[ivfTopKWithCentroids]]
     * (they enter the plan as literals, broadcast with the task binary).
     */
+  /** Fitted-centroid memo: one count+sample scan per (session, corpus
+    * plan, fit params), not per `ivfTopK` call — repeated calls against
+    * the same corpus (a query loop over one index) re-derive identical
+    * centroids from identical seeded samples, so the re-scan bought
+    * nothing. Keyed by the corpus plan's semanticHash + session identity;
+    * entries for stopped sessions are evicted on access (the harSynth
+    * lifecycle pattern). Pre-fit callers use [[ivfTopKWithCentroids]].
+    */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, Long, Long), Array[Array[Double]]]()
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCells: Int = 16, probes: Int = 4, seed: Long = 42L,
       maxFitRows: Long = 20000): DataFrame = {
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
-    val total = c.count()
-    val fitSet =
-      if (total > maxFitRows)
-        c.sample(withReplacement = false, maxFitRows.toDouble / total, seed)
-      else c
-    // The coarse-quantizer fit runs DRIVER-SIDE on the collected sample.
-    // The sample is bounded (maxFitRows * dim doubles ~ 10 MB), so this
-    // holds at 100 TB: one scan to sample, then Lloyd iterations are
-    // pure local arithmetic instead of a scheduler round trip per
-    // iteration (a distributed fit over a 20k-row sample was ~7x the
-    // cost of the probe+rerank it serves). Recall is governed by
-    // `probes`, not centroid polish; the rerank is exact within probed
-    // cells regardless. Sorting the sample by id makes the fit (and so
-    // the whole operator) deterministic across runs and cluster layouts.
-    val sample = fitSet.select(col("item_id").cast("long"), col("cv")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
-    val centers = fitCentroids(sample, numCells, seed)
+    locally {
+      import scala.jdk.CollectionConverters._
+      centroidCache.keySet.asScala.filter(_._1.sparkContext.isStopped).toList
+        .foreach(centroidCache.remove)
+    }
+    val key = (corpus.sparkSession, c.queryExecution.analyzed.semanticHash(),
+      numCells, seed, maxFitRows)
+    val centers = centroidCache.computeIfAbsent(key, { _ =>
+      val total = c.count()
+      val fitSet =
+        if (total > maxFitRows)
+          c.sample(withReplacement = false, maxFitRows.toDouble / total, seed)
+        else c
+      // The coarse-quantizer fit runs DRIVER-SIDE on the collected sample.
+      // The sample is bounded (maxFitRows * dim doubles ~ 10 MB), so this
+      // holds at 100 TB: one scan to sample, then Lloyd iterations are
+      // pure local arithmetic instead of a scheduler round trip per
+      // iteration (a distributed fit over a 20k-row sample was ~7x the
+      // cost of the probe+rerank it serves). Recall is governed by
+      // `probes`, not centroid polish; the rerank is exact within probed
+      // cells regardless. Sorting the sample by id makes the fit (and so
+      // the whole operator) deterministic across runs and cluster layouts.
+      val sample = fitSet.select(col("item_id").cast("long"), col("cv")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      fitCentroids(sample, numCells, seed)
+    })
     ivfTopKWithCentroids(queries, corpus, k, centers, probes)
   }
 
@@ -180,11 +200,19 @@ object SimilaritySearch {
   /** Quantized-prefilter ANN: rank ALL candidates on int8-quantized
     * vectors (the cheap pass — at scale the quantized corpus is what
     * streams from storage, 8x less bandwidth than doubles, and what
-    * broadcasts), keep the top k*rerankFactor per query, then rerank
-    * only those exactly at full precision. Deterministic end to end
-    * (quantization is pure arithmetic, every rank ties on item_id), so
-    * unlike the LSH/IVF paths this approximate operator replays fully
-    * in SQL.
+    * broadcasts WHEN IT FITS), keep the top k*rerankFactor per query,
+    * then rerank only those exactly at full precision. Deterministic end
+    * to end (quantization is pure arithmetic, every rank ties on
+    * item_id), so unlike the LSH/IVF paths this approximate operator
+    * replays fully in SQL.
+    *
+    * The prefilter pair join routes through [[Knn.crossPairs]]'s
+    * measured-size strategy: broadcast the quantized corpus while it
+    * fits an executor; beyond that broadcast the (bounded) query side
+    * and STREAM the corpus; a true partitioned cartesian only when
+    * neither side fits. int8 shrinks the corpus 8x but 100 TB of doubles
+    * is still 12.5 TB quantized — an unconditional broadcast is not a
+    * scale path (PlanShapeSpec pins the fallback).
     */
   def int8TopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
@@ -196,18 +224,27 @@ object SimilaritySearch {
     val n = k * rerankFactor
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("item_id"))
-    val cand = Partitioning.spread(qq).crossJoin(broadcast(cq))
+    val cand = Knn.crossPairs(cq, Partitioning.spread(qq), graft.core.KnnParams())
       .select(col("query_id"), col("item_id"),
         SeriesFunctions.cosine(col("q8").cast("array<double>"),
           col("c8").cast("array<double>")).as("qcos"))
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= n)
       .select(col("query_id"), col("item_id"))
-    // exact rerank joins the full-precision vectors back by id only for
-    // the surviving candidates
+    // Exact rerank joins the full-precision vectors back by id only for
+    // the surviving candidates. Oversize corpus: broadcast the slim
+    // (query_id, item_id, qv) candidate frame (bounded by the query set:
+    // k*rerankFactor rows per query) so the corpus payload STREAMS
+    // through the hash join — an unhinted join would let Catalyst
+    // build-broadcast a checkpointed corpus from its lying stats (the
+    // Knn.scala:341-356 discipline).
+    val withQ = cand.join(q, "query_id")
+    val joined =
+      if (Knn.fitsBroadcast(c)) withQ.join(broadcast(c), "item_id")
+      else c.join(broadcast(withQ), "item_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id"))
-    cand.join(q, "query_id").join(c, "item_id")
+    joined
       .select(col("query_id"), col("item_id"),
         SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -242,24 +279,35 @@ object SimilaritySearch {
     * `tables` independent hash tables, rerank exactly within candidates.
     * Recall grows with `tables`; cost ~ n * avgBucketSize * tables instead
     * of n^2.
+    *
+    * Shuffle discipline (the [[Dedup.embeddingNearDupPairsLsh]] shape):
+    * buckets are computed SCAN-SIDE from the vectors, but only slim
+    * (table, bucket, id) triples enter the bucket-join exchange — the
+    * naive form carries every vector `tables` times through the shuffle,
+    * multiplying bytes-moved by the table count. Candidate (query, item)
+    * pairs are deduped across tables FIRST (cosine is deterministic per
+    * pair, so dedup-then-score == score-then-max), then the vectors join
+    * back by id only for the exact rerank of surviving candidates.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, bits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
-    val qb = Partitioning.spread(q).select(col("query_id"), col("qv"),
+    val qb = Partitioning.spread(q).select(col("query_id"),
       posexplode(array((0 until tables).map(t =>
         signBucket(col("qv"), dim, bits, seed + t)): _*)).as(Seq("table", "bucket")))
-    val cb = c.select(col("item_id"), col("cv"),
+    val cb = c.select(col("item_id"),
       posexplode(array((0 until tables).map(t =>
         signBucket(col("cv"), dim, bits, seed + t)): _*)).as(Seq("table", "bucket")))
+    val cand = qb.join(cb, Seq("table", "bucket"))
+      .select(col("query_id"), col("item_id"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("item_id"))
-    qb.join(cb, Seq("table", "bucket"))
+    cand.join(q, "query_id").join(c, "item_id")
       .select(col("query_id"), col("item_id"),
         SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
-      .groupBy(col("query_id"), col("item_id")).agg(max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("item_id"), col("cos"))

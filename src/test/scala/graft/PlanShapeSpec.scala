@@ -177,4 +177,81 @@ class PlanShapeSpec extends SparkTestBase {
       Materialize.releaseCheckpoint(train); Materialize.releaseCheckpoint(test)
     }
   }
+
+  test("int8TopK on an oversize corpus never broadcasts the corpus payload") {
+    // int8 shrinks the corpus 8x, but an unbroadcastable corpus stays
+    // unbroadcastable (12.5 TB at the 100 TB tier) — the r6 unconditional
+    // broadcast(cq) must degrade to the measured-size strategy: query
+    // side broadcasts (bounded), quantized corpus STREAMS, and the exact
+    // rerank streams the full-precision corpus against slim broadcast
+    // candidates.
+    spark.conf.set("spark.graft.knn.broadcastFloor", "1m")
+    val corpus = spark.range(3000).select(col("id").as("item_id"),
+      call_function("graft_har_series", col("id"), lit(561)).as("item_vec"))
+      .localCheckpoint()
+    val queries = spark.range(40).select(col("id").as("query_id"),
+      call_function("graft_har_series", col("id") + 5000, lit(561)).as("query_vec"))
+      .localCheckpoint()
+    try {
+      val out = graft.operators.SimilaritySearch.int8TopK(queries, corpus, 5)
+      // neither the quantized (c8) nor full-precision (cv/item_vec)
+      // corpus payload may sit on the BUILD side of any broadcast join
+      // (sparkPlan pre-dates exchange insertion, so pin the join nodes)
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      val buildSides = out.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          (if (j.buildSide == BuildLeft) j.left else j.right).output
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          (if (j.buildSide == BuildLeft) j.left else j.right).output
+      }
+      val offending = buildSides.filter(_.exists(a =>
+        a.name.startsWith("c8") || a.name.startsWith("cv") || a.name.startsWith("item_vec")))
+      assert(offending.isEmpty,
+        s"oversize corpus payload must never broadcast, offending build sides: $offending")
+    } finally {
+      spark.conf.unset("spark.graft.knn.broadcastFloor")
+      Materialize.releaseCheckpoint(corpus); Materialize.releaseCheckpoint(queries)
+    }
+  }
+
+  test("int8TopK on a broadcastable corpus still broadcasts it (fast path)") {
+    val corpus = spark.range(300).select(col("id").as("item_id"),
+      call_function("graft_har_series", col("id"), lit(64)).as("item_vec"))
+      .localCheckpoint()
+    val queries = spark.range(20).select(col("id").as("query_id"),
+      call_function("graft_har_series", col("id") + 5000, lit(64)).as("query_vec"))
+      .localCheckpoint()
+    try {
+      val out = graft.operators.SimilaritySearch.int8TopK(queries, corpus, 5)
+      // sparkPlan pre-dates EnsureRequirements (no BroadcastExchange yet):
+      // pin the BNLJ build side instead
+      val bnljC8 = out.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+            if b.right.output.exists(_.name.startsWith("c8")) => b
+      }
+      assert(bnljC8.nonEmpty,
+        "a small quantized corpus must take the broadcast prefilter path")
+    } finally {
+      Materialize.releaseCheckpoint(corpus); Materialize.releaseCheckpoint(queries)
+    }
+  }
+
+  test("lshTopK bucket exchange carries slim triples, never vector payloads") {
+    val corpus = spark.range(300).select(col("id").as("item_id"),
+      call_function("graft_har_series", col("id"), lit(16)).as("item_vec"))
+    val queries = spark.range(20).select(col("id").as("query_id"),
+      call_function("graft_har_series", col("id") + 5000, lit(16)).as("query_vec"))
+    val out = graft.operators.SimilaritySearch.lshTopK(
+      queries, corpus, 5, dim = 16, bits = 6, tables = 4)
+    // every exchange that moves bucket keys (the candidate-generation
+    // shuffle, `tables`x the corpus row count) must be payload-free —
+    // vectors join back by id only for the exact rerank
+    val offending = out.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "bucket") &&
+            e.output.exists(a => a.name.startsWith("qv") || a.name.startsWith("cv")) => e
+    }
+    assert(offending.isEmpty,
+      s"bucket-join exchange must not carry vector payloads:\n${offending.mkString("\n")}")
+  }
 }

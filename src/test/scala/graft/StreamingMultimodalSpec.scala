@@ -161,6 +161,46 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(perQuery === Set(5)) // exactly k rows per query
   }
 
+  test("WAV codec closed form: decode(encode) recovers the block amplitudes exactly") {
+    // 2048 samples / 32 blocks = 64 samples per block, block-constant
+    // amplitude v = splitmix64(id, block) as int16 — lossless PCM means
+    // the block-mean feature is exactly ((v/32768)+1)/2
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val bytes = Multimodal.wavFor(id, 2048, 32)
+      assert(bytes.length > 44, "RIFF header + payload expected")
+      val feats = Multimodal.decodeBytes(bytes, 32)
+      assert(feats.length === 32)
+      for (block <- 0 until 32) {
+        var z = id * -7046029254386353131L + block * -4417276706812531889L
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        z = (z ^ (z >>> 27)) * -7723592293110705685L
+        z ^= (z >>> 31)
+        val v = (z & 0xFFFFL).toShort
+        val expect = ((v / 32768.0) + 1.0) / 2.0
+        assert(math.abs(feats(block) - expect) < 1e-6,
+          s"id=$id block=$block got=${feats(block)} want=$expect")
+      }
+    }
+  }
+
+  test("WAV decode degrades on corrupt payload instead of failing") {
+    val good = Multimodal.wavFor(9L, 2048, 32)
+    val corrupt = good.take(60) // truncated mid-header/payload
+    val f = Multimodal.decodeBytes(corrupt, 32)
+    assert(f.length === 32) // deterministic fallback, no throw
+    val f2 = Multimodal.decodeBytes(corrupt, 32)
+    assert(f.toSeq === f2.toSeq)
+  }
+
+  test("q32b multimodal WAV -> ANN: deterministic, k results per query") {
+    val a = SparkEntry.queries("q32b_multimodal_wav")(spark, sf001).collect()
+    val b = SparkEntry.queries("q32b_multimodal_wav")(spark, sf001).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val perQuery = a.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery === Set(5)) // exactly k rows per query
+  }
+
   test("multimodal: resize updates metadata; sampleFrames explodes by duration") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(5)
     val media = Multimodal.syntheticMediaTable(docs)

@@ -1,0 +1,119 @@
+package graft.tools
+
+import graft.core.KnnParams
+import graft.operators.{Dedup, Knn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-off 10x scale rehearsal (round-7 directive #5): measure the two
+  * headline scale claims instead of arguing them from plan audits.
+  *
+  *   1. q26's DTW prune cascade at the FULL published HAR size
+  *      (73520 train x 29470 test x 561 — 10x the sf0.1 tier the bench
+  *      measures), checking the strategy decisions degrade as designed
+  *      (train+test payloads oversize -> nothing payload-heavy broadcasts)
+  *      and recording wall time.
+  *   2. q22/q27's MinHash-LSH dedup + cluster propagation on a 10x
+  *      document corpus (50k docs = 10 shifted copies of sf0.1's 5000 —
+  *      each doc gains 9 exact duplicates, the duplicate-heavy shape a
+  *      dedup pipeline exists for), same banding as q22.
+  *
+  * Run: SPARK_DRIVER_MEM=48g sbt "Test/runMain graft.tools.ScaleRehearsal"
+  * Results land in NOTES_r7.md (written by hand from this output).
+  */
+object ScaleRehearsal {
+
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[rehearsal] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  private def planAudit(name: String, df: DataFrame, payloads: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val plan = df.queryExecution.sparkPlan
+    val buildSides = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        (if (j.buildSide == BuildLeft) j.left else j.right).output.map(_.name)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        (if (j.buildSide == BuildLeft) j.left else j.right).output.map(_.name)
+    }
+    val offending = buildSides.filter(_.exists(n => payloads.exists(n.startsWith)))
+    val cart = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.size
+    println(s"[rehearsal] $name plan: broadcastBuildSides=${buildSides.size} " +
+      s"cartesian=$cart payloadBroadcasts=${offending.size}")
+    offending.foreach(o => println(s"[rehearsal]   OFFENDING build side: $o"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val which = if (args.isEmpty) Set("har", "dedup") else args.toSet
+
+    if (which("har")) {
+      // ---- 1. HAR cascade at sf1 (the reference's full corpus size) ----
+      val L = 561
+      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        spark.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
+      val train = timed("har synth+checkpoint train (73520x561)") {
+        val t = synth(73520, 0, "train_id", "train_series").localCheckpoint(); t.count(); t
+      }
+      val test = timed("har synth+checkpoint test (29470x561)") {
+        val t = synth(29470, 1000000, "test_id", "test_series")
+          .select(col("test_id"), col("test_series")).localCheckpoint()
+        t.count(); t
+      }
+      val harParams = KnnParams(distance = "dtw", band = 56,
+        lbPruning = true, candidateFactor = 16, coarsenFactor = 8)
+      val pred = Knn.classify1NN(train, test, harParams)
+      planAudit("har_sf1_cascade", pred, Seq("train_series", "test_series"))
+      val n = timed("har sf1 cascade (classify1NN, 73520x29470x561)") {
+        pred.write.format("noop").mode("overwrite").save()
+        pred.count()
+      }
+      // separable classes: predicted == test_id % 6 everywhere
+      val correct = pred.filter(col("predicted_label") === pmod(col("test_id"), lit(6))).count()
+      println(s"[rehearsal] har sf1: rows=$n correct=$correct (expect $n)")
+      graft.core.Materialize.releaseCheckpoint(train)
+      graft.core.Materialize.releaseCheckpoint(test)
+    }
+
+    if (which("dedup")) {
+      // ---- 2. MinHash LSH dedup + clusters on a 10x corpus ----
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val big = timed("dedup corpus build (50k docs = 10 shifted copies)") {
+        val d = docs.select(col("doc_id"), col("text"))
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"), col("text"))
+          .localCheckpoint()
+        d.count(); d
+      }
+      val pairs = Dedup.minhashLshPairs(big, "doc_id", "text",
+        shingleSize = 2, numHashes = 96, numBands = 32, threshold = 0.3, roundDp = 6)
+      planAudit("dedup_10x_pairs", pairs, Seq("text", "sh", "sig"))
+      val np = timed("minhashLshPairs on 50k docs (q22 banding)")(pairs.count())
+      println(s"[rehearsal] dedup 10x: verified near-dup pairs=$np")
+      val clusters = Dedup.duplicateClusters(big, "doc_id", "text",
+        shingleSize = 2, threshold = 0.3)
+      val nc = timed("duplicateClusters on 50k docs (q27 config)") {
+        clusters.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0)
+      }
+      println(s"[rehearsal] dedup 10x: clusters=$nc over ${big.count()} docs")
+      graft.core.Materialize.releaseCheckpoint(big)
+    }
+    spark.stop()
+  }
+}
