@@ -958,6 +958,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Q32c — the VIDEO sibling of q32: deterministic MJPEG-in-AVI clips
+    // (JPEG frames in a RIFF container — both pure JDK), container-walked
+    // and frame-decoded per partition (Multimodal.sampleFrameFeatures,
+    // every 2nd frame), then the per-frame features feed the same IVF
+    // ANN. Rows-only (binary codec work isn't ANSI-SQL-expressible);
+    // deterministic end to end, frame decode pinned in
+    // StreamingMultimodalSpec.
+    "q32c_multimodal_video" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val media = graft.operators.Multimodal.syntheticAviTable(
+        t(s, dir, "documents"), frames = 6)
+      val frames = graft.operators.Multimodal.sampleFrameFeatures(
+        media, "doc_id", "content", everyN = 2, dim = 32).localCheckpoint()
+      val queries = frames.filter(col("id") % 10 === 0 && col("frame_idx") === 0)
+        .select(col("id").as("query_id"), col("features").as("query_vec"))
+      val corpus = frames.filter(!(col("id") % 10 === 0 && col("frame_idx") === 0))
+        .select((col("id") * 8 + col("frame_idx")).as("item_id"),
+          col("features").as("item_vec"))
+      val centers = SimilaritySearch.hyperplanes(32, 32, 3232L)
+        .map(_.map(x => 0.5 + 0.25 * x / math.sqrt(32.0 / 12.0)))
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
+        .select(col("query_id"), col("rank"), col("item_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Q22 — MinHash+LSH near-dup pairs at near-total-recall banding
     // (rowsPerBand=3, 32 bands: miss probability 8e-12 at jaccard 0.82 —
     // the corpus's near-dup pairs all sit >= 0.82 — and 4e-4 at 0.6;
@@ -1157,7 +1182,32 @@ object SparkEntry {
           graft.operators.Partitioning.zorder2(col("x8"), col("y8"), 8))
         .withColumn("zbucket", shiftright(col("z"), 6))
         .orderBy("vec_id")
-    })
+    }),
+
+    // Q67-Q70 — the Structured Streaming surface under the oracle gate
+    // (streaming.StreamingOracle): each runs the REAL readStream →
+    // operator → writeStream plan bounded (processAllAvailable over a
+    // staged file source) and returns the sink contents, so the
+    // micro-batch engine itself — stateful window agg, watermarked dedup
+    // state, GroupState, stream-stream join buffers — produces the
+    // oracle-checked rows. Determinism contract in StreamingOracle's doc.
+
+    // Q67 — watermarked tumbling-window event stats, complete mode
+    "q67_stream_window" -> ((s, dir) =>
+      graft.streaming.StreamingOracle.windowedEventStats(s, dir)),
+
+    // Q68 — dropDuplicatesWithinWatermark on (user_id, event_type),
+    // projected to the (order-independent) key set
+    "q68_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOracle.dedupDistinctKeys(s, dir)),
+
+    // Q69 — mapGroupsWithState running per-user totals, update mode
+    "q69_stream_state" -> ((s, dir) =>
+      graft.streaming.StreamingOracle.runningUserStats(s, dir)),
+
+    // Q70 — watermarked stream-stream interval join (click±2min view)
+    "q70_stream_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamingOracle.clickViewIntervalJoin(s, dir))
   )
 
   /** Q64 strata (shared with the oracle SQL builder). */
@@ -1980,6 +2030,33 @@ object SparkEntry {
             FROM embeddings),
           qz AS (SELECT vec_id, x8, y8, $z AS z FROM q)
           SELECT vec_id, x8, y8, z, z >> 6 AS zbucket FROM qz ORDER BY vec_id"""
-    }
+    },
+
+    // Spark tumbling windows align to the epoch → s // 300 * 300
+    "q67_stream_window" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
+                event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS mean_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q68_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+
+    // integer-cents sum mirrors runningUserStatsCents' order-free state
+    "q69_stream_state" ->
+      """SELECT user_id, COUNT(*) AS events,
+                SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q70_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+                epoch_ns(c.ts) // 1000000000 AS click_s,
+                epoch_ns(v.ts) // 1000000000 AS view_s
+         FROM events c JOIN events v ON c.user_id = v.user_id
+         WHERE c.event_type = 'click' AND v.event_type = 'view'
+           AND epoch_ns(v.ts) // 1000000000
+               BETWEEN epoch_ns(c.ts) // 1000000000 - 1800
+                   AND epoch_ns(c.ts) // 1000000000 + 1800
+         ORDER BY click_id, view_id"""
   )
 }

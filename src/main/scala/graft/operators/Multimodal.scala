@@ -17,9 +17,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `javax.sound.sampled` (sample block means mapped to [0,1]).
   * Payloads that are not decodable media fall back to a deterministic
   * hash-mix fake, so synthetic corpora keep working and a corrupt blob
-  * never kills a 100 TB pipeline mid-stage. Video decode stays out
-  * (no JDK codec); [[sampleFrames]] plans the row explosion from
-  * metadata so the shape is exercised.
+  * never kills a 100 TB pipeline mid-stage. Video rides MJPEG-in-AVI:
+  * the JDK ships no video *codec*, but AVI is a plain RIFF container
+  * and its MJPEG frames are JPEGs — which `javax.imageio` does decode —
+  * so [[decodeAviFrames]] walks the container and decodes real frames,
+  * [[sampleFrameFeatures]] turns a video column into per-frame feature
+  * rows, and [[sampleFrames]] remains the metadata-only planning
+  * variant (the row-explosion shape without touching payload bytes).
   */
 object Multimodal {
 
@@ -48,6 +52,7 @@ object Multimodal {
     try {
       if (bytes == null || bytes.length < 12) None
       else if (isWav(bytes)) decodeWav(bytes, dim)
+      else if (isAvi(bytes)) decodeAviMean(bytes, dim)
       else if (isImage(bytes)) decodeImage(bytes, dim)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -63,6 +68,11 @@ object Multimodal {
     b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+  private[operators] def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
   /** Image -> dim luminance block means: pixels scan row-major, split
     * into `dim` contiguous blocks, each averaged (Rec.601 luma, [0,1]).
     * Decode(encode(pixels)) is lossless for PNG/BMP/GIF-gray, so the
@@ -72,29 +82,34 @@ object Multimodal {
   private def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
     javax.imageio.ImageIO.setUseCache(false) // memory-only streams on executors
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) None
-    else {
-      val w = img.getWidth; val h = img.getHeight
-      val n = w.toLong * h
-      if (n == 0) return None
-      val sums = new Array[Double](dim)
-      val counts = new Array[Long](dim)
-      var y = 0; var idx = 0L
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-            (rgb & 0xFF) * 114) / 1000.0 / 255.0
-          val d = ((idx * dim) / n).toInt
-          sums(d) += lum; counts(d) += 1
-          x += 1; idx += 1
-        }
-        y += 1
+    if (img == null) None else imageBlockMeans(img, dim)
+  }
+
+  /** Row-major luminance block means of one decoded image (the shared
+    * feature kernel of the image and video paths).
+    */
+  private[graft] def imageBlockMeans(
+      img: java.awt.image.BufferedImage, dim: Int): Option[Array[Float]] = {
+    val w = img.getWidth; val h = img.getHeight
+    val n = w.toLong * h
+    if (n == 0) return None
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0; var idx = 0L
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000.0 / 255.0
+        val d = ((idx * dim) / n).toInt
+        sums(d) += lum; counts(d) += 1
+        x += 1; idx += 1
       }
-      Some(Array.tabulate(dim)(d =>
-        if (counts(d) > 0) (sums(d) / counts(d)).toFloat else 0f))
+      y += 1
     }
+    Some(Array.tabulate(dim)(d =>
+      if (counts(d) > 0) (sums(d) / counts(d)).toFloat else 0f))
   }
 
   /** PCM WAV -> dim sample block means: channel-0 samples normalized to
@@ -137,6 +152,169 @@ object Multimodal {
     } finally ais.close()
   }
 
+  // ------------------------------------------------------------- video
+
+  /** Walk an AVI (RIFF) container and decode its MJPEG frames via
+    * `javax.imageio` — `00dc`/`xxdc` compressed-video chunks hold plain
+    * JPEG streams in MJPEG files. Pure JDK: RIFF is length-prefixed
+    * fourcc chunks (word-aligned), no codec needed for the container
+    * itself. Undecodable chunks are skipped, a malformed container
+    * returns None — corrupt payloads degrade, never fail the stage.
+    */
+  private[graft] def decodeAviFrames(
+      bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    try {
+      if (!isAvi(bytes)) return None
+      javax.imageio.ImageIO.setUseCache(false)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+          ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val frames = Vector.newBuilder[java.awt.image.BufferedImage]
+      val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
+      def walk(from: Int, to: Int, insideMovi: Boolean): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = fourcc(pos)
+          val size = u32(pos + 4)
+          val dataStart = pos + 8
+          val dataEnd = dataStart + size
+          if (dataEnd > to) return // truncated chunk: stop this level
+          if (id == "LIST" && size >= 4) {
+            val listType = fourcc(dataStart)
+            walk(dataStart + 4, dataEnd.toInt, insideMovi || listType == "movi")
+          } else if (insideMovi && id.length == 4 && id.endsWith("dc") && size > 0) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, dataStart, size.toInt))
+            if (img != null) frames += img
+          }
+          pos = (dataEnd + (size & 1)).toInt // chunks are word-aligned
+        }
+      }
+      walk(12, riffEnd, insideMovi = false)
+      val out = frames.result()
+      if (out.isEmpty) None else Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Whole-video features for [[extractFeatures]]: the mean of the
+    * per-frame luminance block means (every decodable frame weighted
+    * equally).
+    */
+  private def decodeAviMean(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeAviFrames(bytes).flatMap { frames =>
+      val per = frames.flatMap(imageBlockMeans(_, dim))
+      if (per.isEmpty) None
+      else Some(Array.tabulate(dim)(d => (per.map(_(d).toDouble).sum / per.size).toFloat))
+    }
+
+  /** REAL frame sampling: decode the AVI payload per partition, keep
+    * every `everyN`-th frame, emit one `(id, frame_idx, features)` row
+    * per kept frame — the row-explosion shape of [[sampleFrames]] with
+    * the decode actually performed. Payloads that are not decodable
+    * video emit zero rows (a 100 TB scrape is full of junk; dropping is
+    * the production behavior, and the emitted row count is how the drop
+    * rate is monitored).
+    */
+  def sampleFrameFeatures(
+      df: DataFrame, idCol: String, binCol: String,
+      everyN: Int = 1, dim: Int = 64): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = ExpressionEncoder(outSchema)
+    val n = everyN; val d = dim
+    df.select(col(idCol).cast(LongType).as("id"), col(binCol).as("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          decodeAviFrames(bytes).toSeq.flatMap { frames =>
+            frames.iterator.zipWithIndex.collect {
+              case (img, idx) if idx % n == 0 =>
+                imageBlockMeans(img, d).map(f => Row(r.getLong(0), idx, f.toSeq))
+            }.flatten
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic MJPEG-in-AVI payload: `frames` JPEG frames (the
+    * [[grayImageFor]] block pattern, frame index folded into the seed)
+    * wrapped in a minimal spec-shaped RIFF: `hdrl` (avih + one `vids`
+    * stream with an MJPG `strh`/`strf`), `movi` with `00dc` chunks,
+    * `idx1`. 10 fps.
+    */
+  private[graft] def aviFor(
+      id: Long, frames: Int, w: Int, h: Int, blocks: Int): Array[Byte] = {
+    val jpegs = Array.tabulate(frames) { f =>
+      val img = grayImageFor(id * 1000003L + f, w, h, blocks)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(idCc: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(idCc) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(listType) ++ body)
+    // MainAVIHeader: 10 fps, one video stream
+    val avih = chunk("avih", le32(100000L) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    // AVIStreamHeader: vids/MJPG, scale 1 rate 10, length = frame count
+    val strh = chunk("strh", cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(frames) ++ le32(0) ++
+      le32(0xFFFFFFFFL) ++ le32(0) ++
+      Array(0, 0, 0, 0).map(_.toByte) ++ le32((h.toLong << 16) | w))
+    // BITMAPINFOHEADER with biCompression = 'MJPG'
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
+      Array(1, 0, 24, 0).map(_.toByte) ++ cc("MJPG") ++ le32(w.toLong * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frameChunks = jpegs.map(chunk("00dc", _))
+    val movi = list("movi", frameChunks.flatten)
+    // idx1 offsets are relative to the 'movi' fourcc
+    val idx1 = {
+      var off = 4L
+      chunk("idx1", jpegs.zip(frameChunks).flatMap { case (j, fc) =>
+        val e = cc("00dc") ++ le32(0x10) ++ le32(off) ++ le32(j.length)
+        off += fc.length
+        e
+      })
+    }
+    val payload = cc("AVI ") ++ hdrl ++ movi ++ idx1
+    cc("RIFF") ++ le32(payload.length) ++ payload
+  }
+
+  /** Synthesize a REAL-video multimodal table over the documents corpus:
+    * each doc gets a deterministic MJPEG-in-AVI clip ([[aviFor]]) whose
+    * frames vary by (doc_id, frame). [[sampleFrameFeatures]] /
+    * [[extractFeatures]] then exercise the real container walk + JPEG
+    * decode end to end — the video sibling of [[syntheticPngTable]].
+    */
+  def syntheticAviTable(docs: DataFrame, idCol: String = "doc_id",
+      frames: Int = 6, side: Int = 16, blocks: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType),
+      StructField("meta", mediaMetaType)))
+    val enc = ExpressionEncoder(outSchema)
+    val f = frames; val s = side; val b = blocks
+    docs.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, aviFor(id, f, s, s, b), Row("video/avi", s, s, f * 100L))
+      }
+    }(enc)
+  }
+
   /** Deterministic pseudo-decode fallback for non-media payloads:
     * xxhash-like byte mixing so tests are reproducible and collision
     * behavior is realistic.
@@ -177,12 +355,55 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB image resize: metadata transform is real (width/height updated),
-    * payload passthrough (a real impl would re-encode pixels).
+  /** Image resize, for real: decodable image payloads are scaled to
+    * `w`x`h` (Graphics2D bilinear — pure JDK) and re-encoded as PNG;
+    * metadata updates to the new dimensions either way. Non-image /
+    * corrupt payloads pass through with metadata-only update (the
+    * degrade-don't-fail contract of [[realDecode]]). Per-partition
+    * `mapPartitions`, preserving every other column.
     */
-  def resize(df: DataFrame, metaCol: String, w: Int, h: Int): DataFrame =
-    df.withColumn(metaCol,
+  def resize(df: DataFrame, binCol: String, metaCol: String, w: Int, h: Int): DataFrame = {
+    val enc = ExpressionEncoder(df.schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val resized = resizeImageBytes(bytes, w, h)
+        Row.fromSeq(r.toSeq.updated(binIdx, resized.getOrElse(bytes)))
+      }
+    }(enc).withColumn(metaCol,
       col(metaCol).withField("width", lit(w)).withField("height", lit(h)))
+  }
+
+  /** Decode → bilinear scale → PNG re-encode; None when the payload is
+    * not a decodable image.
+    */
+  private[graft] def resizeImageBytes(
+      bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      if (bytes == null || bytes.length < 12 || !isImage(bytes)) None
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Frame sampling plan for video payloads: emits (id, frame_idx) rows at
     * `everyMs` intervals from the metadata duration — the row-explosion
@@ -220,11 +441,13 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic grayscale PNG: pixels are block-constant (row-major
+  /** Deterministic grayscale image: pixels are block-constant (row-major
     * blocks matching [[decodeBytes]]'s block mapping), each block's
-    * value a splitmix64 mix of (id, block).
+    * value a splitmix64 mix of (id, block). Shared by the PNG and
+    * MJPEG-AVI synthesizers.
     */
-  private[operators] def pngFor(id: Long, w: Int, h: Int, blocks: Int): Array[Byte] = {
+  private[graft] def grayImageFor(
+      id: Long, w: Int, h: Int, blocks: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val n = w.toLong * h
@@ -243,8 +466,13 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Deterministic grayscale PNG over [[grayImageFor]]'s pixels. */
+  private[graft] def pngFor(id: Long, w: Int, h: Int, blocks: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(grayImageFor(id, w, h, blocks), "png", bos)
     bos.toByteArray
   }
 

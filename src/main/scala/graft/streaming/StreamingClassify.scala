@@ -60,6 +60,29 @@ object StreamingClassify {
       .toDF("user_id", "events", "total_value")
   }
 
+  /** [[runningUserStats]] with the value sum accumulated in integer
+    * cents: `mapGroupsWithState` feeds each group's rows in arbitrary
+    * order, and a double sum is order-sensitive in its last ulps — the
+    * integer accumulator makes the emitted total an exact, order-free
+    * function of the row set (what the bounded oracle replay hashes).
+    */
+  def runningUserStatsCents(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val typed = events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) => {
+          var (c, cents) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, v) => c += 1; cents += math.round(v * 100) }
+          state.update((c, cents))
+          (uid, c, cents / 100.0)
+        })
+      .toDF("user_id", "events", "total_value")
+  }
+
   /** Streaming exact dedup — the canonical ingestion op for a streaming
     * training-data pipeline: drop rows whose key columns repeat within
     * the watermark horizon (`dropDuplicatesWithinWatermark`, the

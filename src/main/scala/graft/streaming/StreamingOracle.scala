@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounded-replay harness that brings the Structured Streaming operators
+  * under the driver's DuckDB oracle gate.
+  *
+  * Each runner stages a parquet table as a file-stream source, pushes it
+  * through the REAL streaming operator (`readStream` → transform →
+  * `writeStream`, the identical unbounded plan), runs the query to
+  * completion with `processAllAvailable()`, and returns the sink contents
+  * as a batch frame — so the streaming micro-batch plan itself (stateful
+  * aggregation, watermarked dedup state, stream-stream join buffers) is
+  * what produces the oracle-checked rows, not a batch rewrite.
+  *
+  * The memory sink is the bounded-verification harness only; the
+  * production path swaps it for a parquet/kafka sink with byte-identical
+  * upstream plans. State-size discipline at 100 TB/day lives in the
+  * operators themselves ([[StreamingClassify]]): watermarked eviction for
+  * dedup, time-bounded join buffers, O(1)-per-key `GroupState`.
+  *
+  * Determinism contract (the oracle hashes values): bounded replays run
+  * the whole staged file as ONE micro-batch, so watermark-driven state
+  * EVICTION never fires mid-stream — every query's output is a pure
+  * function of the input set: complete-mode windowed aggregates, one
+  * first-seen row per dedup key (projected to its key columns, which are
+  * order-independent), final per-key state in update mode, and the full
+  * match set of the interval join. Order-sensitive double sums are
+  * accumulated in integer cents (exact, order-free) where emitted.
+  */
+object StreamingOracle {
+
+  /** Stage `table` as a single-file parquet directory and open it as a
+    * file-stream source (file sources read directories). The whole file
+    * lands in one micro-batch — see the determinism contract above.
+    */
+  private def stageStream(s: SparkSession, sfDir: String, table: String): DataFrame = {
+    val schema = s.read.parquet(s"$sfDir/$table.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_so_$table")
+    stage.toFile.deleteOnExit()
+    val dst = stage.resolve(s"$table.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"), dst)
+    dst.toFile.deleteOnExit()
+    s.readStream.schema(schema).parquet(stage.toString)
+  }
+
+  /** Run a streaming frame to completion against a memory sink; returns
+    * the materialized result as a batch frame.
+    */
+  private def runBounded(out: DataFrame, mode: String): DataFrame = {
+    val qname = "graft_so_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    out.sparkSession.table(qname)
+  }
+
+  /** Events stream with a second-precision event-time column `ts`
+    * (TIMESTAMP) alongside the raw columns. Integral nanos→seconds
+    * division: a double detour cannot represent ~1.7e18 exactly (q42's
+    * lesson).
+    */
+  private def eventStream(s: SparkSession, sfDir: String): DataFrame =
+    stageStream(s, sfDir, "events")
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+
+  /** q67: watermarked tumbling-window event stats
+    * ([[StreamingClassify.windowedEventStats]]) replayed bounded.
+    * Complete mode — append would hold every window open forever in a
+    * bounded run (the watermark never passes the last event).
+    * Tumbling windows align to the epoch, so the oracle is
+    * `s // 300 * 300`.
+    */
+  def windowedEventStats(s: SparkSession, sfDir: String): DataFrame = {
+    val agg = StreamingClassify.windowedEventStats(eventStream(s, sfDir))
+    runBounded(agg, "complete")
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"),
+        // 4 decimals: the mean of arbitrary doubles is summed in different
+        // orders by Spark and the oracle; fewer kept digits → fewer
+        // rounding boundaries a last-ulp difference could straddle
+        round(col("mean_value"), 4).as("mean_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** q68: watermarked streaming dedup ([[StreamingClassify.dedupStream]])
+    * on (user_id, event_type), projected to its key columns — the
+    * first-seen payload row per key is batch-order-dependent, the key set
+    * is not.
+    */
+  def dedupDistinctKeys(s: SparkSession, sfDir: String): DataFrame = {
+    val deduped = StreamingClassify.dedupStream(
+      eventStream(s, sfDir), Seq("user_id", "event_type"), "ts", "10 minutes")
+    runBounded(deduped.select(col("user_id"), col("event_type")), "append")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q69: stateful per-user running totals via `mapGroupsWithState`
+    * (update mode → final state per key). The value sum accumulates in
+    * integer cents inside the state function (exact, order-free) so the
+    * emitted double is independent of row order within the group.
+    */
+  def runningUserStats(s: SparkSession, sfDir: String): DataFrame =
+    runBounded(
+      StreamingClassify.runningUserStatsCents(eventStream(s, sfDir)), "update")
+      .orderBy("user_id")
+
+  /** q70: watermarked stream-stream interval join
+    * ([[StreamingClassify.intervalJoin]]): click events pick up view
+    * events of the same user within ±30 minutes (wide enough that the
+    * sparse sf0.001 tier still produces matches). Inner interval joins
+    * emit matches as both sides arrive (the watermark bounds state, not
+    * emission), so append mode yields the full match set.
+    */
+  def clickViewIntervalJoin(s: SparkSession, sfDir: String): DataFrame = {
+    def side(tag: String, tsAs: String, idAs: String) =
+      eventStream(s, sfDir) // fresh staged source per side: no stream self-join
+        .filter(col("event_type") === tag)
+        .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+    val joined = StreamingClassify.intervalJoin(
+      side("click", "click_ts", "click_id"),
+      "click_ts",
+      side("view", "view_ts", "view_id"),
+      "view_ts",
+      "user_id", "10 minutes", "30 minutes")
+    runBounded(joined, "append")
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        unix_timestamp(col("click_ts")).as("click_s"),
+        unix_timestamp(col("view_ts")).as("view_s"))
+      .orderBy("click_id", "view_id")
+  }
+}

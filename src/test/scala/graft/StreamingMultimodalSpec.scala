@@ -204,7 +204,8 @@ class StreamingMultimodalSpec extends SparkTestBase {
   test("multimodal: resize updates metadata; sampleFrames explodes by duration") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(5)
     val media = Multimodal.syntheticMediaTable(docs)
-    val resized = Multimodal.resize(media, "meta", 224, 224)
+    // non-image payloads: passthrough bytes, metadata still updates
+    val resized = Multimodal.resize(media, "content", "meta", 224, 224)
     resized.select("meta.width", "meta.height").collect()
       .foreach(r => assert(r.getInt(0) === 224 && r.getInt(1) === 224))
     val frames = Multimodal.sampleFrames(media, "doc_id", "meta", 1000L)
@@ -217,5 +218,71 @@ class StreamingMultimodalSpec extends SparkTestBase {
       val expect = (durations(r.getLong(0)) + 999) / 1000
       assert(r.getLong(1) === expect, s"id=${r.getLong(0)}")
     }
+  }
+
+  test("resize, for real: image payloads re-encode at the target size") {
+    val png = Multimodal.pngFor(5L, 16, 16, 32)
+    val small = Multimodal.resizeImageBytes(png, 8, 8)
+    assert(small.isDefined)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small.get))
+    assert(img.getWidth === 8 && img.getHeight === 8)
+    // downscale of a block-constant image preserves the overall mean
+    val before = Multimodal.decodeBytes(png, 1)(0)
+    val after = Multimodal.decodeBytes(small.get, 1)(0)
+    assert(math.abs(before - after) < 0.02, s"mean drifted: $before -> $after")
+    // non-image bytes: None (operator passes payload through)
+    assert(Multimodal.resizeImageBytes("not an image, just text".getBytes, 8, 8).isEmpty)
+  }
+
+  test("AVI round-trip: container walk recovers every MJPEG frame at full size") {
+    val avi = Multimodal.aviFor(3L, frames = 6, w = 16, h = 16, blocks = 32)
+    val frames = Multimodal.decodeAviFrames(avi)
+    assert(frames.isDefined && frames.get.length === 6)
+    frames.get.foreach(f => assert(f.getWidth === 16 && f.getHeight === 16))
+    // frames genuinely differ (frame index is folded into the pixel seed)
+    val means = frames.get.map(f => Multimodal.imageBlockMeans(f, 1).get(0))
+    assert(means.distinct.length > 1)
+    // deterministic encode: byte-identical across calls in one JVM
+    assert(avi.toSeq === Multimodal.aviFor(3L, 6, 16, 16, 32).toSeq)
+  }
+
+  test("AVI decode degrades: truncated container and non-video bytes never throw") {
+    val avi = Multimodal.aviFor(4L, 4, 16, 16, 32)
+    assert(Multimodal.decodeAviFrames(avi.take(40)).isEmpty)
+    assert(Multimodal.decodeAviFrames("RIFFxxxxAVI corrupted".getBytes).isEmpty)
+    // whole-video features fall back deterministically via decodeBytes
+    val f1 = Multimodal.decodeBytes(avi.take(40), 16)
+    val f2 = Multimodal.decodeBytes(avi.take(40), 16)
+    assert(f1.toSeq === f2.toSeq && f1.length === 16)
+  }
+
+  test("whole-video decodeBytes: mean of per-frame features, id-sensitive") {
+    val a = Multimodal.decodeBytes(Multimodal.aviFor(1L, 4, 16, 16, 32), 32)
+    val a2 = Multimodal.decodeBytes(Multimodal.aviFor(1L, 4, 16, 16, 32), 32)
+    val b = Multimodal.decodeBytes(Multimodal.aviFor(2L, 4, 16, 16, 32), 32)
+    assert(a.toSeq === a2.toSeq)
+    assert(a.toSeq !== b.toSeq)
+    assert(a.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("sampleFrameFeatures: every-Nth frame rows with real decoded features") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(4)
+    val media = Multimodal.syntheticAviTable(docs, frames = 6)
+    val out = Multimodal.sampleFrameFeatures(media, "doc_id", "content",
+      everyN = 2, dim = 16).collect()
+    // 4 docs x frames {0, 2, 4}
+    assert(out.length === 12)
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.size === 4)
+    perDoc.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(0, 2, 4))
+    }
+    out.foreach { r =>
+      val f = r.getSeq[Float](2)
+      assert(f.length === 16 && f.forall(v => v >= 0f && v <= 1f))
+    }
+    // junk payloads emit zero rows (drop, don't fail)
+    val junk = Multimodal.syntheticMediaTable(docs) // text bytes, not video
+    assert(Multimodal.sampleFrameFeatures(junk, "doc_id", "content").count() === 0)
   }
 }
