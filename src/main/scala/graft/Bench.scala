@@ -104,14 +104,17 @@ object Bench {
     // and pushed every timing out of the tail window, leaving BENCH_r06
     // with no timing data. Optionally the full combined JSON also lands in
     // a file (SPARK_GRAFT_BENCH_OUT) for offline analysis.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"exec":$plan,"sf":"$sfDir"}"""
+    // total at 3 decimals: raw double interpolation prints ~17 chars and
+    // the timings line must stay comfortably inside the 2000-char tail
+    val totalStr = f"$total%.3f"
+    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"exec":$plan,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
     }
     println(s"""{"metric":"exec","exec":$plan}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     SparkEntry.clearSessionCaches(spark)
     spark.stop()
   }

@@ -1205,9 +1205,13 @@ object SparkEntry {
     "q69_stream_state" -> ((s, dir) =>
       graft.streaming.StreamingOracle.runningUserStats(s, dir)),
 
-    // Q70 — watermarked stream-stream interval join (click±2min view)
+    // Q70 — watermarked stream-stream interval join (click±30min view)
     "q70_stream_interval_join" -> ((s, dir) =>
-      graft.streaming.StreamingOracle.clickViewIntervalJoin(s, dir))
+      graft.streaming.StreamingOracle.clickViewIntervalJoin(s, dir)),
+
+    // Q71 — online as-of enrichment via flatMapGroupsWithState
+    "q71_stream_asof" -> ((s, dir) =>
+      graft.streaming.StreamingOracle.asofEnrich(s, dir))
   )
 
   /** Q64 strata (shared with the oracle SQL builder). */
@@ -2057,6 +2061,21 @@ object SparkEntry {
            AND epoch_ns(v.ts) // 1000000000
                BETWEEN epoch_ns(c.ts) // 1000000000 - 1800
                    AND epoch_ns(c.ts) // 1000000000 + 1800
-         ORDER BY click_id, view_id"""
+         ORDER BY click_id, view_id""",
+
+    // latest purchase value per user as of each event's second; ties on
+    // (user, second) resolve to MAX(value) — the operator's (ts, side,
+    // value) processing order gives exactly this
+    "q71_stream_asof" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                            epoch_ns(ts) // 1000000000 AS s, event_type, value
+                     FROM events),
+              ref AS (SELECT user_id, s, MAX(value) AS value FROM ev
+                      WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id AS id, e.user_id AS key, e.s AS ts,
+                (SELECT r.value FROM ref r
+                 WHERE r.user_id = e.user_id AND r.s <= e.s
+                 ORDER BY r.s DESC LIMIT 1) AS asof_value
+         FROM ev e ORDER BY id"""
   )
 }

@@ -138,9 +138,12 @@ object StreamingClassify {
     * (ts, value) per key — O(1) state per key, runs forever.
     *
     * Ordering semantics: within a micro-batch rows process in (ts,
-    * side) order (reference first at equal ts), so a batch's own
+    * side, value) order (reference first at equal ts), so a batch's own
     * reference updates are visible to its probes exactly as in the
-    * batch operator. ACROSS batches the match is best-effort by
+    * batch operator; among references tied on (key, ts) the LARGEST
+    * value wins deterministically (iterator order inside a group is
+    * otherwise partition-dependent — an oracle-checked operator cannot
+    * leave ties to shuffle luck). ACROSS batches the match is best-effort by
     * arrival: a reference row that arrives after a probe with a later
     * event time has already been emitted cannot retro-fill it — the
     * online-serving semantic, vs. the batch operator's global order.
@@ -160,7 +163,7 @@ object StreamingClassify {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, it: Iterator[(Long, Long, Long, Int, Double)],
          state: GroupState[(Long, Double)]) => {
-          val rows = it.toArray.sortBy(t => (t._3, t._4))
+          val rows = it.toArray.sortBy(t => (t._3, t._4, t._5))
           var st = state.getOption
           val out = Seq.newBuilder[(Long, Long, Long, Option[Double])]
           rows.foreach { case (id, k, ts, side, v) =>

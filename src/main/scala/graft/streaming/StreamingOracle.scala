@@ -131,4 +131,22 @@ object StreamingOracle {
         unix_timestamp(col("view_ts")).as("view_s"))
       .orderBy("click_id", "view_id")
   }
+
+  /** q71: online as-of enrichment
+    * ([[StreamingClassify.asofEnrichStream]]): every event picks up the
+    * latest purchase `value` of its user with purchase ts <= event ts —
+    * the online-feature-store lookup. In a single bounded batch the
+    * operator's (ts, side, value) processing order makes the result
+    * exactly the batch as-of semantics with max-value tie-break, which
+    * is what the oracle replays.
+    */
+  def asofEnrich(s: SparkSession, sfDir: String): DataFrame = {
+    val probes = eventStream(s, sfDir)
+      .select(col("event_id").as("id"), col("user_id").as("key"), col("ts"))
+    val refs = eventStream(s, sfDir) // fresh staged source: no self-union
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"), col("value"))
+    runBounded(StreamingClassify.asofEnrichStream(probes, refs), "append")
+      .orderBy("id")
+  }
 }

@@ -61,4 +61,22 @@ class StreamingOracleSpec extends SparkTestBase {
     // the join must have actually matched something at this tier
     assert(streamed.count() > 0)
   }
+
+  test("q71: bounded as-of enrichment replay equals batch as-of with max-value ties") {
+    val streamed = StreamingOracle.asofEnrich(spark, sf001)
+    val probes = ev.select(col("event_id").as("id"), col("user_id").as("pkey"),
+      col("tss").as("pts"))
+    val refs = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("rkey"), col("tss").as("rts"))
+      .agg(max(col("value")).as("rvalue"))
+    val batch = probes.join(refs,
+        col("pkey") === col("rkey") && col("rts") <= col("pts"), "left")
+      .groupBy(col("id"), col("pkey"), col("pts"))
+      .agg(max_by(col("rvalue"), col("rts")).as("asof_value"))
+      .select(col("id"), col("pkey").as("key"), col("pts").as("ts"), col("asof_value"))
+      .orderBy("id")
+    assertSameRows(streamed, batch)
+    // enrichment must have actually filled something at this tier
+    assert(streamed.filter(col("asof_value").isNotNull).count() > 0)
+  }
 }
