@@ -1211,7 +1211,75 @@ object SparkEntry {
 
     // Q71 — online as-of enrichment via flatMapGroupsWithState
     "q71_stream_asof" -> ((s, dir) =>
-      graft.streaming.StreamingOracle.asofEnrich(s, dir))
+      graft.streaming.StreamingOracle.asofEnrich(s, dir)),
+
+    // Q72 — PII scrub pass (TextFunctions.redactPii): the C4/CCNet-style
+    // cleaning every public-web pretraining corpus runs first. The
+    // synthetic corpus carries no PII, so deterministic email/IP/phone
+    // spans are spliced into every 3rd doc FROM doc_id — the same
+    // construction replays in the oracle, so redaction output and hit
+    // counts are hash-checked exactly. Three chained codegen
+    // regexp_replace projections: scan-side at 100 TB, no shuffle.
+    "q72_pii_redact" -> ((s, dir) => {
+      val aug = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com srv 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+          pmod(col("doc_id") * 7, lit(256)).cast("string"),
+          lit(" call 555-123-4567")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.redactPii(aug).as("clean_text"),
+        TextFunctions.piiHits(aug, TextFunctions.emailRe).as("n_emails"),
+        TextFunctions.piiHits(aug, TextFunctions.ipv4Re).as("n_ips"),
+        TextFunctions.piiHits(aug, TextFunctions.phoneRe).as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // Q73 — Gopher-family repetition filters: token and word-bigram
+    // repetition ratios (1 − distinct/total) plus the drop flag. Pure
+    // per-row array expressions, scan-side.
+    "q73_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.unigramRepetition(col("text")), 6).as("rep1"),
+        round(TextFunctions.bigramRepetition(col("text")), 6).as("rep2"))
+        .withColumn("flagged", col("rep2") > 0.2)
+        .orderBy("doc_id")
+    }),
+
+    // Q74 — CSV source round-trip: write nation as headered CSV, read it
+    // back through Spark's CSV source with an explicit schema, aggregate.
+    // The oracle runs on the original parquet table, so a parse/quote/
+    // type defect anywhere in the CSV path breaks the hash.
+    "q74_csv_source" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val stage = java.nio.file.Files.createTempDirectory("graft_csv")
+      stage.toFile.deleteOnExit()
+      n.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(stage.toString)
+      s.read.option("header", "true").schema(n.schema).csv(stage.toString)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
+    // Q75 — JSON-lines source round-trip: documents (free text exercises
+    // string escaping) through write.json -> read.json(schema), then an
+    // aggregate checked against the parquet-table oracle.
+    "q75_jsonl_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val stage = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      stage.toFile.deleteOnExit()
+      d.coalesce(1).write.mode("overwrite").json(stage.toString)
+      s.read.schema(d.schema).json(stage.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    })
   )
 
   /** Q64 strata (shared with the oracle SQL builder). */
@@ -2076,6 +2144,50 @@ object SparkEntry {
                 (SELECT r.value FROM ref r
                  WHERE r.user_id = e.user_id AND r.s <= e.s
                  ORDER BY r.s DESC LIMIT 1) AS asof_value
-         FROM ev e ORDER BY id"""
+         FROM ev e ORDER BY id""",
+
+    "q72_pii_redact" -> {
+      import graft.functions.TextFunctions.{emailRe, ipv4Re, phoneRe}
+      s"""WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                             '@mail.example.com srv 10.0.' ||
+                             CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                             CAST((doc_id * 7) % 256 AS VARCHAR) ||
+                             ' call 555-123-4567'
+                        ELSE text END AS t
+            FROM documents)
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                   '$emailRe', '<EMAIL>', 'g'),
+                   '$ipv4Re', '<IP>', 'g'),
+                   '$phoneRe', '<PHONE>', 'g') AS clean_text,
+                 len(regexp_extract_all(t, '$emailRe')) AS n_emails,
+                 len(regexp_extract_all(t, '$ipv4Re')) AS n_ips,
+                 len(regexp_extract_all(t, '$phoneRe')) AS n_phones
+          FROM aug ORDER BY doc_id"""
+    },
+
+    "q73_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              sh AS (SELECT doc_id, tk, ${shinglesSql(2)} AS sh2 FROM tk),
+              r AS (SELECT doc_id,
+                      ROUND(CASE WHEN len(tk) = 0 THEN 0.0
+                                 ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 6) AS rep1,
+                      ROUND(CASE WHEN len(sh2) = 0 THEN 0.0
+                                 ELSE 1.0 - CAST(len(list_distinct(sh2)) AS DOUBLE) / len(sh2) END, 6) AS rep2
+                    FROM sh)
+         SELECT doc_id, rep1, rep2, rep2 > 0.2 AS flagged
+         FROM r ORDER BY doc_id""",
+
+    "q74_csv_source" ->
+      """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "q75_jsonl_source" ->
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars,
+                COUNT(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

@@ -115,6 +115,52 @@ object TextFunctions {
     when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** PII patterns for the scrub pass every public-web training corpus
+    * runs before anything else (C4/CCNet-style cleaning): emails, IPv4
+    * addresses, NANP-style phone numbers. Kept to syntax BOTH Java
+    * regex and RE2-family engines support (no backrefs, no lookaround)
+    * so the redaction replays verbatim in external SQL oracles.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+  val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact emails → `<EMAIL>`, IPv4 → `<IP>`, phones → `<PHONE>`.
+    * Order matters: emails first (their local/domain parts can contain
+    * digit runs the narrower patterns would tear), then IPs (dotted
+    * digits), then phones. Three chained codegen'd `regexp_replace`
+    * projections — scan-side, no shuffle, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Count of pattern hits (for PII monitoring dashboards). */
+  def piiHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Token-level repetition: 1 − distinct/total tokens (0 for empty).
+    * The Gopher-rules repetition family — high values flag the
+    * boilerplate/spam documents a pretraining pipeline drops.
+    */
+  def unigramRepetition(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Word-bigram repetition: 1 − distinct/total bigram shingles —
+    * catches looped phrases unigram diversity misses.
+    */
+  def bigramRepetition(text: Column): Column = {
+    val sh = wordShingles(text, 2)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+  }
+
   /** Character n-gram shingles (for MinHash / Jaccard dedup). Uses
     * `Column.substr` inside a higher-order `transform` (column start
     * positions).

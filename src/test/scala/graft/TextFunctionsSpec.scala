@@ -93,4 +93,41 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(TF.normalize($"text").as("n"))
     assert(df.collect().map(_.getString(0)).toSeq === Seq("", "", ""))
   }
+
+  test("redactPii: emails, IPv4s, and phones replaced; clean text untouched") {
+    val df = Seq(
+      "mail me at jo.doe+x@sub.example.org or call 555-123-4567",
+      "server 192.168.1.254 responded; backup at 10.0.0.7",
+      "nothing sensitive here 123 main street",
+      "mixed a@b.co 1.2.3.4 999 888-7777").toDF("text")
+      .select(TF.redactPii($"text").as("r"))
+    val out = df.collect().map(_.getString(0)).toSeq
+    assert(out(0) === "mail me at <EMAIL> or call <PHONE>")
+    assert(out(1) === "server <IP> responded; backup at <IP>")
+    assert(out(2) === "nothing sensitive here 123 main street")
+    assert(out(3) === "mixed <EMAIL> <IP> <PHONE>")
+  }
+
+  test("piiHits counts pattern occurrences") {
+    val df = Seq("a@b.co c@d.net 1.2.3.4").toDF("text").select(
+      TF.piiHits($"text", TF.emailRe).as("e"),
+      TF.piiHits($"text", TF.ipv4Re).as("i"),
+      TF.piiHits($"text", TF.phoneRe).as("p"))
+    val r = df.head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((2, 1, 0)))
+  }
+
+  test("repetition ratios: distinct text 0, repeated text approaches 1") {
+    val df = Seq(
+      "a b c d",            // all distinct: rep1 = 0, rep2 = 0
+      "spam spam spam spam", // rep1 = 3/4; bigrams all "spam spam": rep2 = 2/3
+      "").toDF("text")
+      .select(TF.unigramRepetition($"text").as("r1"),
+        TF.bigramRepetition($"text").as("r2"))
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows(0) === ((0.0, 0.0)))
+    assert(math.abs(rows(1)._1 - 0.75) < 1e-9)
+    assert(math.abs(rows(1)._2 - (1.0 - 1.0 / 3.0)) < 1e-9)
+    assert(rows(2) === ((0.0, 0.0)))
+  }
 }
