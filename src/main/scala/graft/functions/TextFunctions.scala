@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, lowercased, empties dropped. */
+  /** Whitespace tokens, lowercased, empties dropped. `array_remove` is
+    * value-identical to the higher-order `filter(_ =!= "")` but stays
+    * codegen'd — the HOF form pays an interpreted lambda call per token,
+    * which at ~400 tokens/doc dominated every text query's profile.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   /** Whitespace token count (0 for empty/blank text). */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -146,17 +150,39 @@ object TextFunctions {
     * The Gopher-rules repetition family — high values flag the
     * boilerplate/spam documents a pretraining pipeline drops.
     */
-  def unigramRepetition(text: Column): Column = {
-    val t = tokens(text)
+  def unigramRepetition(text: Column): Column =
+    unigramRepetitionFromTokens(tokens(text))
+
+  /** [[unigramRepetition]] over a pre-tokenized array column. */
+  def unigramRepetitionFromTokens(t: Column): Column =
     when(size(t) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
-  }
 
   /** Word-bigram repetition: 1 − distinct/total bigram shingles —
     * catches looped phrases unigram diversity misses.
+    *
+    * Tokenize ONCE per row and pair adjacent tokens with `zip_with` over
+    * two shifted slices (O(n)). The generic [[wordShingles]] shape —
+    * `transform(sequence, i => ... slice(tokens(text), i, n))` — is
+    * O(n²) WITH a regex re-split per position when evaluated inside a
+    * higher-order lambda (subexpressions referencing only the outer row
+    * are re-evaluated per element in interpreted HOF eval), which
+    * measured ~7 ms/doc on ~400-token documents. At 100 TB that
+    * difference is the whole job.
     */
-  def bigramRepetition(text: Column): Column = {
-    val sh = wordShingles(text, 2)
+  def bigramRepetition(text: Column): Column =
+    bigramRepetitionFromTokens(tokens(text))
+
+  /** [[bigramRepetition]] over a pre-tokenized array column — use this
+    * form inside queries (project the tokens first so they bind as a
+    * row attribute, not a recomputed expression).
+    */
+  def bigramRepetitionFromTokens(t: Column): Column = {
+    val sh = when(size(t) < 2, array(concat_ws(" ", t)))
+      .otherwise(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)))
     when(size(sh) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
   }

@@ -102,6 +102,9 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         HarSyntheticSeries(es(0), intArg(es(1), "length")),
       "graft_har_series(id, length) - deterministic HAR-shaped benchmark series"),
+    ("graft_repetition",
+      (es: Seq[Expression]) => RepetitionStats(es(0)),
+      "graft_repetition(tokens) - [unigram, bigram] repetition ratios (1 - distinct/total)"),
     ("graft_simhash64",
       (es: Seq[Expression]) => SimHash64(es(0)),
       "graft_simhash64(tokens) - 64-bit SimHash of an array<string>"),

@@ -118,6 +118,23 @@ class ExpressionsSpec extends SparkTestBase {
     r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
   }
 
+  test("graft_repetition matches the declarative distinct-ratio forms") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      "a b c d", "spam spam spam spam", "", "one",
+      "x y x y x y", "the the a a b").toDF("text")
+      .select(TextFunctions.tokens($"text").as("tk"), $"text")
+    val r = docs.select(
+      call_function("graft_repetition", $"tk").as("native"),
+      TextFunctions.unigramRepetitionFromTokens($"tk").as("d1"),
+      TextFunctions.bigramRepetitionFromTokens($"tk").as("d2")).collect()
+    r.foreach { row =>
+      val n = row.getSeq[Double](0)
+      assert(math.abs(n(0) - row.getDouble(1)) < 1e-12)
+      assert(math.abs(n(1) - row.getDouble(2)) < 1e-12)
+    }
+  }
+
   test("graft_har_series matches the declarative transform(sequence) form") {
     val L = 23
     val ids = spark.range(8).select(($"id" * 997 + 5).as("sid"))
