@@ -47,13 +47,26 @@ object StreamingOracle {
 
   /** Run a streaming frame to completion against a memory sink; returns
     * the materialized result as a batch frame.
+    *
+    * State-store partition count: each stateful partition carries its own
+    * HDFS-backed store (a stream-stream join: FOUR per partition), and a
+    * streaming query pins `spark.sql.shuffle.partitions` at first start —
+    * at the bench session's 32 that is 128 store instances churning
+    * checkpoint files for a bounded replay. Scoped down to 8 for the
+    * replay and restored after; an unbounded production deployment sizes
+    * it to sustained key cardinality instead.
     */
   private def runBounded(out: DataFrame, mode: String): DataFrame = {
+    val s = out.sparkSession
     val qname = "graft_so_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.outputMode(mode).format("memory").queryName(qname).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    out.sparkSession.table(qname)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(qname)
   }
 
   /** Events stream with a second-precision event-time column `ts`
