@@ -1273,6 +1273,28 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // Q76 — hive-partitioned layout round-trip with partition pruning:
+    // events land as event_type=<v>/ directories, the read-back filters
+    // one partition value — the scan's PartitionFilters prune at the
+    // DIRECTORY level before any parquet footer is read (PlanShapeSpec
+    // pins the pruned-scan shape). The partition column itself is
+    // reconstructed from the directory name; the oracle replays the
+    // filter+aggregate on the original table.
+    "q76_partitioned_prune" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_part")
+      stage.toFile.deleteOnExit()
+      graft.operators.Partitioning.writePartitioned(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("value"), col("event_type")),
+        stage.toString, Seq("event_type"))
+      s.read.parquet(stage.toString)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("user_id")
+    }),
+
     // Q75 — JSON-lines source round-trip: documents (free text exercises
     // string escaping) through write.json -> read.json(schema), then an
     // aggregate checked against the parquet-table oracle.
@@ -2195,6 +2217,12 @@ object SparkEntry {
     "q75_jsonl_source" ->
       """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars,
                 COUNT(DISTINCT source) AS n_sources
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q76_partitioned_prune" ->
+      """SELECT user_id, COUNT(*) AS n,
+                SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -42,6 +42,20 @@ object Partitioning {
       .saveAsTable(name)
   }
 
+  /** Write a hive-layout partitioned directory tree (`col=value/...`) —
+    * the coarse-pruning layout primitive at 100 TB: a filter on the
+    * partition column never touches non-matching files (directory-level
+    * pruning via `PartitionFilters`, before any footer is read), where
+    * an unpartitioned layout at best skips row groups per file.
+    * Partition columns should be low-cardinality (each value is a
+    * directory; a high-cardinality key belongs in bucketing or z-order
+    * instead).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Z-order (Morton) interleave of two pre-quantized codes: bit i of
     * `x` lands at output bit 2i, bit i of `y` at 2i+1. Locality-
     * preserving multi-dimensional clustering for data LAYOUT at scale —

@@ -254,4 +254,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(offending.isEmpty,
       s"bucket-join exchange must not carry vector payloads:\n${offending.mkString("\n")}")
   }
+
+  test("partitioned layout: a partition-column filter prunes at the directory level") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_part_spec")
+    val ev = spark.range(1000).select(
+      col("id").as("event_id"),
+      (col("id") % 7).as("user_id"),
+      (col("id") % 5).cast("string").as("event_type"))
+    graft.operators.Partitioning.writePartitioned(
+      ev, stage.toString, Seq("event_type"))
+    val read = spark.read.parquet(stage.toString)
+      .filter(col("event_type") === "3")
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // the filter must land in PartitionFilters (directory pruning, no
+    // footer reads outside the matching partition), not as a data filter
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")),
+      s"partition filter missing: ${scan.partitionFilters}")
+    assert(scan.relation.location.inputFiles.length > 1, "layout must be multi-dir")
+    assert(scan.inputRDDs().head.partitions.nonEmpty)
+    // selected partitions: exactly the one matching directory (replay
+    // the scan's own pruning through the public FileIndex API)
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(selected === 1, s"expected 1 pruned partition dir, got $selected")
+    assert(read.count() === 200)
+  }
 }
