@@ -17,6 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      document corpus (50k docs = 10 shifted copies of sf0.1's 5000 —
   *      each doc gains 9 exact duplicates, the duplicate-heavy shape a
   *      dedup pipeline exists for), same banding as q22.
+  *   3. streaming watermarked dedup over a genuinely multi-batch run:
+  *      10 staged copies of sf0.1's events = 1M rows across 10
+  *      micro-batches (maxFilesPerTrigger=1), content-keyed
+  *      `dropDuplicatesWithinWatermark`. Measures sustained state-store
+  *      throughput and — because every copy repeats the same digests and
+  *      the watermark advances batch over batch — exercises the state
+  *      EVICTION path the bounded q68 replay structurally cannot.
   *
   * Run: SPARK_DRIVER_MEM=48g sbt "Test/runMain graft.tools.ScaleRehearsal"
   * Results land in NOTES_r7.md (written by hand from this output).
@@ -58,7 +65,7 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val which = if (args.isEmpty) Set("har", "dedup") else args.toSet
+    val which = if (args.isEmpty) Set("har", "dedup", "stream") else args.toSet
 
     if (which("har")) {
       // ---- 1. HAR cascade at sf1 (the reference's full corpus size) ----
@@ -113,6 +120,61 @@ object ScaleRehearsal {
       }
       println(s"[rehearsal] dedup 10x: clusters=$nc over ${big.count()} docs")
       graft.core.Materialize.releaseCheckpoint(big)
+    }
+
+    if (which("stream")) {
+      // ---- 3. streaming dedup: 1M rows over 10 real micro-batches ----
+      // Each staged copy is time-shifted by the full corpus span so the
+      // event-time clock ADVANCES batch over batch: the watermark moves,
+      // old dedup state evicts, and late-vs-duplicate handling is
+      // genuinely multi-epoch (identical copies would instead arrive
+      // wholesale behind the watermark and measure only the late-drop
+      // path). Dedup key: (user_id, event_type, props) — the
+      // mid-cardinality content key a real ingest pipeline uses.
+      val src = "/root/testdata/sf0.1/events.parquet"
+      val base = spark.read.parquet(src)
+      val bounds = base.select(min(expr("ts div 1000000000")),
+        max(expr("ts div 1000000000"))).head()
+      val spanSec = bounds.getLong(1) - bounds.getLong(0) + 3600L
+      val stage = java.nio.file.Files.createTempDirectory("graft_rehearsal_stream")
+      timed("stage 10 time-shifted copies (1M rows)") {
+        (0 until 10).foreach { i =>
+          val shifted = base.withColumn("ts",
+            col("ts") + lit(i.toLong * spanSec * 1000000000L))
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_shift_$i")
+          shifted.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+            .findFirst().get()
+          java.nio.file.Files.move(part, stage.resolve(f"events_$i%02d.parquet"))
+        }
+      }
+      val stream = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("content",
+          concat_ws("|", col("user_id"), col("event_type"), col("props")))
+      val deduped = graft.streaming.StreamingClassify.dedupStreamByContent(
+        stream, "content", "ts", "10 minutes")
+        .select(col("event_id"))
+      val qname = s"rehearsal_${System.nanoTime()}"
+      timed("streaming dedup, 10 micro-batches x 100k rows") {
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName(qname).start()
+        try q.processAllAvailable()
+        finally {
+          val prog = q.lastProgress
+          if (prog != null && prog.stateOperators.nonEmpty) {
+            val so = prog.stateOperators(0)
+            println(s"[rehearsal] stream state (last batch): rowsTotal=${so.numRowsTotal} " +
+              s"removed=${so.numRowsRemoved} memoryUsedBytes=${so.memoryUsedBytes}")
+          }
+          q.stop()
+        }
+      }
+      val kept = spark.table(qname).count()
+      println(s"[rehearsal] stream dedup: kept=$kept of 1,000,000 input rows")
     }
     spark.stop()
   }
