@@ -1295,6 +1295,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Q77 — ORC source round-trip (the other columnar format Spark ships
+    // a native vectorized reader for): orders through write.orc ->
+    // read.orc, aggregated under the parquet-table oracle.
+    "q77_orc_source" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val stage = java.nio.file.Files.createTempDirectory("graft_orc")
+      stage.toFile.deleteOnExit()
+      o.coalesce(1).write.mode("overwrite").orc(stage.toString)
+      s.read.schema(o.schema).orc(stage.toString)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          // integer cents: a double SUM is summation-order-sensitive in
+          // its last ulps, and the oracle hash compares exact values
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Q75 — JSON-lines source round-trip: documents (free text exercises
     // string escaping) through write.json -> read.json(schema), then an
     // aggregate checked against the parquet-table oracle.
@@ -2223,6 +2242,11 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n,
                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
          FROM events WHERE event_type = 'purchase'
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q77_orc_source" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }
