@@ -1213,6 +1213,12 @@ object SparkEntry {
     "q71_stream_asof" -> ((s, dir) =>
       graft.streaming.StreamingOracle.asofEnrich(s, dir)),
 
+    // Q78 — stream-static broadcast 1-NN under the oracle: the flagship
+    // streaming operator (the reference's Model 2 with an unbounded test
+    // side). Oracle = q9's SQL — streaming and batch must agree exactly.
+    "q78_stream_knn" -> ((s, dir) =>
+      graft.streaming.StreamingOracle.streamKnn(s, dir)),
+
     // Q72 — PII scrub pass (TextFunctions.redactPii): the C4/CCNet-style
     // cleaning every public-web pretraining corpus runs first. The
     // synthetic corpus carries no PII, so deterministic email/IP/phone
@@ -2247,6 +2253,19 @@ object SparkEntry {
     "q77_orc_source" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // identical to q9's formulation: streaming and batch 1-NN must agree
+    "q78_stream_knn" ->
+      """WITH train AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id % 2 = 0),
+              test  AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 2 = 1),
+              pairs AS (SELECT t.vec_id AS test_id, tr.vec_id AS train_id, tr.label,
+                               list_distance(t.e, tr.e) AS d
+                        FROM test t CROSS JOIN train tr
+                        WHERE list_distance(t.e, tr.e) <> 0)
+         SELECT test_id, label AS predicted_label FROM (
+           SELECT test_id, label, ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
+           FROM pairs) x
+         WHERE rn = 1 ORDER BY test_id"""
   )
 }

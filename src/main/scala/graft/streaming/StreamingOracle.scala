@@ -162,4 +162,28 @@ object StreamingOracle {
     runBounded(StreamingClassify.asofEnrichStream(probes, refs), "append")
       .orderBy("id")
   }
+
+  /** q78: the flagship streaming operator — stream-static broadcast 1-NN
+    * classification ([[StreamingClassify.classifyStream1NN]]): held-out
+    * embeddings arrive as a stream and classify against the static train
+    * split. Same semantics as the batch q9 (the oracle IS q9's SQL);
+    * update mode emits the final per-test row of the bounded batch.
+    */
+  def streamKnn(s: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val train = e.filter(col("vec_id") % 2 === 0).select(
+      col("vec_id").as("train_id"),
+      col("embedding").cast("array<double>").as("train_series"),
+      col("label"))
+    val stream = stageStream(s, sfDir, "embeddings")
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("test_id"),
+        col("embedding").cast("array<double>").as("test_series"))
+    val out = StreamingClassify.classifyStream1NN(
+      train, stream, graft.core.KnnParams(distance = "euclidean"))
+    runBounded(out, "update")
+      .select(col("test_id"), col("predicted_label"))
+      .orderBy("test_id")
+  }
 }
