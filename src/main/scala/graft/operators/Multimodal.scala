@@ -163,6 +163,17 @@ object Multimodal {
     */
   private[graft] def decodeAviFrames(
       bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    decodeAviFramesEvery(bytes, 1).map(_.map(_._2))
+
+  /** [[decodeAviFrames]] with frame sampling pushed INTO the container
+    * walk: only every `everyN`-th video chunk reaches the JPEG decoder
+    * (the skipped chunks cost a length-prefix hop each, no codec work) —
+    * at everyN=2 that halves the decode cost of frame sampling. Returns
+    * (frame_idx, image) pairs; the index counts ALL video chunks, so
+    * sampled indices are stable regardless of everyN.
+    */
+  private[graft] def decodeAviFramesEvery(bytes: Array[Byte], everyN: Int)
+      : Option[Vector[(Int, java.awt.image.BufferedImage)]] =
     try {
       if (!isAvi(bytes)) return None
       javax.imageio.ImageIO.setUseCache(false)
@@ -171,7 +182,8 @@ object Multimodal {
           ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
       def fourcc(off: Int): String =
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val frames = Vector.newBuilder[java.awt.image.BufferedImage]
+      val frames = Vector.newBuilder[(Int, java.awt.image.BufferedImage)]
+      var frameIdx = 0
       val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
       def walk(from: Int, to: Int, insideMovi: Boolean): Unit = {
         var pos = from
@@ -185,9 +197,12 @@ object Multimodal {
             val listType = fourcc(dataStart)
             walk(dataStart + 4, dataEnd.toInt, insideMovi || listType == "movi")
           } else if (insideMovi && id.length == 4 && id.endsWith("dc") && size > 0) {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes, dataStart, size.toInt))
-            if (img != null) frames += img
+            if (frameIdx % everyN == 0) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, dataStart, size.toInt))
+              if (img != null) frames += ((frameIdx, img))
+            }
+            frameIdx += 1
           }
           pos = (dataEnd + (size & 1)).toInt // chunks are word-aligned
         }
@@ -230,12 +245,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-          decodeAviFrames(bytes).toSeq.flatMap { frames =>
-            frames.iterator.zipWithIndex.collect {
-              case (img, idx) if idx % n == 0 =>
-                imageBlockMeans(img, d).map(f => Row(r.getLong(0), idx, f.toSeq))
-            }.flatten
-          }
+          decodeAviFramesEvery(bytes, n).toSeq.flatMap(_.flatMap {
+            case (idx, img) =>
+              imageBlockMeans(img, d).map(f => Row(r.getLong(0), idx, f.toSeq))
+          })
         }
       }(enc)
   }
