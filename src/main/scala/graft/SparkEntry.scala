@@ -109,6 +109,7 @@ object SparkEntry {
     */
   def clearSessionCaches(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
+    SimilaritySearch.clearSessionCache(s)
     harCache.keySet.asScala.filter(_._1 eq s).toList.foreach { key =>
       Option(harCache.remove(key)).foreach { case (train, testAll) =>
         graft.core.Materialize.releaseCheckpoint(train)
@@ -1269,8 +1270,7 @@ object SparkEntry {
     // type defect anywhere in the CSV path breaks the hash.
     "q74_csv_source" -> ((s, dir) => {
       val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-      val stage = java.nio.file.Files.createTempDirectory("graft_csv")
-      stage.toFile.deleteOnExit()
+      val stage = graft.core.TempDirs.scratch("graft_csv")
       n.coalesce(1).write.mode("overwrite").option("header", "true")
         .csv(stage.toString)
       s.read.option("header", "true").schema(n.schema).csv(stage.toString)
@@ -1287,8 +1287,7 @@ object SparkEntry {
     // reconstructed from the directory name; the oracle replays the
     // filter+aggregate on the original table.
     "q76_partitioned_prune" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_part")
-      stage.toFile.deleteOnExit()
+      val stage = graft.core.TempDirs.scratch("graft_part")
       graft.operators.Partitioning.writePartitioned(
         t(s, dir, "events").select(col("event_id"), col("user_id"),
           col("value"), col("event_type")),
@@ -1308,8 +1307,7 @@ object SparkEntry {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
-      val stage = java.nio.file.Files.createTempDirectory("graft_orc")
-      stage.toFile.deleteOnExit()
+      val stage = graft.core.TempDirs.scratch("graft_orc")
       o.coalesce(1).write.mode("overwrite").orc(stage.toString)
       s.read.schema(o.schema).orc(stage.toString)
         .groupBy(col("o_orderstatus"))
@@ -1325,8 +1323,7 @@ object SparkEntry {
     // aggregate checked against the parquet-table oracle.
     "q75_jsonl_source" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val stage = java.nio.file.Files.createTempDirectory("graft_jsonl")
-      stage.toFile.deleteOnExit()
+      val stage = graft.core.TempDirs.scratch("graft_jsonl")
       d.coalesce(1).write.mode("overwrite").json(stage.toString)
       s.read.schema(d.schema).json(stage.toString)
         .groupBy("lang")

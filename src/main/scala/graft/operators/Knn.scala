@@ -64,6 +64,10 @@ object Knn {
     * conf values may carry a byte-unit suffix, "64MB").
     */
   private[operators] def fitsBroadcast(df: DataFrame): Boolean = {
+    // a streaming frame can never be the broadcast build side, and
+    // evaluating optimizedPlan.stats on one throws (streaming sources
+    // must execute via writeStream) — decide without touching the plan
+    if (df.isStreaming) return false
     val conf = df.sparkSession.conf
     val floor =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -115,7 +119,18 @@ object Knn {
       trainSel: DataFrame, spreadTest: DataFrame, p: KnnParams,
       broadcastTrain: Option[Boolean] = None,
       broadcastTest: Option[Boolean] = None): DataFrame =
-    if (broadcastTrain.getOrElse(useBroadcast(trainSel, p)))
+    if (spreadTest.isStreaming)
+      // stream-static all-pairs has exactly ONE executable plan: the
+      // static side broadcast under a BroadcastNestedLoopJoin (an
+      // unbounded side can be neither broadcast nor replicated into a
+      // partitioned cartesian). Broadcast the train side regardless of
+      // the measured-size decision — the floor protects BATCH plans
+      // that have a partitioned fallback; here the alternative is an
+      // AnalysisException, and a train set genuinely too big to
+      // broadcast must be sharded upstream (ANN prefilter / per-class
+      // split) before it meets an unbounded test stream.
+      spreadTest.crossJoin(broadcast(trainSel))
+    else if (broadcastTrain.getOrElse(useBroadcast(trainSel, p)))
       spreadTest.crossJoin(broadcast(trainSel))
     else {
       val t = if (p.trainPartitions > 0) trainSel.repartition(p.trainPartitions) else trainSel

@@ -47,16 +47,33 @@ object SimilaritySearch {
     * the same corpus (a query loop over one index) re-derive identical
     * centroids from identical seeded samples, so the re-scan bought
     * nothing. Keyed by the corpus plan's semanticHash + session identity;
-    * entries for stopped sessions are evicted on access (the harSynth
-    * lifecycle pattern). Pre-fit callers use [[ivfTopKWithCentroids]].
+    * entries for stopped sessions are evicted on access AND via
+    * [[clearSessionCache]] (wired into `SparkEntry.clearSessionCaches`,
+    * so a long-lived JVM that cycles sessions doesn't pin stopped-session
+    * object graphs). The fit runs OUTSIDE the map's bin lock (a Spark
+    * job under computeIfAbsent would serialize unrelated corpora that
+    * hash to the same bin); a lost race costs one redundant fit of
+    * identical centroids.
+    *
+    * Staleness caveat (semanticHash keys the PLAN, not the data): if the
+    * files behind a fixed corpus path are overwritten in-place within one
+    * session, pass `refit = true` for the next call (or use
+    * [[ivfTopKWithCentroids]]) — the memo cannot see content changes.
     */
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, Int, Int, Long, Long), Array[Array[Double]]]()
 
+  /** Drop memoized centroid fits for `s` (session-lifecycle hygiene). */
+  def clearSessionCache(s: org.apache.spark.sql.SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    centroidCache.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(centroidCache.remove)
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCells: Int = 16, probes: Int = 4, seed: Long = 42L,
-      maxFitRows: Long = 20000): DataFrame = {
+      maxFitRows: Long = 20000, refit: Boolean = false): DataFrame = {
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
     locally {
       import scala.jdk.CollectionConverters._
@@ -65,7 +82,7 @@ object SimilaritySearch {
     }
     val key = (corpus.sparkSession, c.queryExecution.analyzed.semanticHash(),
       numCells, seed, maxFitRows)
-    val centers = centroidCache.computeIfAbsent(key, { _ =>
+    def fit(): Array[Array[Double]] = {
       val total = c.count()
       val fitSet =
         if (total > maxFitRows)
@@ -84,7 +101,18 @@ object SimilaritySearch {
         .sortBy(_.getLong(0))
         .map(_.getSeq[Double](1).toArray)
       fitCentroids(sample, numCells, seed)
-    })
+    }
+    val centers =
+      if (refit) { val f = fit(); centroidCache.put(key, f); f }
+      else {
+        val cached = centroidCache.get(key)
+        if (cached != null) cached
+        else {
+          val f = fit() // outside the bin lock; a lost race = one extra fit
+          val prior = centroidCache.putIfAbsent(key, f)
+          if (prior != null) prior else f
+        }
+      }
     ivfTopKWithCentroids(queries, corpus, k, centers, probes)
   }
 

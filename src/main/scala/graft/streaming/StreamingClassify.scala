@@ -180,7 +180,9 @@ object StreamingClassify {
 
   /** Run a bounded smoke of the streaming classifier: feeds the parquet
     * test split through a memory sink; returns the collected predictions.
-    * (Used by tests; `processAllAvailable` makes it synchronous.)
+    * (Used by tests; delegates to [[StreamingOracle]]'s staging/replay
+    * harness — one copy of the stage-and-run logic, not two drifting
+    * ones.)
     */
   def runBoundedSmoke(spark: SparkSession, sfDir: String, p: KnnParams): DataFrame = {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -188,24 +190,10 @@ object StreamingClassify {
       col("vec_id").as("train_id"),
       col("embedding").cast("array<double>").as("train_series"),
       col("label"))
-    // file-stream sources read directories; stage the single parquet file
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
-      stageDir.resolve("embeddings.parquet"))
-    val schema = e.schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir.toString)
+    val stream = StreamingOracle.stageStream(spark, sfDir, "embeddings")
       .filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("test_id"),
         col("embedding").cast("array<double>").as("test_series"))
-    val out = classifyStream1NN(train, stream, p)
-    val qname = s"graft_stream_${System.nanoTime()}"
-    val q = out.writeStream.outputMode("update")
-      .format("memory").queryName(qname).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(qname)
+    StreamingOracle.runBounded(classifyStream1NN(train, stream, p), "update")
   }
 }

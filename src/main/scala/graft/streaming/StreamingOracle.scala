@@ -35,13 +35,11 @@ object StreamingOracle {
     * file-stream source (file sources read directories). The whole file
     * lands in one micro-batch — see the determinism contract above.
     */
-  private def stageStream(s: SparkSession, sfDir: String, table: String): DataFrame = {
+  private[streaming] def stageStream(s: SparkSession, sfDir: String, table: String): DataFrame = {
     val schema = s.read.parquet(s"$sfDir/$table.parquet").schema
-    val stage = java.nio.file.Files.createTempDirectory(s"graft_so_$table")
-    stage.toFile.deleteOnExit()
-    val dst = stage.resolve(s"$table.parquet")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"), dst)
-    dst.toFile.deleteOnExit()
+    val stage = graft.core.TempDirs.scratch(s"graft_so_$table")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
+      stage.resolve(s"$table.parquet"))
     s.readStream.schema(schema).parquet(stage.toString)
   }
 
@@ -56,7 +54,7 @@ object StreamingOracle {
     * replay and restored after; an unbounded production deployment sizes
     * it to sustained key cardinality instead.
     */
-  private def runBounded(out: DataFrame, mode: String): DataFrame = {
+  private[streaming] def runBounded(out: DataFrame, mode: String): DataFrame = {
     val s = out.sparkSession
     val qname = "graft_so_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -66,7 +64,17 @@ object StreamingOracle {
       try q.processAllAvailable()
       finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(qname)
+    // Move the (small, bounded) result out of the memory sink and DROP
+    // the sink's temp view: the UUID-named views are unreachable by any
+    // later cleanup, and each pinned its full result in the driver for
+    // the session's life. A LocalRelation copy is GC'd with the returned
+    // frame instead.
+    val sink = s.table(qname)
+    val rows = sink.collect()
+    val result = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
+    s.catalog.dropTempView(qname)
+    result
   }
 
   /** Events stream with a second-precision event-time column `ts`

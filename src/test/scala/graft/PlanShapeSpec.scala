@@ -255,6 +255,41 @@ class PlanShapeSpec extends SparkTestBase {
       s"bucket-join exchange must not carry vector payloads:\n${offending.mkString("\n")}")
   }
 
+  test("stream-static KNN still plans broadcast when the train side exceeds the floor") {
+    // regression: an oversize train used to route the STREAMING test
+    // frame into fitsBroadcast, whose optimizedPlan.stats evaluation
+    // throws on streaming sources — the flagship streaming query died
+    // instead of taking the only executable stream-static plan
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevFloor = spark.conf.getOption("spark.graft.knn.broadcastFloor")
+    spark.conf.set("spark.graft.knn.broadcastFloor", "1")
+    try {
+      val train = spark.range(50).select(col("id").as("train_id"),
+        call_function("graft_har_series", col("id"), lit(8)).as("train_series"),
+        pmod(col("id"), lit(6)).cast("double").as("label"))
+      val stream = MemoryStream[Long]
+      val test = stream.toDF().select(col("value").as("test_id"),
+        call_function("graft_har_series", col("value") + 100, lit(8)).as("test_series"))
+      val out = graft.streaming.StreamingClassify.classifyStream1NN(
+        train, test, KnnParams(distance = "euclidean"))
+      val qname = s"psb_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(qname).start()
+      try {
+        stream.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table(qname).count() === 3)
+    } finally {
+      prevFloor match {
+        case Some(v) => spark.conf.set("spark.graft.knn.broadcastFloor", v)
+        case None    => spark.conf.unset("spark.graft.knn.broadcastFloor")
+      }
+    }
+  }
+
   test("partitioned layout: a partition-column filter prunes at the directory level") {
     val stage = java.nio.file.Files.createTempDirectory("graft_part_spec")
     val ev = spark.range(1000).select(

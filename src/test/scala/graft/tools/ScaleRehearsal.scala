@@ -87,13 +87,18 @@ object ScaleRehearsal {
         lbPruning = true, candidateFactor = 16, coarsenFactor = 8)
       val pred = Knn.classify1NN(train, test, harParams)
       planAudit("har_sf1_cascade", pred, Seq("train_series", "test_series"))
+      // persist + count = ONE cascade execution materializing all columns
+      // (the earlier write-then-count shape ran the whole cascade twice
+      // inside the timed block and a third time for the accuracy check —
+      // NOTES_r7's first 151.7 s figure carries that 2x overstatement)
+      val cached = pred.persist()
       val n = timed("har sf1 cascade (classify1NN, 73520x29470x561)") {
-        pred.write.format("noop").mode("overwrite").save()
-        pred.count()
+        cached.count()
       }
-      // separable classes: predicted == test_id % 6 everywhere
-      val correct = pred.filter(col("predicted_label") === pmod(col("test_id"), lit(6))).count()
+      // separable classes: predicted == test_id % 6 everywhere (from cache)
+      val correct = cached.filter(col("predicted_label") === pmod(col("test_id"), lit(6))).count()
       println(s"[rehearsal] har sf1: rows=$n correct=$correct (expect $n)")
+      cached.unpersist()
       graft.core.Materialize.releaseCheckpoint(train)
       graft.core.Materialize.releaseCheckpoint(test)
     }
