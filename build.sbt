@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify artifacts are parsed from the process stdout TAIL:
+// pass the forked JVM's output through raw (no "[info] " line prefixes)
+// and drop sbt's trailing "[success] Total time" line so the LAST stdout
+// line is exactly the bench's timings JSON (BENCH_r06 lost its timings
+// to decorated/trailing output around the driver's 2000-char window).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, which the unused-key
+// lint cannot see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

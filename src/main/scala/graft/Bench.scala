@@ -120,9 +120,14 @@ object Bench {
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
     }
-    println(s"""{"metric":"exec","exec":$plan}""")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfTier"}""")
+    // Cleanup BEFORE the JSON prints, under ERROR log level: unpersisting
+    // localCheckpoints logs WARN lines, and anything the process emits
+    // after the timings line eats its 2000-char tail window from the
+    // wrong end (r5/r6 artifacts both lost data to exactly this).
+    spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.clearSessionCaches(spark)
     spark.stop()
+    println(s"""{"metric":"exec","exec":$plan}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfTier"}""")
   }
 }

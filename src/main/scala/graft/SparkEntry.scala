@@ -1330,6 +1330,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang")
+    }),
+
+    // Q79 — eval-set decontamination (Decontaminate.contaminated): flag
+    // training docs sharing any word 8-gram with the held-out eval split
+    // (doc_id % 50 == 0) and count the distinct shared grams — the
+    // benchmark-leakage hygiene pass a pretraining corpus runs before
+    // shipping. Corpus grams never shuffle while the eval gram set fits
+    // the broadcast budget; the oracle replays the token/gram pipeline
+    // and the set-intersection count exactly.
+    "q79_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.contaminated(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+        .orderBy("doc_id")
     })
   )
 
@@ -2263,6 +2278,22 @@ object SparkEntry {
          SELECT test_id, label AS predicted_label FROM (
            SELECT test_id, label, ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d, train_id) AS rn
            FROM pairs) x
-         WHERE rn = 1 ORDER BY test_id"""
+         WHERE rn = 1 ORDER BY test_id""",
+
+    // Q79: strict word 8-grams (docs under 8 tokens contribute none),
+    // deduped per document on BOTH sides, so n_shared is a set-
+    // intersection size — replayed as unnest + join + count.
+    "q79_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+              grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(tk) - 6),
+                         i -> array_to_string(tk[i:i+7], ' '))) AS gs
+                FROM toks WHERE len(tk) >= 8),
+              eg AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 50 = 0),
+              tg AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 50 <> 0)
+         SELECT tg.doc_id, COUNT(*) AS n_shared
+         FROM tg JOIN eg USING (gram)
+         GROUP BY tg.doc_id ORDER BY tg.doc_id"""
   )
 }
