@@ -255,6 +255,61 @@ object WordShingleHashes {
   }
 }
 
+/** Distinct word n-gram STRINGS (space-joined), one native pass.
+  * STRICT semantics (unlike [[WordShingleHashes]]' padded fallback):
+  * fewer than n tokens → empty array. The string form exists for
+  * operators whose n-grams must replay verbatim in an external SQL
+  * engine (decontamination joins on the gram text, not a hash — no
+  * collision caveat on the contamination verdict).
+  *
+  * Why native: same lesson as [[WordShingleHashes]] — the declarative
+  * `transform(sequence(...), i -> concat_ws(' ', slice(tk, i, n)))`
+  * evaluates interpreted per position (measured ~4 ms/doc on ~400-token
+  * documents); this kernel is O(total token bytes) inside whole-stage
+  * codegen. Distinctness lives in the kernel too (insertion-ordered,
+  * byte equality — exactly `list_distinct`), saving the separate
+  * `array_distinct` pass over the exploded grams.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def prettyName: String = "graft_word_ngrams"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    WordNgrams.distinctNgrams(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.distinctNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object WordNgrams {
+  private final val Space = UTF8String.fromString(" ")
+
+  def distinctNgrams(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[UTF8String])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var k = 0
+      while (k < n) {
+        val t = tokens.getUTF8String(i + k)
+        window(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        k += 1
+      }
+      seen.add(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      seen.toArray(new Array[UTF8String](seen.size())))
+  }
+}
+
 /** MinHash signature over a hashed shingle set (Broder 1997): k simulated
   * hash functions h_i(x) = xxh64(x, seed=i); output is the per-function
   * minimum. Native one-pass kernel (|set| * k long-hashes, no per-element

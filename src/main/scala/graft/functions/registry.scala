@@ -59,6 +59,10 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         WordShingleHashes(es(0), intArg(es(1), "n")),
       "graft_shingle_hashes(tokens, n) - sorted distinct xxhash64 of word n-grams"),
+    ("graft_word_ngrams",
+      (es: Seq[Expression]) =>
+        WordNgrams(es(0), intArg(es(1), "n")),
+      "graft_word_ngrams(tokens, n) - distinct word n-gram strings (strict: <n tokens -> empty)"),
     ("graft_envelope",
       (es: Seq[Expression]) =>
         SeriesEnvelope(es(0), if (es.length > 1) intArg(es(1), "band") else -1),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * Shape at 100 TB: the eval side is a benchmark suite — thousands of
   * documents, MBs of text — while the train side is the corpus. Both
   * sides reduce to DISTINCT n-grams per document scan-side (tokenize →
-  * positional slice → dedup, all built-in expressions, no UDF); the
+  * the native [[graft.functions.WordNgrams]] codegen kernel); the
   * contamination test is then a join on the gram string. While the eval
   * gram set fits the broadcast budget (the measured-size decision
   * [[Knn.fitsBroadcast]], same discipline as every pair join in this
@@ -33,24 +33,22 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Distinct word n-grams per document as (idCol, gram) rows. Documents
-    * with fewer than n tokens contribute none. The token array is bound
-    * as a row attribute FIRST: slicing a re-computed `tokens(text)`
-    * inside the positional lambda would re-split the text per position
-    * (interpreted HOFs re-evaluate outer expressions per element — the
-    * `TextFunctions.bigramRepetition` lesson).
+    * with fewer than n tokens contribute none. Gram generation is the
+    * native [[graft.functions.WordNgrams]] kernel (one codegen'd pass,
+    * distinctness included): the declarative HOF form —
+    * `transform(sequence(...), i -> concat_ws(' ', slice(tk, i, n)))` —
+    * evaluates interpreted per position and measured ~4 ms/doc, which at
+    * corpus scale is the whole job (the q73 lesson).
     */
   private[graft] def docGrams(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_tk"))
       .select(col(idCol),
-        explode(
-          when(size(col("_tk")) >= n,
-            array_distinct(
-              transform(sequence(lit(1), size(col("_tk")) - (n - 1)),
-                i => concat_ws(" ", slice(col("_tk"), i, lit(n))))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
+        explode(call_function("graft_word_ngrams", col("_tk"), lit(n)))
+          .as("gram"))
   }
 
   /** Contaminated training documents: one row per train document sharing
@@ -63,9 +61,12 @@ object Decontaminate {
       train: DataFrame, evalSet: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 8): DataFrame = {
-    val evalGrams = docGrams(evalSet, idCol, textCol, n)
+    // spread BEFORE the gram explosion: a single-file corpus stage would
+    // otherwise run the ~n-per-token explosion + join + agg on one task
+    // (the explode multiplies rows, not partitions)
+    val evalGrams = docGrams(Partitioning.spread(evalSet), idCol, textCol, n)
       .select(col("gram")).distinct()
-    val trainGrams = docGrams(train, idCol, textCol, n)
+    val trainGrams = docGrams(Partitioning.spread(train), idCol, textCol, n)
     val hits =
       if (Knn.fitsBroadcast(evalGrams)) trainGrams.join(broadcast(evalGrams), "gram")
       else trainGrams.join(evalGrams, "gram")

@@ -135,6 +135,25 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_word_ngrams matches the declarative slice/concat_ws form") {
+    import graft.functions.TextFunctions
+    val n = 3
+    val docs = Seq(
+      "a b c d e", "x y x y x y x", "one two", "", "p q r")
+      .toDF("text")
+      .select(TextFunctions.tokens($"text").as("tk"))
+    val declarative = when(size($"tk") >= n,
+      array_distinct(transform(sequence(lit(1), size($"tk") - (n - 1)),
+        i => concat_ws(" ", slice($"tk", i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val r = docs.select(
+      call_function("graft_word_ngrams", $"tk", lit(n)).as("native"),
+      declarative.as("decl")).collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](0) === row.getSeq[String](1))
+    }
+  }
+
   test("graft_har_series matches the declarative transform(sequence) form") {
     val L = 23
     val ids = spark.range(8).select(($"id" * 997 + 5).as("sid"))
