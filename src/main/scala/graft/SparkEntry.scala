@@ -1271,7 +1271,10 @@ object SparkEntry {
     "q74_csv_source" -> ((s, dir) => {
       val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       val stage = graft.core.TempDirs.scratch("graft_csv")
-      n.coalesce(1).write.mode("overwrite").option("header", "true")
+      // natural partitioning: the CSV source reads a directory (each
+      // part-file carries its own header); a coalesce(1) staging write
+      // would serialize to one task — the wrong shape at any scale
+      n.write.mode("overwrite").option("header", "true")
         .csv(stage.toString)
       s.read.option("header", "true").schema(n.schema).csv(stage.toString)
         .groupBy("n_regionkey")
@@ -1308,7 +1311,7 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
       val stage = graft.core.TempDirs.scratch("graft_orc")
-      o.coalesce(1).write.mode("overwrite").orc(stage.toString)
+      o.write.mode("overwrite").orc(stage.toString) // natural partitioning
       s.read.schema(o.schema).orc(stage.toString)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -1324,7 +1327,7 @@ object SparkEntry {
     "q75_jsonl_source" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val stage = graft.core.TempDirs.scratch("graft_jsonl")
-      d.coalesce(1).write.mode("overwrite").json(stage.toString)
+      d.write.mode("overwrite").json(stage.toString) // natural partitioning
       s.read.schema(d.schema).json(stage.toString)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),

@@ -666,6 +666,54 @@ case class Barrier(child: Expression) extends UnaryExpression {
 /** Hamming distance between two simhash signatures, as an expression so
   * near-dup joins stay codegen'd.
   */
+/** Cosine similarity directly over `array<tinyint>` (int8-quantized
+  * vectors) — the int8 ANN prefilter's hot pair expression. The
+  * composed form (`Cast(array<tinyint> -> array<double>)` on both sides,
+  * then `graft_cosine`) allocates two widened arrays PER PAIR inside the
+  * join loop; this kernel reads the byte arrays in place.
+  *
+  * BIT-IDENTICAL to the cast-then-cosine composition (pinned in
+  * SimilaritySearchSpec): with |v_i| <= 127 every product is <= 16129
+  * and every partial sum an integer far below 2^53, so double
+  * accumulation is EXACT — same values as [[Kernels.cosine]] over the
+  * widened arrays, including its min-length dot / full-length norm
+  * semantics and zero-norm guard.
+  */
+case class CosineSimilarityI8(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "graft_cosine_i8"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityI8.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSimilarityI8.cosineI8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+object CosineSimilarityI8 {
+  def cosineI8(a: ArrayData, b: ArrayData): Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    val n = math.min(la, lb)
+    var sa = 0.0; var sb = 0.0; var sd = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toDouble; val y = b.getByte(i).toDouble
+      sa += x * x; sb += y * y; sd += x * y; i += 1
+    }
+    // norms run over each FULL array (Kernels.cosine semantics); the dot
+    // stops at the shorter length
+    var j = n
+    while (j < la) { val x = a.getByte(j).toDouble; sa += x * x; j += 1 }
+    j = n
+    while (j < lb) { val y = b.getByte(j).toDouble; sb += y * y; j += 1 }
+    val na = math.sqrt(sa); val nb = math.sqrt(sb)
+    if (na == 0.0 || nb == 0.0) 0.0 else sd / (na * nb)
+  }
+}
+
 case class HammingDistance64(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def prettyName: String = "graft_hamming64"

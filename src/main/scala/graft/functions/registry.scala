@@ -115,6 +115,9 @@ object GraftFunctions {
     ("graft_hamming64",
       (es: Seq[Expression]) => HammingDistance64(es(0), es(1)),
       "graft_hamming64(a, b) - Hamming distance between 64-bit signatures"),
+    ("graft_cosine_i8",
+      (es: Seq[Expression]) => CosineSimilarityI8(es(0), es(1)),
+      "graft_cosine_i8(a, b) - cosine similarity over array<tinyint> (no widening copies)"),
     // Spark's own runtime-filter machinery (BloomFilterAggregate /
     // BloomFilterMightContain, used by InjectRuntimeFilter) surfaced as
     // callable functions, so BloomJoin can materialize an explicit

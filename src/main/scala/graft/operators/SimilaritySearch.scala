@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.SeriesFunctions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -14,6 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
+  /** Top-k per query by (cos DESC, item_id ASC) over a
+    * (query_id, item_id, cos) pair stream WITHOUT sorting it: the
+    * bounded-heap `TypedImperativeAggregate` (the cascade's
+    * `graft_topk_ids`/`graft_topk_scores`) keeps k entries per query
+    * per partition map-side, so the exchange moves k rows per query
+    * instead of every pair, and nothing sorts the pair stream. The
+    * window form (`row_number <= k`) selects identically — WindowGroupLimit
+    * prunes partials to k too, but only after locally SORTING each
+    * partition's pair rows, which at a 10^8-pair prefilter is the
+    * dominant cost (measured 343 s -> see NOTES_r7 ann table). Heap keeps
+    * the k smallest (-cos, id); -(-x) is exact, so emitted cos values are
+    * bit-identical to the window path's. Requires integral item ids (the
+    * aggregate's buffer packs primitive longs).
+    */
+  private def heapTopK(pairs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    pairs
+      .select(col("query_id"), col("item_id"), negate(col("cos")).as("neg"))
+      .groupBy(col("query_id"))
+      .agg(
+        SeriesFunctions.topkIds(col("neg"), col("item_id"), k).as("ids"),
+        SeriesFunctions.topkScores(col("neg"), col("item_id"), k).as("negs"))
+      .select(col("query_id"), posexplode(arrays_zip(col("ids"), col("negs"))))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.ids").as("item_id"), negate(col("col.negs")).as("cos"))
+  }
+
   /** Exact top-k by cosine similarity.
     * queries: (query_id, query_vec); corpus: (item_id, item_vec).
     * Output: (query_id, rank, item_id, cos).
@@ -21,14 +47,11 @@ object SimilaritySearch {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("item_id"))
-    Partitioning.spread(q).crossJoin(broadcast(c))
-      .select(col("query_id"), col("item_id"),
-        SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+    heapTopK(
+      Partitioning.spread(q).crossJoin(broadcast(c))
+        .select(col("query_id"), col("item_id"),
+          SeriesFunctions.cosine(col("qv"), col("cv")).as("cos")),
+      k)
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus with KMeans
@@ -196,14 +219,11 @@ object SimilaritySearch {
     val qCells = Partitioning.spread(q)
       .select(col("query_id"), col("qv"),
         explode(SeriesFunctions.barrier(probeCells(col("qv")))).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("item_id"))
-    qCells.join(cCells, "cell")
-      .select(col("query_id"), col("item_id"),
-        SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+    heapTopK(
+      qCells.join(cCells, "cell")
+        .select(col("query_id"), col("item_id"),
+          SeriesFunctions.cosine(col("qv"), col("cv")).as("cos")),
+      k)
   }
 
   /** Per-vector symmetric int8 quantization: scale = max|v_i| / 127,
@@ -245,20 +265,25 @@ object SimilaritySearch {
   def int8TopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       rerankFactor: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
     val qq = withInt8(q, "qv", "q8").select(col("query_id"), col("q8"))
     val cq = withInt8(c, "cv", "c8").select(col("item_id"), col("c8"))
     val n = k * rerankFactor
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("item_id"))
+    // prefilter candidates: bounded heap per query (ids only — the exact
+    // rerank recomputes scores at full precision anyway); the window form
+    // locally sorted the ENTIRE quantized pair stream before its
+    // group-limit could prune
     val cand = Knn.crossPairs(cq, Partitioning.spread(qq), graft.core.KnnParams())
       .select(col("query_id"), col("item_id"),
-        SeriesFunctions.cosine(col("q8").cast("array<double>"),
-          col("c8").cast("array<double>")).as("qcos"))
-      .withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank") <= n)
-      .select(col("query_id"), col("item_id"))
+        // native int8 kernel: bit-identical to casting both sides to
+        // array<double> + graft_cosine, without the two widened-array
+        // allocations per pair (the prefilter IS the scan at 100 TB)
+        negate(call_function("graft_cosine_i8", col("q8"), col("c8"))).as("neg"))
+      .groupBy(col("query_id"))
+      .agg(SeriesFunctions.topkIds(col("neg"), col("item_id"), n).as("ids"))
+      .select(col("query_id"), explode(col("ids")).as("item_id"))
     // Exact rerank joins the full-precision vectors back by id only for
     // the surviving candidates. Oversize corpus: broadcast the slim
     // (query_id, item_id, qv) candidate frame (bounded by the query set:
@@ -270,14 +295,10 @@ object SimilaritySearch {
     val joined =
       if (Knn.fitsBroadcast(c)) withQ.join(broadcast(c), "item_id")
       else c.join(broadcast(withQ), "item_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("item_id"))
-    joined
-      .select(col("query_id"), col("item_id"),
-        SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+    heapTopK(
+      joined.select(col("query_id"), col("item_id"),
+        SeriesFunctions.cosine(col("qv"), col("cv")).as("cos")),
+      k)
   }
 
   /** Deterministic seeded random hyperplanes (driver-side, tiny).
@@ -331,13 +352,10 @@ object SimilaritySearch {
     val cand = qb.join(cb, Seq("table", "bucket"))
       .select(col("query_id"), col("item_id"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("item_id"))
-    cand.join(q, "query_id").join(c, "item_id")
-      .select(col("query_id"), col("item_id"),
-        SeriesFunctions.cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("item_id"), col("cos"))
+    heapTopK(
+      cand.join(q, "query_id").join(c, "item_id")
+        .select(col("query_id"), col("item_id"),
+          SeriesFunctions.cosine(col("qv"), col("cv")).as("cos")),
+      k)
   }
 }

@@ -110,6 +110,28 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(full === exact)
   }
 
+  test("graft_cosine_i8 is bit-identical to cast-to-double + graft_cosine") {
+    val quantized = SimilaritySearch.withInt8(
+      corpus.select($"item_id", $"item_vec".cast("array<double>").as("item_vec")),
+      "item_vec", "v8")
+    val pairs = quantized.select($"item_id".as("ia"), $"v8".as("a8"))
+      .crossJoin(quantized.select($"item_id".as("ib"), $"v8".as("b8")))
+      .limit(2000)
+      .select(
+        call_function("graft_cosine_i8", $"a8", $"b8").as("native"),
+        call_function("graft_cosine",
+          $"a8".cast("array<double>"), $"b8".cast("array<double>")).as("cast_path"))
+      .collect()
+    // exact equality, not tolerance: int8 products and their partial sums
+    // are integers far below 2^53, so both paths round identically
+    pairs.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // zero-norm guard parity (Seq[Byte], not Array[Byte] — the latter
+    // encodes as BINARY rather than array<tinyint>)
+    val z = Seq((Seq[Byte](0, 0), Seq[Byte](1, 2))).toDF("a", "b")
+      .select(call_function("graft_cosine_i8", $"a", $"b")).collect()
+    assert(z(0).getDouble(0) === 0.0)
+  }
+
   test("signBucket is deterministic across invocations") {
     val b1 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()
     val b2 = corpus.select(SimilaritySearch.signBucket($"item_vec".cast("array<double>"), dim, 8, 42L).as("b")).collect()

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.KnnParams
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Dedup, Knn, SimilaritySearch}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -65,7 +65,7 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val which = if (args.isEmpty) Set("har", "dedup", "stream") else args.toSet
+    val which = if (args.isEmpty) Set("har", "dedup", "stream", "ann") else args.toSet
 
     if (which("har")) {
       // ---- 1. HAR cascade at sf1 (the reference's full corpus size) ----
@@ -125,6 +125,53 @@ object ScaleRehearsal {
       }
       println(s"[rehearsal] dedup 10x: clusters=$nc over ${big.count()} docs")
       graft.core.Materialize.releaseCheckpoint(big)
+    }
+
+    if (which("ann")) {
+      // ---- 4. ANN operators on a 600x corpus (round-7 restructures) ----
+      // 1.2M vectors puts the int8-QUANTIZED corpus (1.2M x 64 B ~ 77 MB)
+      // above the 64 MB broadcast floor, so the rehearsal exercises the
+      // measured-size FALLBACK paths the r6 verdict asked for — not the
+      // small-corpus broadcast fast path the bench tier takes.
+      val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val corpus = timed("ann corpus build (1.2M vectors = 600 id-shifted copies)") {
+        val c = base.crossJoin(spark.range(600).select(col("id").as("rep")))
+          .select((col("vec_id") + col("rep") * lit(1000000L)).as("item_id"),
+            col("embedding").cast("array<double>").as("item_vec"))
+          .localCheckpoint()
+        c.count(); c
+      }
+      println(s"[rehearsal] ann corpus measured bytes=" +
+        graft.core.Materialize.storageBytes(corpus).getOrElse(BigInt(-1)))
+      val queries = base.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("query_vec"))
+        .localCheckpoint()
+      queries.count()
+
+      // (a) sign-LSH: slim (table, bucket, id) exchange, payload join-back
+      val lsh = SimilaritySearch.lshTopK(queries, corpus, k = 5, dim = 64)
+      planAudit("ann_lsh_600x", lsh, Seq("query_vec", "item_vec", "qv", "cv"))
+      val nl = timed("lshTopK on 1.2M corpus x 200 queries")(lsh.count())
+      println(s"[rehearsal] ann lsh: result rows=$nl")
+
+      // (b) int8 prefilter: quantized corpus above the floor -> the
+      // corpus STREAMS through the pinned hash joins; only the bounded
+      // query-side frames broadcast (q8 prefilter probes, then the slim
+      // per-query candidate list for the exact rerank)
+      val i8 = SimilaritySearch.int8TopK(queries, corpus, k = 5)
+      planAudit("ann_int8_600x", i8, Seq("item_vec", "cv", "c8"))
+      val ni = timed("int8TopK (240M quantized pairs prefilter + exact rerank)")(i8.count())
+      println(s"[rehearsal] ann int8: result rows=$ni")
+
+      // (c) IVF: bounded seeded sample fit, probe 4/16 cells, exact rerank
+      val ivf = SimilaritySearch.ivfTopK(queries, corpus, k = 5)
+      planAudit("ann_ivf_600x", ivf, Seq("item_vec", "cv"))
+      val nv = timed("ivfTopK (16 cells, 4 probes, sampled fit)")(ivf.count())
+      println(s"[rehearsal] ann ivf: result rows=$nv")
+
+      graft.core.Materialize.releaseCheckpoint(corpus)
+      graft.core.Materialize.releaseCheckpoint(queries)
     }
 
     if (which("stream")) {
