@@ -154,6 +154,46 @@ class ExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_word_ngrams randomized parity: 300 docs, lengths straddling n") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g")
+    val n = 4
+    val docs = (1 to 300).map { _ =>
+      // lengths 0..9 straddle n=4, hitting the strict-empty branch often
+      Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("text")
+      .select(graft.functions.TextFunctions.tokens($"text").as("tk"))
+    val declarative = when(size($"tk") >= n,
+      array_distinct(transform(sequence(lit(1), size($"tk") - (n - 1)),
+        i => concat_ws(" ", slice($"tk", i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(
+      call_function("graft_word_ngrams", $"tk", lit(n)).as("native"),
+      declarative.as("decl")).collect()
+      .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("graft_cosine_i8 randomized parity incl. zero vectors and length skew") {
+    val rnd = new scala.util.Random(99)
+    def vec(len: Int): Seq[Byte] = len match {
+      case 0 => Seq.empty[Byte]
+      case l if rnd.nextInt(10) == 0 => Seq.fill(l)(0.toByte) // zero-norm
+      case l => Seq.fill(l)((rnd.nextInt(255) - 127).toByte)
+    }
+    val pairs = (1 to 400).map { _ =>
+      (vec(rnd.nextInt(20)), vec(rnd.nextInt(20)))
+    }.toDF("a", "b")
+    pairs.select(
+      call_function("graft_cosine_i8", $"a", $"b").as("native"),
+      call_function("graft_cosine",
+        $"a".cast("array<double>"), $"b".cast("array<double>")).as("cast_path"))
+      .collect()
+      .foreach { r =>
+        // exact, not approximate: int8 sums are integers below 2^53
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+      }
+  }
+
   test("graft_har_series matches the declarative transform(sequence) form") {
     val L = 23
     val ids = spark.range(8).select(($"id" * 997 + 5).as("sid"))
