@@ -123,10 +123,16 @@ object Bench {
     // Cleanup BEFORE the JSON prints, under ERROR log level: unpersisting
     // localCheckpoints logs WARN lines, and anything the process emits
     // after the timings line eats its 2000-char tail window from the
-    // wrong end (r5/r6 artifacts both lost data to exactly this).
-    spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.clearSessionCaches(spark)
-    spark.stop()
+    // wrong end (r5/r6 artifacts both lost data to exactly this). Guarded:
+    // a cleanup/stop failure after a heavy suite must not take the run's
+    // primary artifact down with it.
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      SparkEntry.clearSessionCaches(spark)
+      spark.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] post-run cleanup failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"exec","exec":$plan}""")
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfTier"}""")
   }

@@ -57,6 +57,12 @@ object SeriesFunctions {
     */
   def topkScores(score: Column, id: Column, k: Int): Column =
     call_function("graft_topk_scores", score, id, lit(k))
+  /** The k smallest (score, id) pairs per group as array<struct<score,id>>,
+    * sorted ascending — ONE heap maintains both columns (two separate
+    * ids+scores aggregates would insert every input row twice).
+    */
+  def topkPairs(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk_pairs", score, id, lit(k))
   /** Identity wrapper that blocks predicate pushdown (see [[graft.functions.Barrier]]). */
   def barrier(c: Column): Column = call_function("graft_barrier", c)
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)

@@ -16,13 +16,15 @@ final class TopKIdsBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  // java.lang.Double.compare: a TOTAL order (NaN greater than everything,
-  // matching Spark's sort order). Raw `>` would strand a NaN inserted
-  // while size < k — not greater AND not smaller than any later score, so
-  // never evicted — and let pruned KNN diverge from the exact window-rank
-  // path on NaN-containing series.
+  // SQLOrderingUtil.compareDoubles: Spark's OWN sort comparator — a total
+  // order with NaN greater than everything AND -0.0 == 0.0. Raw `>` would
+  // strand a NaN inserted while size < k (not greater and not smaller
+  // than any later score, so never evicted); java.lang.Double.compare
+  // would order -0.0 < 0.0 where a window `ORDER BY score` ties them and
+  // falls through to the id tie-break — either divergence lets the heap
+  // select different ids than the window-rank path on the same scores.
   @inline private def gt(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
+    val c = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(s1, s2)
     c > 0 || (c == 0 && i1 > i2)
   }
 
@@ -60,7 +62,7 @@ final class TopKIdsBuffer(val k: Int) {
   private def sortedIdx(): Array[Int] = {
     val idx = Array.range(0, size)
     idx.sortWith { (x, y) =>
-      val c = java.lang.Double.compare(scores(x), scores(y))
+      val c = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(scores(x), scores(y))
       c < 0 || (c == 0 && ids(x) < ids(y))
     }
   }
@@ -70,6 +72,10 @@ final class TopKIdsBuffer(val k: Int) {
 
   /** scores sorted ascending by (score, id). */
   def sortedScores(): Array[Double] = sortedIdx().map(scores(_))
+
+  /** (score, id) pairs sorted ascending by (score, id). */
+  def sortedPairs(): Array[(Double, Long)] =
+    sortedIdx().map(i => (scores(i), ids(i)))
 }
 
 /** Native bounded top-k-by-score aggregate: collects the ids of the k
@@ -90,20 +96,28 @@ case class BoundedTopKIdsAgg(
     idChild: Expression,
     k: Int,
     emitScores: Boolean = false,
+    emitPairs: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKIdsBuffer] with ImplicitCastInputTypes {
   require(k >= 1, "k must be >= 1")
+  require(!(emitScores && emitPairs), "emitScores and emitPairs are exclusive")
 
   override def prettyName: String =
-    if (emitScores) "graft_topk_scores" else "graft_topk_ids"
+    if (emitPairs) "graft_topk_pairs"
+    else if (emitScores) "graft_topk_scores"
+    else "graft_topk_ids"
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
   // analysis-time coercion: an INT id or FLOAT score would otherwise
   // pass analysis and ClassCastException per task at execution
   override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType =
-    if (emitScores) ArrayType(DoubleType, containsNull = false)
+    if (emitPairs)
+      ArrayType(StructType(Seq(
+        StructField("score", DoubleType, nullable = false),
+        StructField("id", LongType, nullable = false))), containsNull = false)
+    else if (emitScores) ArrayType(DoubleType, containsNull = false)
     else ArrayType(LongType, containsNull = false)
 
   override def createAggregationBuffer(): TopKIdsBuffer = new TopKIdsBuffer(k)
@@ -123,7 +137,12 @@ case class BoundedTopKIdsAgg(
   }
 
   override def eval(buf: TopKIdsBuffer): Any =
-    if (emitScores) ArrayData.toArrayData(buf.sortedScores())
+    if (emitPairs)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.sortedPairs().map { case (s, id) =>
+          InternalRow(s, id): Any
+        })
+    else if (emitScores) ArrayData.toArrayData(buf.sortedScores())
     else ArrayData.toArrayData(buf.sortedIds())
 
   override def serialize(buf: TopKIdsBuffer): Array[Byte] = {

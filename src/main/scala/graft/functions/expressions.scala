@@ -296,13 +296,20 @@ object WordNgrams {
     val window = new Array[UTF8String](n)
     var i = 0
     while (i <= len - n) {
+      // null tokens are SKIPPED, not empty-joined: `concat_ws` (and
+      // DuckDB's array_to_string) drop null elements entirely, so an
+      // n-window with a null joins its n-1 survivors with single spaces
+      // — the kernel must match for the declarative/oracle parity to
+      // hold on nullable token arrays
+      var w = 0
       var k = 0
       while (k < n) {
         val t = tokens.getUTF8String(i + k)
-        window(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (t != null) { window(w) = t; w += 1 }
         k += 1
       }
-      seen.add(UTF8String.concatWs(Space, window: _*))
+      seen.add(UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(window, 0, w): _*))
       i += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
@@ -694,21 +701,27 @@ case class CosineSimilarityI8(left: Expression, right: Expression)
 }
 
 object CosineSimilarityI8 {
+  // null slots read as 0 (the quantizer never emits them; a hand-built
+  // SQL array with NULL elements degrades gracefully instead of
+  // corrupting the dot) — same convention as the token kernels
+  @inline private def at(v: ArrayData, i: Int): Double =
+    if (v.isNullAt(i)) 0.0 else v.getByte(i).toDouble
+
   def cosineI8(a: ArrayData, b: ArrayData): Double = {
     val la = a.numElements(); val lb = b.numElements()
     val n = math.min(la, lb)
     var sa = 0.0; var sb = 0.0; var sd = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getByte(i).toDouble; val y = b.getByte(i).toDouble
+      val x = at(a, i); val y = at(b, i)
       sa += x * x; sb += y * y; sd += x * y; i += 1
     }
     // norms run over each FULL array (Kernels.cosine semantics); the dot
     // stops at the shorter length
     var j = n
-    while (j < la) { val x = a.getByte(j).toDouble; sa += x * x; j += 1 }
+    while (j < la) { val x = at(a, j); sa += x * x; j += 1 }
     j = n
-    while (j < lb) { val y = b.getByte(j).toDouble; sb += y * y; j += 1 }
+    while (j < lb) { val y = at(b, j); sb += y * y; j += 1 }
     val na = math.sqrt(sa); val nb = math.sqrt(sb)
     if (na == 0.0 || nb == 0.0) 0.0 else sd / (na * nb)
   }

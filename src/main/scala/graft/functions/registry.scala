@@ -96,6 +96,10 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         BoundedTopKIdsAgg(es(0), es(1), intArg(es(2), "k"), emitScores = true),
       "graft_topk_scores(score, id, k) - scores of the k smallest (score, id) pairs, as array<double>"),
+    ("graft_topk_pairs",
+      (es: Seq[Expression]) =>
+        BoundedTopKIdsAgg(es(0), es(1), intArg(es(2), "k"), emitPairs = true),
+      "graft_topk_pairs(score, id, k) - the k smallest (score, id) pairs as array<struct<score,id>> (ONE heap for both)"),
     ("graft_simhash59",
       (es: Seq[Expression]) => PortableSimHash59(es(0)),
       "graft_simhash59(tokens) - 59-bit SimHash over portable charfold token hashes"),

@@ -14,30 +14,37 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   /** Top-k per query by (cos DESC, item_id ASC) over a
-    * (query_id, item_id, cos) pair stream WITHOUT sorting it: the
-    * bounded-heap `TypedImperativeAggregate` (the cascade's
-    * `graft_topk_ids`/`graft_topk_scores`) keeps k entries per query
-    * per partition map-side, so the exchange moves k rows per query
-    * instead of every pair, and nothing sorts the pair stream. The
-    * window form (`row_number <= k`) selects identically — WindowGroupLimit
-    * prunes partials to k too, but only after locally SORTING each
-    * partition's pair rows, which at a 10^8-pair prefilter is the
-    * dominant cost (measured 343 s -> see NOTES_r7 ann table). Heap keeps
-    * the k smallest (-cos, id); -(-x) is exact, so emitted cos values are
-    * bit-identical to the window path's. Requires integral item ids (the
-    * aggregate's buffer packs primitive longs).
+    * (query_id, item_id, cos) pair stream WITHOUT sorting it: ONE
+    * bounded-heap `TypedImperativeAggregate` (the cascade's machinery,
+    * pairs mode) keeps k (score, id) entries per query per partition
+    * map-side, so the exchange moves k rows per query and nothing sorts
+    * the pair stream. The window form (`row_number <= k`) selects the
+    * same rows — WindowGroupLimit prunes partials to k too, but only
+    * after locally SORTING each partition's pair rows, which at a
+    * 10^8-pair prefilter is the dominant cost (343 s -> 89 s at the
+    * NOTES_r7 600x rehearsal). Selection order: k smallest (-cos, id)
+    * under Spark's own SQL double ordering (±0.0 tie like a window
+    * sort); -(-x) is exact, so emitted cos values match the window
+    * path's bit-for-bit. Two deliberate edge divergences from a raw
+    * `ORDER BY cos DESC` window: NaN-scored rows rank WORST here (a
+    * window would rank them first — NaN only enters via NaN input
+    * vectors), and null-scored rows are excluded rather than ranked
+    * last. Requires integral item ids (the heap buffer packs primitive
+    * longs; anything else fails analysis rather than silently casting).
     */
   private def heapTopK(pairs: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(pairs.sparkSession)
+    val idType = pairs.schema("item_id").dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
+      s"heap top-k requires an integral item_id, got ${idType.simpleString} " +
+        "(a non-numeric id would cast to null and be silently dropped)")
     pairs
       .select(col("query_id"), col("item_id"), negate(col("cos")).as("neg"))
       .groupBy(col("query_id"))
-      .agg(
-        SeriesFunctions.topkIds(col("neg"), col("item_id"), k).as("ids"),
-        SeriesFunctions.topkScores(col("neg"), col("item_id"), k).as("negs"))
-      .select(col("query_id"), posexplode(arrays_zip(col("ids"), col("negs"))))
+      .agg(SeriesFunctions.topkPairs(col("neg"), col("item_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.ids").as("item_id"), negate(col("col.negs")).as("cos"))
+        col("col.id").as("item_id"), negate(col("col.score")).as("cos"))
   }
 
   /** Exact top-k by cosine similarity.

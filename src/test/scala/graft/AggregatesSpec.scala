@@ -52,4 +52,35 @@ class AggregatesSpec extends SparkTestBase {
       .head().getSeq[Long](1)
     assert(got === Seq(11L, 10L))
   }
+
+  test("graft_topk_pairs: one heap emits the same (score, id) rows as ids+scores") {
+    val df = rows.toDF("gid", "id", "score")
+    val k = 6
+    val viaPairs = df.groupBy(col("gid"))
+      .agg(SeriesFunctions.topkPairs(col("score"), col("id"), k).as("tk"))
+      .select(col("gid"), posexplode(col("tk")))
+      .select(col("gid"), col("pos"), col("col.score"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val viaTwo = df.groupBy(col("gid"))
+      .agg(SeriesFunctions.topkIds(col("score"), col("id"), k).as("ids"),
+        SeriesFunctions.topkScores(col("score"), col("id"), k).as("ss"))
+      .select(col("gid"), posexplode(arrays_zip(col("ids"), col("ss"))))
+      .select(col("gid"), col("pos"), col("col.ss"), col("col.ids"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(viaPairs === viaTwo)
+  }
+
+  test("heap selection ties -0.0 with 0.0 like a window sort (id breaks the tie)") {
+    // SQLOrderingUtil ordering: -0.0 == 0.0, so the k=1 winner is the
+    // SMALLER id regardless of zero sign — java.lang.Double.compare
+    // would pick the -0.0 row even when its id is larger
+    val df = Seq((1L, 10L, 0.0), (1L, 9L, -0.0), (2L, 10L, -0.0), (2L, 9L, 0.0))
+      .toDF("gid", "id", "score")
+    val got = df.groupBy(col("gid"))
+      .agg(SeriesFunctions.topkIds(col("score"), col("id"), 1).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).head).toMap
+    assert(got === Map(1L -> 9L, 2L -> 9L))
+  }
 }

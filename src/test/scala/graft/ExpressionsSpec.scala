@@ -173,6 +173,22 @@ class ExpressionsSpec extends SparkTestBase {
       .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("graft_word_ngrams skips null tokens exactly like concat_ws") {
+    val n = 3
+    val docs = Seq(
+      Seq("a", null, "b", "c", "d"),
+      Seq(null, null, "x", "y"),
+      Seq("p", "q", null)).toDF("tk")
+    val declarative = when(size($"tk") >= n,
+      array_distinct(transform(sequence(lit(1), size($"tk") - (n - 1)),
+        i => concat_ws(" ", slice($"tk", i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(
+      call_function("graft_word_ngrams", $"tk", lit(n)).as("native"),
+      declarative.as("decl")).collect()
+      .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("graft_cosine_i8 randomized parity incl. zero vectors and length skew") {
     val rnd = new scala.util.Random(99)
     def vec(len: Int): Seq[Byte] = len match {
