@@ -2255,19 +2255,20 @@ object SparkEntry {
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
     "q75_jsonl_source" ->
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars,
+      """SELECT lang, COUNT(*) AS n,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                 COUNT(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
 
     "q76_partitioned_prune" ->
       """SELECT user_id, COUNT(*) AS n,
-                SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
 
     "q77_orc_source" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // identical to q9's formulation: streaming and batch 1-NN must agree

@@ -1,48 +1,131 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: for each query output
 under OUTDIR, run the oracle SQL in DuckDB over the same sf dir and
-compare (sorted-by-name columns, stringified values)."""
+compare (sorted-by-name columns) BOTH values and result TYPES.
+
+The driver's hash is type-sensitive: in round 7 three queries whose
+stringified values matched still failed the driver because DuckDB's
+integer SUM returns HUGEINT while Spark returns BIGINT. This checker
+therefore fetches the DuckDB result as Arrow (preserving the result
+types) and compares canonicalized Arrow types column-by-column, so an
+oracle-SQL typing slip fails locally before it fails at the driver.
+
+Canonicalization is calibrated against the r7 driver results: the
+driver compares python-level values, where every signed integer width
+collapses to `int` (q3/q16/q20/... with Spark int32 vs DuckDB int64
+were hash-GREEN) but Decimal does not (q75/q76/q77 with DuckDB
+decimal(38,0) a.k.a. HUGEINT vs Spark int64 were hash-RED). So integer
+and float widths collapse within their family here too, while
+int-vs-decimal and any cross-family difference stays distinct. Float
+precision divergence is still caught by the value comparison, which
+keeps float repr and the python class name in the row tuples.
+"""
 import sys, json, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
-fails = 0
-for name in names:
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
-    if not files:
-        print(f"{name}: NO OUTPUT"); fails += 1; continue
-    tbl = pq.read_table(files[0])
+def canon_type(t: pa.DataType) -> str:
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{canon_type(f.type)}" for f in t) + ">"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)},{canon_type(t.item_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # unit/tz differ benignly across writers
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_signed_integer(t):
+        return "int"    # driver-verified: int32 vs int64 hashes equal
+    if pa.types.is_unsigned_integer(t):
+        return "uint"
+    if pa.types.is_floating(t):
+        return "float"  # width collapses; precision diffs caught on values
+    return str(t)
+
+
+def canon_value(v):
+    """Hashable, order-stable rendering of a cell for set/sort compare.
+    Types are checked separately via the Arrow schema, so here we only
+    need value identity — but keep float/Decimal distinct from int via
+    repr of the exact python object class + value string."""
+    if isinstance(v, list):
+        return tuple(canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_value(x)) for k, x in v.items()))
+    if isinstance(v, float):
+        return ("f", repr(v))
+    return (type(v).__name__, str(v))
+
+
+def table_rows(tbl: pa.Table):
     cols = sorted(tbl.column_names)
-    spark_rows = [tuple(str(tbl.column(c)[i].as_py()) for c in cols)
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    return cols, [tuple(canon_value(data[c][i]) for c in cols)
                   for i in range(tbl.num_rows)]
-    if name not in oracle:
-        print(f"{name}: rows-only ({tbl.num_rows} rows)"); continue
-    try:
-        res = con.execute(oracle[name])
-        duck_cols = [d[0] for d in res.description]
-        duck = res.fetchall()
-    except Exception as e:
-        print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
-    order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    duck_rows = [tuple(str(r[i]) for i in order) for r in duck]
-    if sorted(duck_cols) != cols:
-        print(f"{name}: SCHEMA MISMATCH spark={cols} duck={sorted(duck_cols)}"); fails += 1; continue
-    if spark_rows == duck_rows:
-        print(f"{name}: OK ({len(spark_rows)} rows)")
-    else:
-        fails += 1
-        print(f"{name}: MISMATCH spark={len(spark_rows)} duck={len(duck_rows)} rows")
-        sset, dset = set(spark_rows), set(duck_rows)
-        only_s = list(sset - dset)[:3]; only_d = list(dset - sset)[:3]
-        if only_s: print(f"   spark-only: {only_s}")
-        if only_d: print(f"   duck-only:  {only_d}")
-        if not only_s and not only_d: print("   (same set, different order)")
-print(f"\n{fails} failures / {len(names)} queries")
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(f"{outdir}/{d}"))
+    fails = 0
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: NO OUTPUT"); fails += 1; continue
+        spark_tbl = pq.read_table(files[0])
+        spark_cols, spark_rows = table_rows(spark_tbl)
+        spark_types = {f.name: canon_type(f.type) for f in spark_tbl.schema}
+        if name not in oracle:
+            print(f"{name}: rows-only ({spark_tbl.num_rows} rows)"); continue
+        try:
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        duck_cols, duck_rows = table_rows(duck_tbl)
+        duck_types = {f.name: canon_type(f.type) for f in duck_tbl.schema}
+        if duck_cols != spark_cols:
+            print(f"{name}: SCHEMA MISMATCH spark={spark_cols} duck={duck_cols}")
+            fails += 1; continue
+        type_diffs = [(c, spark_types[c], duck_types[c]) for c in spark_cols
+                      if spark_types[c] != duck_types[c]]
+        if type_diffs:
+            fails += 1
+            print(f"{name}: TYPE MISMATCH " + "; ".join(
+                f"{c}: spark={s} duck={d}" for c, s, d in type_diffs))
+            continue
+        if spark_rows == duck_rows:
+            print(f"{name}: OK ({len(spark_rows)} rows)")
+        else:
+            fails += 1
+            print(f"{name}: MISMATCH spark={len(spark_rows)} duck={len(duck_rows)} rows")
+            sset, dset = set(spark_rows), set(duck_rows)
+            only_s = list(sset - dset)[:3]
+            only_d = list(dset - sset)[:3]
+            if only_s: print(f"   spark-only: {only_s}")
+            if only_d: print(f"   duck-only:  {only_d}")
+            if not only_s and not only_d:
+                print("   (same set, different order)")
+    print(f"\n{fails} failures / {len(names)} queries")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
