@@ -65,42 +65,60 @@ object Bench {
     // SPARK_GRAFT_JOBS=2 additionally prints per-job stage names (stderr).
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
+    // Median-of-N per query (default 3): a single timed run cannot
+    // distinguish an engine regression from co-tenant scheduler stall —
+    // the official r5/r6/r7 artifacts all carried 5-15x inflation on
+    // whichever query the neighbor load happened to land on. The median
+    // suppresses one bad run per query; every raw run still rides the
+    // exec map ("runs") so a reader can see the spread and judge tenancy
+    // for themselves. Scheduler counts are per-run deterministic (plans
+    // don't change between repeats), so one set per query suffices.
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     val results = selected.map { case (name, fn) =>
-      // drain the async listener bus so the previous query's tail events
-      // can't leak into this query's counters (reset races otherwise)
-      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-      listener.reset()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runsPerQuery).map { _ =>
+        // drain the async listener bus so the previous run's tail events
+        // can't leak into this run's counters (reset races otherwise)
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        listener.reset()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // untimed: flush this run's own events before reading the counts
+        val drained = org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        if (!drained)
+          System.err.println(s"[bench] $name: listener bus drain timed out; counts may undercount")
+        // Untimed inter-run drain: ContextCleaner reclaims shuffle files
+        // and broadcasts via GC'd weak refs, so a heavy run's cleanup
+        // otherwise executes asynchronously INSIDE the next measured
+        // window (and a mid-suite full GC lands on whichever query is
+        // unlucky). Forcing the GC between measurements charges JVM
+        // hygiene to the bench harness, not to a random neighbor query.
+        if (!sys.env.get("SPARK_GRAFT_NO_DRAIN").contains("1")) System.gc()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // untimed: flush this query's own events before reading the counts
-      val drained = org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-      if (!drained)
-        System.err.println(s"[bench] $name: listener bus drain timed out; counts may undercount")
       val (j, st, tk) = (listener.jobs.get(), listener.stages.get(), listener.tasks.get())
-      System.err.println(f"[jobs] $name jobs=$j stages=$st tasks=$tk time=$dt%.2f")
-      // Untimed inter-query drain: ContextCleaner reclaims shuffle files
-      // and broadcasts via GC'd weak refs, so a heavy query's cleanup
-      // otherwise runs asynchronously INSIDE the next query's measured
-      // window (and a mid-suite full GC lands on whichever query is
-      // unlucky). Forcing the GC between measurements charges JVM
-      // hygiene to the bench harness, not to a random neighbor query.
-      if (!sys.env.get("SPARK_GRAFT_NO_DRAIN").contains("1")) System.gc()
-      (name, dt, j, st, tk)
+      // lower median: robust headline for odd N, conservative (not min)
+      // for even N
+      val med = times.sorted.apply((times.size - 1) / 2)
+      System.err.println(f"[jobs] $name jobs=$j stages=$st tasks=$tk median=$med%.2f runs=" +
+        times.map(t => f"$t%.2f").mkString(","))
+      (name, med, times, j, st, tk)
     }
     // 2 decimals per query: at 78 queries the 3-decimal line measured
     // 1983 chars — 17 from the driver's 2000-char tail cutoff. 10 ms
     // resolution is ample for round-over-round comparison; the full
     // 3-decimal map still lands in SPARK_GRAFT_BENCH_OUT.
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val plan = results.map { case (k, _, j, st, tk) =>
-      "\"" + k + "\":{\"jobs\":" + j + ",\"stages\":" + st + ",\"tasks\":" + tk + "}"
+    val plan = results.map { case (k, _, runs, j, st, tk) =>
+      "\"" + k + "\":{\"jobs\":" + j + ",\"stages\":" + st + ",\"tasks\":" + tk +
+        ",\"runs\":[" + runs.map(t => f"$t%.3f").mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The driver keeps only the LAST 2000 chars of stdout, so the compact
