@@ -274,13 +274,37 @@ object SparkEntry {
         col("predicted_label"), col("label"))
     }),
 
-    // Q12 — 1-NN exact DTW (M3): no SQL oracle (DTW not in DuckDB);
-    // validated against brute-force fixtures in scalatest
+    // Q12 — 1-NN exact unconstrained DTW (M3) under the HASH GATE since
+    // r8: test series are the REAL embeddings shifted by a per-row
+    // integer offset (vec_id % 10); train series are constant runs keyed
+    // by nation (value = n_nationkey, lengths 60..68 straddling the test
+    // length 64). Unconstrained DTW against a constant series has an
+    // exact closed form the oracle replays in SQL: every warping path
+    // visits each x_i at least once (cost |x_i - v| per visit) and must
+    // cover all m constant positions, so the minimum is
+    //   DTW(x, [v]*m) = sum_i |x_i - v| + max(0, m-n) * min_i |x_i - v|
+    // (forced repeats land on the cheapest x_i). The engine still runs
+    // the full O(n*m) DP (graft_dtw band=-1) on non-constant inputs and
+    // the gate checks the DP VALUE to 6 decimals, not just the argmin —
+    // strictly stronger than both the old rows-only row and q46's
+    // constant-x-constant form. Fully-random-pair DTW stays covered by
+    // KernelsSpec brute-force parity.
     "q12_knn_dtw_k1" -> ((s, dir) => {
       GraftFunctions.register(s)
-      val (train, test, _) = trainTest(s, dir)
+      val e = t(s, dir, "embeddings")
+      val test = e.filter(col("vec_id") % 2 === 1).select(
+        col("vec_id").as("test_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + pmod(col("vec_id"), lit(10)).cast("double")).as("test_series"))
+      val n = t(s, dir, "nation")
+      val train = n.select(
+        col("n_nationkey").cast("long").as("train_id"),
+        array_repeat(col("n_nationkey").cast("double"),
+          (lit(60) + pmod(col("n_nationkey") * 7, lit(9))).cast("int")).as("train_series"),
+        col("n_regionkey").cast("double").as("label"))
       Knn.classify1NN(train, test, KnnParams(distance = "dtw"))
-        .select(col("test_id"), col("predicted_label"))
+        .select(col("test_id"), col("predicted_label"),
+          round(col("min_distance"), 6).as("min_distance"))
         .orderBy("test_id")
     }),
 
@@ -849,9 +873,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Q28 — IVF ANN (coarse KMeans quantization + probing; rows-only:
-    // centroid fit is iterative/fp-order dependent; recall + full-probe
-    // equivalence pinned in scalatest)
+    // Q28 — IVF ANN with a LIVE sampled-KMeans fit (the ivfTopK entry
+    // point), under the hash gate since r8: the fit is deterministic
+    // (seeded id-sorted sample, seeded fixed-iteration Lloyd), runs
+    // driver-side at verify time, and [[oracleSql]] injects the captured
+    // centroid array as literals into the q45-style DuckDB replay — so
+    // cell assignment, probing, and the exact rerank are all checked
+    // against the very centroids the plan used. q45 stays the
+    // pre-fit-literal production variant; this row gates the fit path.
     "q28_ann_ivf" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
@@ -859,7 +888,9 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val corpus = e.filter(col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-      SimilaritySearch.ivfTopK(queries, corpus, 5, numCells = 16, probes = 4)
+      val centers = SimilaritySearch.fitOrGetCentroids(corpus, numCells = 16)
+      q28FittedCentroids = Some(centers)
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
     }),
@@ -1381,6 +1412,45 @@ object SparkEntry {
   private lazy val ivfCentroids: Array[Array[Double]] =
     graft.operators.SimilaritySearch.hyperplanes(64, 8, 4242L).map(_.map(_ / 8.0))
 
+  /** Centroids q28's LIVE KMeans fit produced, captured when the query
+    * runs so [[oracleSql]] can replay the probe+rerank pipeline against
+    * the SAME array (fit-at-verify-time gating: Verify runs every query
+    * BEFORE dumping oracle_sql.json, so the stash is populated; both
+    * sides then share the literals, so the gate holds even if a future
+    * fit change altered the values). Absent (query never ran / failed),
+    * q28 degrades to the pre-r8 rows-only check instead of shipping a
+    * wrong oracle.
+    */
+  @volatile private var q28FittedCentroids: Option[Array[Array[Double]]] = None
+
+  /** q45/q28 shared oracle builder: fixed literal centroids -> cell
+    * assignment (argmin over Euclidean distance; list_distance orders
+    * identically to the engine's sqdist), probe the `probes` nearest
+    * cells per query, exact cosine rerank within probed cells.
+    */
+  private def ivfOracleSql(centroids: Array[Array[Double]], probes: Int): String = {
+    val ctrRows = centroids.zipWithIndex.map { case (c, i) =>
+      s"SELECT $i AS idx, [${c.map(java.lang.Double.toString).mkString(",")}]::DOUBLE[] AS ctr"
+    }.mkString(" UNION ALL ")
+    s"""WITH ctr AS ($ctrRows),
+            q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0),
+            ca AS (SELECT id, v, idx AS cell,
+                          ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
+                   FROM c CROSS JOIN ctr),
+            cc AS (SELECT id, v, cell FROM ca WHERE rn = 1),
+            qa AS (SELECT id, v, idx AS cell,
+                          ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
+                   FROM q CROSS JOIN ctr),
+            qc AS (SELECT id, v, cell FROM qa WHERE rn <= $probes)
+       SELECT query_id, rank, item_id FROM (
+         SELECT qc.id AS query_id, cc.id AS item_id,
+                ROW_NUMBER() OVER (PARTITION BY qc.id
+                  ORDER BY list_cosine_similarity(qc.v, cc.v) DESC, cc.id) AS rank
+         FROM qc JOIN cc ON qc.cell = cc.cell) x
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   /** Portable charfold-59 token hash in DuckDB SQL (mirror of
     * [[graft.functions.CharFoldFingerprint.tokenHash59]]) — shared by the
     * q19 and q23 oracles.
@@ -1650,6 +1720,34 @@ object SparkEntry {
          SELECT COUNT(DISTINCT tok) AS vocab, COUNT(*) AS total_tokens FROM toks""",
 
     // same construction, unconstrained exact DTW (closed form is exact)
+    // Q12: unconstrained DTW vs a constant series, closed form
+    // sum_i |x_i - v| + max(0, m - n) * min_i |x_i - v| (see the query's
+    // derivation comment). The shifted-embedding x and |x_i - v| terms
+    // are built from the same FP operands in the same order as the
+    // engine's series, and the row carries the ROUND(...,6) distance, so
+    // the DP value itself is under the hash. No zero-distance filter:
+    // x is never constant, so dist > 0 on every pair.
+    "q12_knn_dtw_k1" ->
+      """WITH test AS (SELECT vec_id AS test_id,
+                              list_transform(embedding::DOUBLE[],
+                                x -> x + CAST(vec_id % 10 AS DOUBLE)) AS x
+                       FROM embeddings WHERE vec_id % 2 = 1),
+              train AS (SELECT CAST(n_nationkey AS BIGINT) AS train_id,
+                               CAST(n_nationkey AS DOUBLE) AS v,
+                               CAST(n_regionkey AS DOUBLE) AS label,
+                               60 + (n_nationkey * 7) % 9 AS m
+                        FROM nation),
+              d AS (SELECT t.test_id, tr.train_id, tr.label,
+                           list_sum(list_transform(t.x, e -> abs(e - tr.v)))
+                             + GREATEST(tr.m - len(t.x), 0)
+                               * list_min(list_transform(t.x, e -> abs(e - tr.v))) AS dist
+                    FROM test t CROSS JOIN train tr)
+         SELECT test_id, label AS predicted_label, ROUND(dist, 6) AS min_distance
+         FROM (SELECT test_id, label, dist,
+                      ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS rn
+               FROM d) z
+         WHERE rn = 1 ORDER BY test_id""",
+
     "q46_dtw_unconstrained_1nn" ->
       """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS key,
                            CAST(n_regionkey AS DOUBLE) AS label,
@@ -1872,32 +1970,8 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY query_id, rank"""
     },
 
-    // Q45: fixed literal centroids -> cell assignment (argmin over
-    // Euclidean distance; list_distance orders identically to the
-    // engine's sqdist), probe the 3 nearest cells per query, exact
-    // cosine rerank within probed cells.
-    "q45_ann_ivf_det" -> {
-      val ctrRows = ivfCentroids.zipWithIndex.map { case (c, i) =>
-        s"SELECT $i AS idx, [${c.map(java.lang.Double.toString).mkString(",")}]::DOUBLE[] AS ctr"
-      }.mkString(" UNION ALL ")
-      s"""WITH ctr AS ($ctrRows),
-              q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
-              c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0),
-              ca AS (SELECT id, v, idx AS cell,
-                            ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
-                     FROM c CROSS JOIN ctr),
-              cc AS (SELECT id, v, cell FROM ca WHERE rn = 1),
-              qa AS (SELECT id, v, idx AS cell,
-                            ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
-                     FROM q CROSS JOIN ctr),
-              qc AS (SELECT id, v, cell FROM qa WHERE rn <= 3)
-         SELECT query_id, rank, item_id FROM (
-           SELECT qc.id AS query_id, cc.id AS item_id,
-                  ROW_NUMBER() OVER (PARTITION BY qc.id
-                    ORDER BY list_cosine_similarity(qc.v, cc.v) DESC, cc.id) AS rank
-           FROM qc JOIN cc ON qc.cell = cc.cell) x
-         WHERE rank <= 5 ORDER BY query_id, rank"""
-    },
+    // Q45: the pre-fit-literal IVF variant (see ivfOracleSql).
+    "q45_ann_ivf_det" -> ivfOracleSql(ivfCentroids, probes = 3),
 
     // Q22's LSH banding is full-recall and verification is exact, so its
     // result set is definitionally Q15's — same brute-force oracle.
@@ -2299,5 +2373,10 @@ object SparkEntry {
          SELECT tg.doc_id, COUNT(*) AS n_shared
          FROM tg JOIN eg USING (gram)
          GROUP BY tg.doc_id ORDER BY tg.doc_id"""
-  )
+  ) ++
+    // Fit-at-verify-time entry: present only after q28 has run in this
+    // JVM (Verify runs every query before dumping oracle_sql.json, so
+    // the driver always sees it; a failed q28 degrades to rows-only
+    // rather than shipping an oracle the result can't match).
+    q28FittedCentroids.map(c => "q28_ann_ivf" -> ivfOracleSql(c, probes = 4))
 }

@@ -679,12 +679,16 @@ case class Barrier(child: Expression) extends UnaryExpression {
   * then `graft_cosine`) allocates two widened arrays PER PAIR inside the
   * join loop; this kernel reads the byte arrays in place.
   *
-  * BIT-IDENTICAL to the cast-then-cosine composition (pinned in
-  * SimilaritySearchSpec): with |v_i| <= 127 every product is <= 16129
-  * and every partial sum an integer far below 2^53, so double
+  * BIT-IDENTICAL to the cast-then-cosine composition for NULL-FREE
+  * arrays — i.e. the quantizer's output, the only producer on this path
+  * (pinned in SimilaritySearchSpec): with |v_i| <= 127 every product is
+  * <= 16129 and every partial sum an integer far below 2^53, so double
   * accumulation is EXACT — same values as [[Kernels.cosine]] over the
   * widened arrays, including its min-length dot / full-length norm
-  * semantics and zero-norm guard.
+  * semantics and zero-norm guard. Arrays CONTAINING null elements are
+  * outside the claim: this kernel reads null slots as 0.0, while the
+  * cast path's ArrayData.toDoubleArray NPEs or zero-fills depending on
+  * the array representation.
   */
 case class CosineSimilarityI8(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

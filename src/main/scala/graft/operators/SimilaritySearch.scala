@@ -43,13 +43,22 @@ object SimilaritySearch {
       .groupBy(col("query_id"))
       .agg(SeriesFunctions.topkPairs(col("neg"), col("item_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
+      // the heap buffer packs ids as primitive longs; cast back so the
+      // output schema preserves the caller's id type (int stays int,
+      // as the former window path did) instead of silently widening
       .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.id").as("item_id"), negate(col("col.score")).as("cos"))
+        col("col.id").cast(idType).as("item_id"), negate(col("col.score")).as("cos"))
   }
 
   /** Exact top-k by cosine similarity.
     * queries: (query_id, query_vec); corpus: (item_id, item_vec).
     * Output: (query_id, rank, item_id, cos).
+    *
+    * Edge ranking (all `*TopK` variants, from the bounded-heap
+    * selection): NaN-scored rows rank worst (a raw `ORDER BY cos DESC`
+    * window would rank them first) and null-scored rows are dropped
+    * rather than ranked last — a query whose candidate scores are all
+    * null returns no rows. Neither arises from finite non-null vectors.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
@@ -103,7 +112,20 @@ object SimilaritySearch {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCells: Int = 16, probes: Int = 4, seed: Long = 42L,
-      maxFitRows: Long = 20000, refit: Boolean = false): DataFrame = {
+      maxFitRows: Long = 20000, refit: Boolean = false): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, k,
+      fitOrGetCentroids(corpus, numCells, seed, maxFitRows, refit), probes)
+
+  /** The coarse-quantizer fit behind [[ivfTopK]], exposed so callers can
+    * capture the SAME centroid array the plan will use (e.g. to replay
+    * the probe+rerank pipeline literal-for-literal in an external
+    * oracle). Deterministic for a fixed (corpus content, params): the
+    * sample is seeded and id-sorted, the Lloyd loop is seeded with a
+    * fixed iteration count.
+    */
+  def fitOrGetCentroids(
+      corpus: DataFrame, numCells: Int = 16, seed: Long = 42L,
+      maxFitRows: Long = 20000, refit: Boolean = false): Array[Array[Double]] = {
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
     locally {
       import scala.jdk.CollectionConverters._
@@ -132,18 +154,16 @@ object SimilaritySearch {
         .map(_.getSeq[Double](1).toArray)
       fitCentroids(sample, numCells, seed)
     }
-    val centers =
-      if (refit) { val f = fit(); centroidCache.put(key, f); f }
+    if (refit) { val f = fit(); centroidCache.put(key, f); f }
+    else {
+      val cached = centroidCache.get(key)
+      if (cached != null) cached
       else {
-        val cached = centroidCache.get(key)
-        if (cached != null) cached
-        else {
-          val f = fit() // outside the bin lock; a lost race = one extra fit
-          val prior = centroidCache.putIfAbsent(key, f)
-          if (prior != null) prior else f
-        }
+        val f = fit() // outside the bin lock; a lost race = one extra fit
+        val prior = centroidCache.putIfAbsent(key, f)
+        if (prior != null) prior else f
       }
-    ivfTopKWithCentroids(queries, corpus, k, centers, probes)
+    }
   }
 
   /** Seeded driver-side Lloyd k-means for the IVF coarse quantizer.
@@ -203,7 +223,9 @@ object SimilaritySearch {
     centers
   }
 
-  /** IVF probe/rerank against externally-fit (or sampled-fit) centroids. */
+  /** IVF probe/rerank against externally-fit (or sampled-fit) centroids.
+    * NaN/null score edges rank as documented on [[bruteForceTopK]].
+    */
   def ivfTopKWithCentroids(
       queries: DataFrame, corpus: DataFrame, k: Int,
       centers: Array[Array[Double]], probes: Int = 4): DataFrame = {
@@ -268,6 +290,8 @@ object SimilaritySearch {
     * neither side fits. int8 shrinks the corpus 8x but 100 TB of doubles
     * is still 12.5 TB quantized — an unconditional broadcast is not a
     * scale path (PlanShapeSpec pins the fallback).
+    *
+    * NaN/null score edges rank as documented on [[bruteForceTopK]].
     */
   def int8TopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
@@ -344,6 +368,8 @@ object SimilaritySearch {
     * pairs are deduped across tables FIRST (cosine is deterministic per
     * pair, so dedup-then-score == score-then-max), then the vectors join
     * back by id only for the exact rerank of surviving candidates.
+    *
+    * NaN/null score edges rank as documented on [[bruteForceTopK]].
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
