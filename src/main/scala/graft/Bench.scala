@@ -76,7 +76,13 @@ object Bench {
     val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { _ =>
+      // repeats must re-measure what the query COMPUTES, not a memo of
+      // run 1's result (q26's prediction table, q28's centroid fit) —
+      // but memos that pre-date this query keep their suite semantics
+      // (q31 scores the table q26 produced, once per suite by design)
+      val memoBase = SparkEntry.derivedMemoKeys(spark)
+      val times = (1 to runsPerQuery).map { i =>
+        if (i > 1) SparkEntry.dropDerivedMemosExcept(spark, memoBase)
         // drain the async listener bus so the previous run's tail events
         // can't leak into this run's counters (reset races otherwise)
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)

@@ -107,6 +107,34 @@ object SparkEntry {
     * workload inputs). Used by Bench's isolated mode; a long-lived
     * production session can call it when the series workloads are done.
     */
+  /** Keys of the derived-RESULT memos (q26's prediction table, the IVF
+    * centroid fits) currently held for `s`. Bench snapshots this before
+    * each query's repeat loop and calls [[dropDerivedMemosExcept]]
+    * between repeats, so a repeat re-measures whatever the query itself
+    * computed in run 1 (q26's cascade, q28's fit) while memos that
+    * PRE-DATE the query keep their suite semantics (q31 scores the
+    * re-read prediction table q26 produced — the reference's shape, the
+    * cascade runs once per suite). Without this, q26's 2nd/3rd runs
+    * re-read 3 tasks of parquet and the median reports the cache, not
+    * the cascade. Warmed INPUT materializations (harSynth) are not
+    * memos of measured work and are never dropped here.
+    */
+  def derivedMemoKeys(s: SparkSession): Set[Any] = {
+    import scala.jdk.CollectionConverters._
+    (harPredCache.keySet.asScala.filter(_._1 eq s).toSet[Any]
+      ++ SimilaritySearch.sessionCacheKeys(s))
+  }
+
+  /** Drop `s`'s derived-result memos except `keep` (see
+    * [[derivedMemoKeys]]).
+    */
+  def dropDerivedMemosExcept(s: SparkSession, keep: Set[Any]): Unit = {
+    import scala.jdk.CollectionConverters._
+    harPredCache.keySet.asScala.filter(_._1 eq s).toList
+      .filterNot(keep).foreach(harPredCache.remove)
+    SimilaritySearch.dropSessionCacheExcept(s, keep)
+  }
+
   def clearSessionCaches(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     SimilaritySearch.clearSessionCache(s)

@@ -110,19 +110,22 @@ object Partitioning {
     val estPartitions =
       if (files > 0L)
         ((statBytes + BigInt(files * openCost)) / maxPart).min(BigInt(Int.MaxValue)).toLong + 1L
-      else if (statBytes < BigInt(maxPart) * t) 1L // small in-memory frame
       else {
-        // Unknown stats and no input files (RDD-backed / LogicalRDD
-        // frames report defaultSizeInBytes): a NARROW such frame would
-        // re-introduce the single-task pair loop if we assumed wide.
-        // LogicalRDD leaves expose their real partitioning without any
-        // physical planning; otherwise pay one planning of the subtree.
+        // LogicalRDD leaves (checkpointed/RDD-backed frames) expose their
+        // REAL partitioning without any physical planning — always prefer
+        // it. The stats-only small-frame guess must not preempt it: a
+        // checkpointed frame reports its true (small) byte size, and
+        // until r8 that branch concluded "1 partition" and payload-
+        // repartitioned checkpoints that were already wide (every
+        // cascade/decontamination call on a checkpointed input paid a
+        // full no-op shuffle of its payload columns).
         val viaLeaf = df.queryExecution.optimizedPlan.collectLeaves().collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
             lr.rdd.getNumPartitions.toLong
         }
         viaLeaf.getOrElse(
-          try df.rdd.getNumPartitions.toLong
+          if (statBytes < BigInt(maxPart) * t) 1L // small in-memory frame
+          else try df.rdd.getNumPartitions.toLong
           catch { case _: Throwable => Long.MaxValue })
       }
     if (estPartitions >= t) df else df.repartition(t)

@@ -109,6 +109,21 @@ object SimilaritySearch {
       .foreach(centroidCache.remove)
   }
 
+  /** Current fit-memo keys for `s` (bench repeat-run bookkeeping — see
+    * `SparkEntry.derivedMemoKeys`).
+    */
+  def sessionCacheKeys(s: org.apache.spark.sql.SparkSession): Set[Any] = {
+    import scala.jdk.CollectionConverters._
+    centroidCache.keySet.asScala.filter(_._1 eq s).toSet
+  }
+
+  /** Drop `s`'s fit memos except `keep` (bench repeat-run bookkeeping). */
+  def dropSessionCacheExcept(s: org.apache.spark.sql.SparkSession, keep: Set[Any]): Unit = {
+    import scala.jdk.CollectionConverters._
+    centroidCache.keySet.asScala.filter(_._1 eq s).toList
+      .filterNot(keep).foreach(centroidCache.remove)
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numCells: Int = 16, probes: Int = 4, seed: Long = 42L,

@@ -174,6 +174,84 @@ object ScaleRehearsal {
       graft.core.Materialize.releaseCheckpoint(queries)
     }
 
+    if (which("decon")) {
+      // ---- 5. decontamination at 10x corpus, BOTH join strategies ----
+      // (round-8 directive #4: q79's scale claim needed measurement, and
+      // the sf-tier eval set is ~30 KB of grams — the shuffle fallback
+      // at Decontaminate.contaminated's join never executed.)
+      //   (a) the q79 shape: 50k-doc corpus, 2% eval -> eval grams fit
+      //       the 64 MB floor comfortably, broadcast path.
+      //   (b) oversize eval: ~50 tagged corpus copies checkpointed
+      //       (~75 MB measured, past the floor via the same
+      //       storageBytes-max-estimate decision every pair join uses)
+      //       -> the gram join MUST degrade to the shuffle fallback.
+      // Audit in both cases: no exchange and no broadcast build side
+      // carries document text or token arrays — only slim (id, gram) /
+      // (gram) rows move; text dies at the scan.
+      def shuffleAudit(name: String, df: DataFrame, payloads: Seq[String]): Unit = {
+        val plan = df.queryExecution.sparkPlan
+        val exchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.child.output.map(_.name)
+        }
+        val bad = exchanges.filter(_.exists(n => payloads.exists(n.startsWith)))
+        val joins = plan.collect {
+          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "broadcast"
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "sortmerge"
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => "shuffledhash"
+        }
+        println(s"[rehearsal] $name plan: exchanges=${exchanges.size} " +
+          s"payloadExchanges=${bad.size} joins=${joins.mkString(",")}")
+        bad.foreach(o => println(s"[rehearsal]   OFFENDING exchange: $o"))
+      }
+      // Inputs are checkpointed WIDE (64 partitions) to mirror the 100 TB
+      // shape — a real corpus scan arrives with thousands of splits, so
+      // Partitioning.spread no-ops and no text ever enters an exchange.
+      // (A narrow single-split input WOULD take spread's documented tiny-
+      // input repartition; that path is not the scale plan.)
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val train = timed("decon corpus build (50k docs = 10 shifted copies)") {
+        val d = docs.crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"), col("text"))
+          .repartition(64).localCheckpoint()
+        d.count(); d
+      }
+
+      // (a) benchmark-sized eval: the broadcast fast path (64 partitions
+      // is overkill for 100 docs but keeps the no-spread invariant)
+      val evalSmall = docs.filter(col("doc_id") % 50 === 0)
+        .repartition(64).localCheckpoint()
+      evalSmall.count()
+      val contA = graft.operators.Decontaminate.contaminated(train, evalSmall)
+      shuffleAudit("decon_10x_broadcast_eval", contA, Seq("text", "_tk"))
+      val na = timed("contaminated: 50k docs vs 100-doc eval (broadcast path)")(contA.count())
+      println(s"[rehearsal] decon broadcast path: flagged=$na of 50000")
+
+      // (b) oversize eval: each copy appends a distinct token tail so its
+      // gram set genuinely differs; ~75 MB checkpointed puts the measured
+      // size past the floor and the join must go shuffle
+      val evalBig = timed("oversize eval build (250k docs, ~75 MB checkpointed)") {
+        val e = docs.crossJoin(spark.range(50).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"),
+            concat_ws(" ", col("text"),
+              format_string("evaltag%d alpha beta gamma delta epsilon zeta eta", col("rep")))
+              .as("text"))
+          .repartition(64).localCheckpoint()
+        e.count(); e
+      }
+      println(s"[rehearsal] oversize eval measured bytes=" +
+        graft.core.Materialize.storageBytes(evalBig).getOrElse(BigInt(-1)))
+      val contB = graft.operators.Decontaminate.contaminated(train, evalBig)
+      shuffleAudit("decon_10x_shuffle_eval", contB, Seq("text", "_tk"))
+      val nb = timed("contaminated: 50k docs vs 250k-doc eval (shuffle fallback)")(contB.count())
+      println(s"[rehearsal] decon shuffle path: flagged=$nb of 50000")
+
+      graft.core.Materialize.releaseCheckpoint(train)
+      graft.core.Materialize.releaseCheckpoint(evalSmall)
+      graft.core.Materialize.releaseCheckpoint(evalBig)
+    }
+
     if (which("stream")) {
       // ---- 3. streaming dedup: 1M rows over 10 real micro-batches ----
       // Each staged copy is time-shifted by the full corpus span so the
