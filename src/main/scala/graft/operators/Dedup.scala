@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{SeriesFunctions, TextFunctions}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines at 100 TB scale.
@@ -29,10 +28,17 @@ object Dedup {
       .groupBy("digest")
       .agg(min("id").as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Rows of `df` minus exact duplicates (first id wins). */
+  /** Rows of `df` minus exact duplicates (first id wins). min_by over
+    * the digest, not a window: partial aggregation combines map-side, so
+    * at most one row per (digest, map partition) enters the exchange and
+    * a heavily-duplicated document (boilerplate repeated millions of
+    * times) never serializes all its copies into one task's window sort.
+    */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val cols = df.columns
+    df.groupBy(xxhash64(col(textCol)).as("_digest"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("_kept"))
+      .select(cols.map(c => col(s"_kept.$c")).toIndexedSeq: _*)
   }
 
   /** Hashed shingle set: distinct word n-grams -> xxhash64 -> sorted
