@@ -23,6 +23,38 @@ class QueriesSpec extends SparkTestBase {
     assert(orphan.isEmpty, s"oracle SQL without query: $orphan")
   }
 
+  test("q28 oracle appears after the query runs and embeds the live fit") {
+    // the fit-at-verify-time gate: running q28 stashes the centroids its
+    // plan used, and oracleSql then carries a q45-style replay built
+    // from those EXACT literals (Verify runs queries before dumping, so
+    // the driver always sees the entry)
+    SparkEntry.queries("q28_ann_ivf")(spark, sf001).count()
+    val sql = SparkEntry.oracleSql.get("q28_ann_ivf")
+    assert(sql.isDefined, "q28 oracle missing after the query ran")
+    // 16 cells -> 16 centroid literal rows in the ctr CTE
+    assert(sql.get.sliding("AS idx".length).count(_ == "AS idx") === 16)
+    // the replay embeds the same centroids the plan used: re-derive the
+    // fit on q28's corpus frame and spot-check a coordinate literal
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val centers = operators.SimilaritySearch.fitOrGetCentroids(corpus, numCells = 16)
+    assert(sql.get.contains(java.lang.Double.toString(centers(0)(0))),
+      "oracle SQL does not embed the fitted centroid literals")
+  }
+
+  test("the IVF fit is deterministic across refits") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val a = operators.SimilaritySearch.fitOrGetCentroids(corpus, numCells = 16, refit = true)
+    val b = operators.SimilaritySearch.fitOrGetCentroids(corpus, numCells = 16, refit = true)
+    assert(a.length === b.length)
+    for (i <- a.indices) assert(a(i).sameElements(b(i)), s"centroid $i differs across refits")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name runs on sf0.001 and is non-degenerate") {
       val df = fn(spark, sf001)
