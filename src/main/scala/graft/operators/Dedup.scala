@@ -30,9 +30,13 @@ object Dedup {
 
   /** Rows of `df` minus exact duplicates (first id wins). min_by over
     * the digest, not a window: partial aggregation combines map-side, so
-    * at most one row per (digest, map partition) enters the exchange and
-    * a heavily-duplicated document (boilerplate repeated millions of
-    * times) never serializes all its copies into one task's window sort.
+    * at most one row per (digest, map partition) enters the exchange.
+    * Measured HONESTLY (ScaleRehearsal `dedupskew`, 4M x 400 B rows with
+    * one text duplicated 2M-fold): the former `row_number <= 1` window
+    * ties this form at 4.1 s, because Spark 4's WindowGroupLimit rewrite
+    * also prunes to 1 row per key map-side. The aggregate is still the
+    * better shape — no per-partition sort, and it does not depend on the
+    * optimizer recognizing the rank-filter pattern to stay skew-safe.
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = df.columns

@@ -174,6 +174,34 @@ object ScaleRehearsal {
       graft.core.Materialize.releaseCheckpoint(queries)
     }
 
+    if (which("dedupskew")) {
+      // ---- 6. exact-dedup keep-first under heavy duplicate skew ----
+      // (round-8: dropExactDuplicates moved from a row_number window to
+      // a min_by aggregate; this measures WHY on the shape that breaks
+      // the window — one boilerplate text duplicated 500k times, so the
+      // window form funnels half the corpus into ONE task's sort while
+      // the aggregate combines map-side.)
+      import org.apache.spark.sql.expressions.Window
+      val skewed = timed("skew corpus build (4M rows x ~400 B, one text x2M)") {
+        val d = spark.range(4000000L).select(
+          col("id").as("doc_id"),
+          when(col("id") % 2 === 0,
+            rpad(lit("the same boilerplate text repeated"), 400, "x"))
+            .otherwise(rpad(concat(lit("unique text "), col("id")), 400, "y"))
+            .as("text"))
+          .repartition(64).localCheckpoint()
+        d.count(); d
+      }
+      val viaAgg = graft.operators.Dedup.dropExactDuplicates(skewed, "doc_id", "text")
+      val na = timed("dropExactDuplicates (min_by aggregate)")(viaAgg.count())
+      val w = Window.partitionBy(xxhash64(col("text"))).orderBy(col("doc_id"))
+      val viaWindow = skewed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      val nw = timed("row_number window form (pre-r8, for comparison)")(viaWindow.count())
+      println(s"[rehearsal] dedup skew: kept agg=$na window=$nw (expect 2000001 both)")
+      graft.core.Materialize.releaseCheckpoint(skewed)
+    }
+
     if (which("decon")) {
       // ---- 5. decontamination at 10x corpus, BOTH join strategies ----
       // (round-8 directive #4: q79's scale claim needed measurement, and
