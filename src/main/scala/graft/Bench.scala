@@ -125,9 +125,10 @@ object Bench {
         dt
       }
       val (j, st, tk) = (listener.jobs.get(), listener.stages.get(), listener.tasks.get())
-      // lower median: robust headline for odd N, conservative (not min)
-      // for even N
-      val med = times.sorted.apply((times.size - 1) / 2)
+      // median: middle element for odd N; UPPER median for even N — the
+      // lower median at N=2 would be the minimum, i.e. a silently
+      // optimistic best-of-2 headline
+      val med = times.sorted.apply(times.size / 2)
       System.err.println(f"[jobs] $name jobs=$j stages=$st tasks=$tk median=$med%.2f runs=" +
         times.map(t => f"$t%.2f").mkString(","))
       (name, med, times, j, st, tk)

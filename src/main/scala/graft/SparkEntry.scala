@@ -305,18 +305,23 @@ object SparkEntry {
     // Q12 — 1-NN exact unconstrained DTW (M3) under the HASH GATE since
     // r8: test series are the REAL embeddings shifted by a per-row
     // integer offset (vec_id % 10); train series are constant runs keyed
-    // by nation (value = n_nationkey, lengths 60..68 straddling the test
-    // length 64). Unconstrained DTW against a constant series has an
-    // exact closed form the oracle replays in SQL: every warping path
-    // visits each x_i at least once (cost |x_i - v| per visit) and must
-    // cover all m constant positions, so the minimum is
-    //   DTW(x, [v]*m) = sum_i |x_i - v| + max(0, m-n) * min_i |x_i - v|
-    // (forced repeats land on the cheapest x_i). The engine still runs
-    // the full O(n*m) DP (graft_dtw band=-1) on non-constant inputs and
-    // the gate checks the DP VALUE to 6 decimals, not just the argmin —
-    // strictly stronger than both the old rows-only row and q46's
-    // constant-x-constant form. Fully-random-pair DTW stays covered by
-    // KernelsSpec brute-force parity.
+    // by nation (value = n_nationkey, lengths 57..64, never longer than
+    // the test length 64). Unconstrained DTW against a constant series
+    // no longer than x has an exact closed form the oracle replays in
+    // SQL: every warping path visits each x_i at least once (cost
+    // |x_i - v| per visit) and the minimal path visits each exactly
+    // once, so DTW(x, [v]*m) = sum_i |x_i - v| for m <= n — and that DP
+    // accumulation IS the left-to-right fold, bit-identical to the
+    // oracle's list_sum (m > n would interleave the forced-repeat costs
+    // mid-fold, a different FP association than closed-form "+ (m-n) *
+    // min", inviting ulp-level rounding-boundary flakiness in the gate;
+    // the repeat branch stays covered exactly by q46's constant-constant
+    // form where every association yields the same product). The engine
+    // still runs the full O(n*m) DP (graft_dtw band=-1) on non-constant
+    // inputs — every matrix cell computes regardless of m vs n — and the
+    // gate checks the DP VALUE to 6 decimals, not just the argmin.
+    // Fully-random-pair DTW stays covered by KernelsSpec brute-force
+    // parity.
     "q12_knn_dtw_k1" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
@@ -328,7 +333,7 @@ object SparkEntry {
       val train = n.select(
         col("n_nationkey").cast("long").as("train_id"),
         array_repeat(col("n_nationkey").cast("double"),
-          (lit(60) + pmod(col("n_nationkey") * 7, lit(9))).cast("int")).as("train_series"),
+          (lit(57) + pmod(col("n_nationkey") * 7, lit(8))).cast("int")).as("train_series"),
         col("n_regionkey").cast("double").as("label"))
       Knn.classify1NN(train, test, KnnParams(distance = "dtw"))
         .select(col("test_id"), col("predicted_label"),
@@ -1748,13 +1753,15 @@ object SparkEntry {
          SELECT COUNT(DISTINCT tok) AS vocab, COUNT(*) AS total_tokens FROM toks""",
 
     // same construction, unconstrained exact DTW (closed form is exact)
-    // Q12: unconstrained DTW vs a constant series, closed form
-    // sum_i |x_i - v| + max(0, m - n) * min_i |x_i - v| (see the query's
-    // derivation comment). The shifted-embedding x and |x_i - v| terms
-    // are built from the same FP operands in the same order as the
-    // engine's series, and the row carries the ROUND(...,6) distance, so
-    // the DP value itself is under the hash. No zero-distance filter:
-    // x is never constant, so dist > 0 on every pair.
+    // Q12: unconstrained DTW vs a constant series no longer than x,
+    // closed form sum_i |x_i - v| (see the query's derivation comment —
+    // train lengths are capped at the test length so the DP's optimal
+    // path IS the left-to-right fold, bit-identical to list_sum's
+    // association). The shifted-embedding x and |x_i - v| terms are
+    // built from the same FP operands in the same order as the engine's
+    // series, and the row carries the ROUND(...,6) distance, so the DP
+    // value itself is under the hash. No zero-distance filter: x is
+    // never constant, so dist > 0 on every pair.
     "q12_knn_dtw_k1" ->
       """WITH test AS (SELECT vec_id AS test_id,
                               list_transform(embedding::DOUBLE[],
@@ -1762,13 +1769,10 @@ object SparkEntry {
                        FROM embeddings WHERE vec_id % 2 = 1),
               train AS (SELECT CAST(n_nationkey AS BIGINT) AS train_id,
                                CAST(n_nationkey AS DOUBLE) AS v,
-                               CAST(n_regionkey AS DOUBLE) AS label,
-                               60 + (n_nationkey * 7) % 9 AS m
+                               CAST(n_regionkey AS DOUBLE) AS label
                         FROM nation),
               d AS (SELECT t.test_id, tr.train_id, tr.label,
-                           list_sum(list_transform(t.x, e -> abs(e - tr.v)))
-                             + GREATEST(tr.m - len(t.x), 0)
-                               * list_min(list_transform(t.x, e -> abs(e - tr.v))) AS dist
+                           list_sum(list_transform(t.x, e -> abs(e - tr.v))) AS dist
                     FROM test t CROSS JOIN train tr)
          SELECT test_id, label AS predicted_label, ROUND(dist, 6) AS min_distance
          FROM (SELECT test_id, label, dist,

@@ -40,9 +40,17 @@ object Dedup {
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = df.columns
+    // ordering key wrapped in a struct: min_by IGNORES rows whose bare
+    // ordering value is null (an all-null-id group would collapse to a
+    // fabricated all-NULL row), while a one-field struct is never null
+    // and orders its null field first — matching the window form's
+    // asc_nulls_first. Payload columns enter the struct via backtick-
+    // quoted refs and exit via getField, so a column NAMED "meta.lang"
+    // survives instead of being re-parsed as a path.
     df.groupBy(xxhash64(col(textCol)).as("_digest"))
-      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("_kept"))
-      .select(cols.map(c => col(s"_kept.$c")).toIndexedSeq: _*)
+      .agg(min_by(struct(cols.map(c => col(s"`$c`")).toIndexedSeq: _*),
+        struct(col(idCol))).as("_kept"))
+      .select(cols.map(c => col("_kept").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** Hashed shingle set: distinct word n-grams -> xxhash64 -> sorted

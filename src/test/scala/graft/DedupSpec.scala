@@ -28,6 +28,31 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Set(1L, 3L, 4L, 5L, 6L))
   }
 
+  test("dropExactDuplicates: null ids sort first and never fabricate rows") {
+    // min_by's bare ordering value ignores null rows — the struct-wrapped
+    // key keeps them (nulls first, the window form's asc_nulls_first):
+    // an all-null-id group returns a REAL row, and a mixed group keeps
+    // the null-id row, not an all-NULL struct
+    val withNulls = Seq(
+      (Some(7L), "dup text"), (None: Option[Long], "dup text"),
+      (None: Option[Long], "only null ids")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(withNulls, "doc_id", "text")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toSet
+    assert(kept === Set((None, "dup text"), (None, "only null ids")))
+  }
+
+  test("dropExactDuplicates carries dotted payload column names through") {
+    // payload columns ride the kept struct and are re-extracted by
+    // getField, which must not re-parse "meta.lang" as a path
+    val dotted = docs.withColumn("meta.lang", lit("en"))
+    val kept = Dedup.dropExactDuplicates(dotted, "doc_id", "text")
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "meta.lang"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 4L, 5L, 6L))
+  }
+
   test("ngramJaccardPairs finds exact and near duplicates") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       shingleSize = 2, threshold = 0.5)

@@ -177,10 +177,12 @@ object ScaleRehearsal {
     if (which("dedupskew")) {
       // ---- 6. exact-dedup keep-first under heavy duplicate skew ----
       // (round-8: dropExactDuplicates moved from a row_number window to
-      // a min_by aggregate; this measures WHY on the shape that breaks
-      // the window — one boilerplate text duplicated 500k times, so the
-      // window form funnels half the corpus into ONE task's sort while
-      // the aggregate combines map-side.)
+      // a min_by aggregate; this measures both forms on the shape that
+      // would break a naive window — one boilerplate text duplicated
+      // 2M-fold across a 4M-row corpus. Measured outcome: they TIE,
+      // because Spark 4's WindowGroupLimit also prunes rank<=1 map-side;
+      // the aggregate is kept for the simpler plan and for skew safety
+      // that doesn't depend on the optimizer pattern-match firing.)
       import org.apache.spark.sql.expressions.Window
       val skewed = timed("skew corpus build (4M rows x ~400 B, one text x2M)") {
         val d = spark.range(4000000L).select(
@@ -209,8 +211,8 @@ object ScaleRehearsal {
       // at Decontaminate.contaminated's join never executed.)
       //   (a) the q79 shape: 50k-doc corpus, 2% eval -> eval grams fit
       //       the 64 MB floor comfortably, broadcast path.
-      //   (b) oversize eval: ~50 tagged corpus copies checkpointed
-      //       (~75 MB measured, past the floor via the same
+      //   (b) oversize eval: 50 tagged corpus copies checkpointed
+      //       (measured 111 MB, past the floor via the same
       //       storageBytes-max-estimate decision every pair join uses)
       //       -> the gram join MUST degrade to the shuffle fallback.
       // Audit in both cases: no exchange and no broadcast build side
@@ -257,9 +259,9 @@ object ScaleRehearsal {
       println(s"[rehearsal] decon broadcast path: flagged=$na of 50000")
 
       // (b) oversize eval: each copy appends a distinct token tail so its
-      // gram set genuinely differs; ~75 MB checkpointed puts the measured
+      // gram set genuinely differs; the ~111 MB checkpoint puts the measured
       // size past the floor and the join must go shuffle
-      val evalBig = timed("oversize eval build (250k docs, ~75 MB checkpointed)") {
+      val evalBig = timed("oversize eval build (250k docs, ~111 MB checkpointed)") {
         val e = docs.crossJoin(spark.range(50).select(col("id").as("rep")))
           .select((col("doc_id") + col("rep") * lit(1000000L)).as("doc_id"),
             concat_ws(" ", col("text"),
