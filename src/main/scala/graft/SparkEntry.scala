@@ -319,9 +319,13 @@ object SparkEntry {
     // form where every association yields the same product). The engine
     // still runs the full O(n*m) DP (graft_dtw band=-1) on non-constant
     // inputs — every matrix cell computes regardless of m vs n — and the
-    // gate checks the DP VALUE to 6 decimals, not just the argmin.
-    // Fully-random-pair DTW stays covered by KernelsSpec brute-force
-    // parity.
+    // gate checks the RAW DP VALUE bit-for-bit: since the fold is
+    // bit-identical to the oracle's list_sum by construction, no
+    // rounding is needed, and r8's round(...,6) was itself the only FP
+    // hazard left (Spark's BigDecimal HALF_UP vs DuckDB's float-scaled
+    // ROUND can disagree on a repr landing exactly on a 1e-6 half
+    // boundary). Fully-random-pair DTW stays covered by KernelsSpec
+    // brute-force parity.
     "q12_knn_dtw_k1" -> ((s, dir) => {
       GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
@@ -336,8 +340,7 @@ object SparkEntry {
           (lit(57) + pmod(col("n_nationkey") * 7, lit(8))).cast("int")).as("train_series"),
         col("n_regionkey").cast("double").as("label"))
       Knn.classify1NN(train, test, KnnParams(distance = "dtw"))
-        .select(col("test_id"), col("predicted_label"),
-          round(col("min_distance"), 6).as("min_distance"))
+        .select(col("test_id"), col("predicted_label"), col("min_distance"))
         .orderBy("test_id")
     }),
 
@@ -922,7 +925,7 @@ object SparkEntry {
       val corpus = e.filter(col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       val centers = SimilaritySearch.fitOrGetCentroids(corpus, numCells = 16)
-      q28FittedCentroids = Some(centers)
+      stashQ28Fit(s, dir, centers)
       SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
@@ -984,16 +987,16 @@ object SparkEntry {
       val corpus = feats.filter(col("id") % 10 =!= 0)
         .select(col("id").as("item_id"), col("features").as("item_vec"))
       // fixed pre-fit centroids (not a KMeans fit): the whole pipeline is
-      // deterministic, so the rows-only gate at least sees a STABLE
-      // result — the oracle hole is solely the binary decode (64-bit
-      // overflow mixing, not expressible in the oracle's ANSI SQL).
-      // Centers sit IN the feature cube (decode emits [0,1]^32) — seeded
-      // gaussians scaled around 0.5; 32 cells/4 probes keeps the probed
-      // fraction ~1/8 where the old 8-cell config probed ~3/8 of the
-      // corpus (2.3x the pair volume for nothing)
-      val centers = SimilaritySearch.hyperplanes(32, 32, 3232L)
-        .map(_.map(x => 0.5 + 0.25 * x / math.sqrt(32.0 / 12.0)))
-      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
+      // deterministic end to end, and since r9 it's HASH-GATED — the
+      // oracle derives the ground-truth features from (doc_id, block) by
+      // replaying the synth's splitmix64 mixing in exact 64-bit DuckDB
+      // arithmetic and looking the PNG decode up in the JDK's own
+      // gray→sRGB table ([[Multimodal.pngGrayFeatureLut]], captured by
+      // running the real codec round-trip per gray value), then replays
+      // the IVF probe+rerank q45-style. Centers sit IN the feature cube
+      // (decode emits [0,1]^32) — seeded gaussians scaled around 0.5;
+      // 32 cells/4 probes keeps the probed fraction ~1/8.
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, q32Centers, probes = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
     }),
@@ -1001,11 +1004,12 @@ object SparkEntry {
     // Q32b — the AUDIO sibling of q32: deterministic 16-bit PCM WAV
     // payloads (JDK `AudioSystem.write` encoder) decoded by the real
     // `javax.sound.sampled` path in extractFeatures, then the same
-    // IVF ANN. Rows-only for the same reason as q32 (binary codec work
-    // is not ANSI-SQL-expressible); the pipeline is deterministic
-    // end to end (lossless PCM round-trip), so the result is stable
-    // across runs — MultimodalSpec pins the decode against the closed
-    // form and this entry keeps the audio codec in the driver loop.
+    // IVF ANN. HASH-GATED since r9: PCM WAV is lossless and the decode's
+    // block means are exact dyadic rationals ((sample XOR 0x8000)/65536
+    // — 16-bit significands, so the sequential block sum and the float
+    // narrowing are both exact), so the oracle derives the ground-truth
+    // features from (doc_id, block) in closed form via the same exact
+    // splitmix64 DuckDB replay as q32 and re-runs the IVF q45-style.
     "q32b_multimodal_wav" -> ((s, dir) => {
       GraftFunctions.register(s)
       val media = graft.operators.Multimodal.syntheticWavTable(
@@ -1016,9 +1020,7 @@ object SparkEntry {
         .select(col("id").as("query_id"), col("features").as("query_vec"))
       val corpus = feats.filter(col("id") % 10 =!= 0)
         .select(col("id").as("item_id"), col("features").as("item_vec"))
-      val centers = SimilaritySearch.hyperplanes(32, 32, 3232L)
-        .map(_.map(x => 0.5 + 0.25 * x / math.sqrt(32.0 / 12.0)))
-      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, q32Centers, probes = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
     }),
@@ -1041,9 +1043,7 @@ object SparkEntry {
       val corpus = frames.filter(!(col("id") % 10 === 0 && col("frame_idx") === 0))
         .select((col("id") * 8 + col("frame_idx")).as("item_id"),
           col("features").as("item_vec"))
-      val centers = SimilaritySearch.hyperplanes(32, 32, 3232L)
-        .map(_.map(x => 0.5 + 0.25 * x / math.sqrt(32.0 / 12.0)))
-      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
+      SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, q32Centers, probes = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
     }),
@@ -1445,6 +1445,91 @@ object SparkEntry {
   private lazy val ivfCentroids: Array[Array[Double]] =
     graft.operators.SimilaritySearch.hyperplanes(64, 8, 4242L).map(_.map(_ / 8.0))
 
+  /** Shared IVF centers for the q32 multimodal family: seeded gaussians
+    * scaled around 0.5 so they sit in the decode's [0,1]^32 feature cube
+    * (32 cells / 4 probes keeps the probed fraction ~1/8). One literal
+    * array feeds the Spark plan AND the q32/q32b oracles.
+    */
+  private lazy val q32Centers: Array[Array[Double]] =
+    graft.operators.SimilaritySearch.hyperplanes(32, 32, 3232L)
+      .map(_.map(x => 0.5 + 0.25 * x / math.sqrt(32.0 / 12.0)))
+
+  /** CTE chain deriving the q32/q32b ground-truth feature vectors in
+    * DuckDB: replays [[graft.operators.Multimodal.grayImageFor]]/
+    * `wavFor`'s splitmix64 (id, block) mixing in EXACT 64-bit wraparound
+    * arithmetic — products are taken in HUGEINT (|a*b| < 2^126, no
+    * overflow), reduced mod 2^64, mapped back to the signed BIGINT
+    * domain where DuckDB's `xor` matches Java's `^`, and Java's `>>>`
+    * becomes division of the unsigned HUGEINT image by an exact
+    * power-of-two literal. `featExpr` maps the final mixed value `z`
+    * (column of CTE `zf`) to the per-block feature DOUBLE; `featFrom`
+    * lets the PNG path join its gray→sRGB LUT. Emits CTEs `q`/`c`
+    * (id, v) for [[ivfOracleSqlOver]]: queries are doc_id % 10 = 0,
+    * mirroring the Spark side's split.
+    */
+  private def mediaIvfSrcCtes(
+      blocks: Int, featFrom: String, featExpr: String,
+      extraCtes: String = ""): String = {
+    val B = "18446744073709551616" // 2^64
+    val H = "9223372036854775808"  // 2^63
+    // Java z >>> k on the signed-BIGINT z: unsigned image, exact // 2^k
+    def ushr(k: Int) =
+      s"CAST((CASE WHEN z < 0 THEN CAST(z AS HUGEINT) + $B ELSE CAST(z AS HUGEINT) END) // ${1L << k} AS BIGINT)"
+    // one wrap stage: sXh = HUGEINT product, sXu = mod-2^64 image, sX = signed
+    def wrap(stage: String, hExpr: String, from: String) =
+      s"""${stage}h AS (SELECT doc_id, blk, $hExpr AS h FROM $from),
+          ${stage}u AS (SELECT doc_id, blk, ((h % $B) + $B) % $B AS uh FROM ${stage}h),
+          $stage AS (SELECT doc_id, blk, CAST(CASE WHEN uh >= $H THEN uh - $B ELSE uh END AS BIGINT) AS z FROM ${stage}u)"""
+    val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,"
+    s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        blks AS (SELECT CAST(UNNEST(range(0, $blocks)) AS BIGINT) AS blk),
+        grid AS (SELECT doc_id, blk FROM ids CROSS JOIN blks),
+        ${wrap("s0",
+          "CAST(doc_id AS HUGEINT) * CAST(-7046029254386353131 AS HUGEINT) + CAST(blk AS HUGEINT) * CAST(-4417276706812531889 AS HUGEINT)",
+          "grid")},
+        ${wrap("s1",
+          s"CAST(xor(z, ${ushr(30)}) AS HUGEINT) * CAST(-4658895280553007687 AS HUGEINT)", "s0")},
+        ${wrap("s2",
+          s"CAST(xor(z, ${ushr(27)}) AS HUGEINT) * CAST(-7723592293110705685 AS HUGEINT)", "s1")},
+        zf AS (SELECT doc_id, blk, xor(z, ${ushr(31)}) AS z FROM s2),
+        $extra
+        feat AS (SELECT doc_id, blk, $featExpr AS f FROM $featFrom),
+        vecs AS (SELECT doc_id, list(f ORDER BY blk) AS v FROM feat GROUP BY doc_id),
+        q AS (SELECT doc_id AS id, v FROM vecs WHERE doc_id % 10 = 0),
+        c AS (SELECT doc_id AS id, v FROM vecs WHERE doc_id % 10 <> 0)"""
+  }
+
+  /** q32 oracle: PNG ground-truth features via the captured JDK
+    * gray→sRGB LUT (one VALUES row per gray byte — the feature is the
+    * REAL codec round-trip's block mean, [[graft.operators.Multimodal.pngGrayFeatureLut]]),
+    * then the exact IVF replay.
+    */
+  private def q32OracleSql: String = {
+    val lutRows = graft.operators.Multimodal.pngGrayFeatureLut.zipWithIndex
+      .map { case (d, g) => s"($g, ${java.lang.Double.toString(d)})" }
+      .mkString(", ")
+    ivfOracleSqlOver(
+      mediaIvfSrcCtes(
+        blocks = 32,
+        featFrom = "zf JOIN lut ON (zf.z & 255) = lut.gv",
+        featExpr = "CAST(lut.lum AS DOUBLE)",
+        extraCtes = s"lut(gv, lum) AS (VALUES $lutRows)"),
+      q32Centers, probes = 4)
+  }
+
+  /** q32b oracle: WAV ground-truth features in closed form — the decode
+    * maps 16-bit sample s to ((s XOR 0x8000)/65536, an exact dyadic
+    * rational, so block mean and float narrowing are identity — then the
+    * exact IVF replay.
+    */
+  private def q32bOracleSql: String =
+    ivfOracleSqlOver(
+      mediaIvfSrcCtes(
+        blocks = 32,
+        featFrom = "zf",
+        featExpr = "CAST(xor(z & 65535, 32768) AS DOUBLE) / CAST(65536 AS DOUBLE)"),
+      q32Centers, probes = 4)
+
   /** Centroids q28's LIVE KMeans fit produced, captured when the query
     * runs so [[oracleSql]] can replay the probe+rerank pipeline against
     * the SAME array (fit-at-verify-time gating: Verify runs every query
@@ -1452,22 +1537,64 @@ object SparkEntry {
     * sides then share the literals, so the gate holds even if a future
     * fit change altered the values). Absent (query never ran / failed),
     * q28 degrades to the pre-r8 rows-only check instead of shipping a
-    * wrong oracle.
+    * wrong oracle. Keyed by (session, sfDir) like [[harPredCache]] so a
+    * long-lived JVM running q28 against several dirs can't stash a fit
+    * from one dir against outputs dumped from another; entries whose
+    * session has stopped are swept on write.
     */
-  @volatile private var q28FittedCentroids: Option[Array[Array[Double]]] = None
+  private val q28FittedCentroids =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
+
+  /** Record q28's fit for (s, dir), sweeping entries of stopped sessions. */
+  private def stashQ28Fit(
+      s: SparkSession, dir: String, centers: Array[Array[Double]]): Unit = {
+    import scala.jdk.CollectionConverters._
+    q28FittedCentroids.keySet.asScala.filter(_._1.sparkContext.isStopped)
+      .toList.foreach(k => q28FittedCentroids.remove(k))
+    q28FittedCentroids.put((s, dir), centers)
+  }
+
+  /** The q28 oracle entry, present only when the stash is UNAMBIGUOUS:
+    * every live (session, sfDir) fit holds the same centroid array
+    * (trivially true in the single-dir Verify flow). Multiple divergent
+    * fits in one JVM → no entry (rows-only degrade) rather than an
+    * oracle that can only match one of the dumped outputs.
+    */
+  private def q28OracleEntry: Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    q28FittedCentroids.values.asScala.toList match {
+      case head :: rest if rest.forall(c =>
+          c.length == head.length &&
+            c.indices.forall(i => java.util.Arrays.equals(c(i), head(i)))) =>
+        Some("q28_ann_ivf" -> ivfOracleSql(head, probes = 4))
+      case _ => None
+    }
+  }
 
   /** q45/q28 shared oracle builder: fixed literal centroids -> cell
     * assignment (argmin over Euclidean distance; list_distance orders
     * identically to the engine's sqdist), probe the `probes` nearest
     * cells per query, exact cosine rerank within probed cells.
     */
-  private def ivfOracleSql(centroids: Array[Array[Double]], probes: Int): String = {
+  private def ivfOracleSql(centroids: Array[Array[Double]], probes: Int): String =
+    ivfOracleSqlOver(
+      """q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0)""",
+      centroids, probes)
+
+  /** [[ivfOracleSql]] generalized over the vector source: `srcCtes` must
+    * define CTEs `q` and `c` with columns (id BIGINT, v DOUBLE[]) — the
+    * query and corpus sides. Shared by the embeddings-backed q45/q28
+    * oracles and the q32/q32b media oracles whose vectors are DERIVED in
+    * SQL from the synth's closed form.
+    */
+  private def ivfOracleSqlOver(
+      srcCtes: String, centroids: Array[Array[Double]], probes: Int): String = {
     val ctrRows = centroids.zipWithIndex.map { case (c, i) =>
       s"SELECT $i AS idx, [${c.map(java.lang.Double.toString).mkString(",")}]::DOUBLE[] AS ctr"
     }.mkString(" UNION ALL ")
-    s"""WITH ctr AS ($ctrRows),
-            q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0),
-            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 <> 0),
+    s"""WITH $srcCtes,
+            ctr AS ($ctrRows),
             ca AS (SELECT id, v, idx AS cell,
                           ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
                    FROM c CROSS JOIN ctr),
@@ -1774,7 +1901,7 @@ object SparkEntry {
               d AS (SELECT t.test_id, tr.train_id, tr.label,
                            list_sum(list_transform(t.x, e -> abs(e - tr.v))) AS dist
                     FROM test t CROSS JOIN train tr)
-         SELECT test_id, label AS predicted_label, ROUND(dist, 6) AS min_distance
+         SELECT test_id, label AS predicted_label, dist AS min_distance
          FROM (SELECT test_id, label, dist,
                       ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY dist, train_id) AS rn
                FROM d) z
@@ -2004,6 +2131,10 @@ object SparkEntry {
 
     // Q45: the pre-fit-literal IVF variant (see ivfOracleSql).
     "q45_ann_ivf_det" -> ivfOracleSql(ivfCentroids, probes = 3),
+
+    "q32_multimodal_ann" -> q32OracleSql,
+
+    "q32b_multimodal_wav" -> q32bOracleSql,
 
     // Q22's LSH banding is full-recall and verification is exact, so its
     // result set is definitionally Q15's — same brute-force oracle.
@@ -2408,7 +2539,8 @@ object SparkEntry {
   ) ++
     // Fit-at-verify-time entry: present only after q28 has run in this
     // JVM (Verify runs every query before dumping oracle_sql.json, so
-    // the driver always sees it; a failed q28 degrades to rows-only
-    // rather than shipping an oracle the result can't match).
-    q28FittedCentroids.map(c => "q28_ann_ivf" -> ivfOracleSql(c, probes = 4))
+    // the driver always sees it; a failed q28 or an ambiguous multi-dir
+    // stash degrades to rows-only rather than shipping an oracle the
+    // result can't match).
+    q28OracleEntry
 }

@@ -25,6 +25,22 @@ object Verify {
     // are full)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // a subset run must not leave earlier full-run outputs beside a
+    // freshly dumped oracle map (check_oracle would compare stale
+    // parquet against new SQL): drop every non-selected query dir
+    if (only.isDefined) {
+      val selected = SparkEntry.queries.keySet
+        .filter(n => only.forall(_.exists(n.startsWith)))
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !selected.contains(f.getName))
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(d)
+        }
+    }
     SparkEntry.queries.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -50,7 +50,19 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("_digest"))
       .agg(min_by(struct(cols.map(c => col(s"`$c`")).toIndexedSeq: _*),
         struct(col(idCol))).as("_kept"))
-      .select(cols.map(c => col("_kept").getField(c).as(c)).toIndexedSeq: _*)
+      // getField re-extraction marks every column nullable (the agg
+      // output is); every kept row is a real input row, so restore the
+      // input schema's non-nullable columns via AssertNotNull (provably
+      // unreachable throw: groups are non-empty and the field was
+      // non-nullable on input) — downstream schema-sensitive sinks
+      // (parquet append, schema equality) see the exact input shape
+      .select(cols.map { c =>
+        val f = col("_kept").getField(c)
+        if (df.schema(c).nullable) f.as(c)
+        else org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+            org.apache.spark.sql.graft.ColumnBridge.expression(f))).as(c)
+      }.toIndexedSeq: _*)
   }
 
   /** Hashed shingle set: distinct word n-grams -> xxhash64 -> sorted

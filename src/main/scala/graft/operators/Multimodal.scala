@@ -542,6 +542,35 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Ground-truth feature LUT for the q32 oracle: the feature value the
+    * real PNG encode→decode→block-mean path produces for a uniform gray
+    * value at [[syntheticPngTable]]'s geometry (16x16, 32 blocks — 8
+    * pixels per block, and the synth's block-constant pixels make every
+    * block uniform). Computed by running the ACTUAL pipeline per gray
+    * value — `ImageIO.write`/`read` round-trip, then
+    * [[imageBlockMeans]]'s own kernel — so every codec detail (the JDK's
+    * gray→sRGB conversion table) and every FP detail (the sequential
+    * 8-addition block sum of a non-dyadic luminance, then the float
+    * narrowing) is captured, not modeled. 256 doubles; embedded as
+    * literals in the DuckDB oracle the way q45/q28 embed centroids.
+    */
+  private[graft] lazy val pngGrayFeatureLut: Array[Double] = Array.tabulate(256) { g =>
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) { img.getRaster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    imageBlockMeans(dec, 32).get.apply(0).toDouble
+  }
+
   /** Synthesize a small multimodal table over the documents corpus (the
     * container ships no media files): binary payload derived from text
     * bytes + plausible metadata. Used by tests and demos.

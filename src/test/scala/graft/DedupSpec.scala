@@ -28,6 +28,14 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Set(1L, 3L, 4L, 5L, 6L))
   }
 
+  test("dropExactDuplicates preserves the input schema, nullability included") {
+    // the min_by(struct)/getField form would widen every column to
+    // nullable; schema-sensitive sinks (parquet append, schema equality)
+    // must see the exact input shape
+    val out = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(out.schema === docs.schema)
+  }
+
   test("dropExactDuplicates: null ids sort first and never fabricate rows") {
     // min_by's bare ordering value ignores null rows — the struct-wrapped
     // key keeps them (nulls first, the window form's asc_nulls_first):

@@ -183,6 +183,32 @@ class StreamingMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("oracle closed forms: PNG LUT and WAV dyadic feature match the real decode bit-exactly") {
+    // The q32/q32b DuckDB oracles derive features from (doc_id, block)
+    // instead of decoding the binary: PNG via the captured gray→sRGB
+    // round-trip LUT, WAV via ((s16 XOR 0x8000)/65536. This pins those
+    // closed forms against the REAL codec path at full bit precision —
+    // if either drifts (JDK color table change, decode refactor), this
+    // fails before the driver's hash gate does.
+    def smix(id: Long, block: Long): Long = {
+      var z = id * -7046029254386353131L + block * -4417276706812531889L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    for (id <- Seq(0L, 1L, 7L, 123L, 99991L)) {
+      val png = Multimodal.decodeBytes(Multimodal.pngFor(id, 16, 16, 32), 32)
+      val wav = Multimodal.decodeBytes(Multimodal.wavFor(id, 2048, 32), 32)
+      for (b <- 0 until 32) {
+        val z = smix(id, b)
+        assert(png(b) === Multimodal.pngGrayFeatureLut((z & 0xFF).toInt).toFloat,
+          s"png id=$id block=$b")
+        assert(wav(b) === (((z & 0xFFFFL) ^ 0x8000L).toDouble / 65536.0).toFloat,
+          s"wav id=$id block=$b")
+      }
+    }
+  }
+
   test("WAV decode degrades on corrupt payload instead of failing") {
     val good = Multimodal.wavFor(9L, 2048, 32)
     val corrupt = good.take(60) // truncated mid-header/payload

@@ -45,12 +45,18 @@ def canon_type(t: pa.DataType) -> str:
         return "date"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
-    if pa.types.is_signed_integer(t):
-        return "int"    # driver-verified: int32 vs int64 hashes equal
-    if pa.types.is_unsigned_integer(t):
-        return "uint"
+    if pa.types.is_signed_integer(t) or pa.types.is_unsigned_integer(t):
+        # driver-verified: int32 vs int64 hash equal, and the driver
+        # compares python-level ints, where signedness vanishes too (a
+        # DuckDB UBIGINT-returning expression like hash() is green there)
+        return "int"
     if pa.types.is_floating(t):
         return "float"  # width collapses; precision diffs caught on values
+    if pa.types.is_null(t):
+        # an all-NULL oracle column arrives as Arrow null type; the
+        # driver's python values are all None regardless of the Spark
+        # type, so treat as wildcard (value compare still applies)
+        return "*"
     return str(t)
 
 
@@ -105,7 +111,8 @@ def main():
             print(f"{name}: SCHEMA MISMATCH spark={spark_cols} duck={duck_cols}")
             fails += 1; continue
         type_diffs = [(c, spark_types[c], duck_types[c]) for c in spark_cols
-                      if spark_types[c] != duck_types[c]]
+                      if spark_types[c] != duck_types[c]
+                      and spark_types[c] != "*" and duck_types[c] != "*"]
         if type_diffs:
             fails += 1
             print(f"{name}: TYPE MISMATCH " + "; ".join(
