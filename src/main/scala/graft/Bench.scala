@@ -86,6 +86,10 @@ object Bench {
     val repeatBudgetSec = sys.env.get("SPARK_GRAFT_REPEAT_BUDGET")
       .flatMap(_.toDoubleOption).getOrElse(420.0)
     var measuredSec = 0.0
+    // queries whose repeats the budget guard degraded to a single sample;
+    // the count rides the timings line ("single_run") so the artifact
+    // declares its own confidence even if stderr is lost
+    var singleRunCount = 0
     val results = selected.map { case (name, fn) =>
       // repeats must re-measure what the query COMPUTES, not a memo of
       // run 1's result (q26's prediction table, q28's centroid fit) —
@@ -96,6 +100,7 @@ object Bench {
         if (measuredSec > repeatBudgetSec) {
           System.err.println(f"[bench] $name: repeat budget exhausted " +
             f"($measuredSec%.0f s > $repeatBudgetSec%.0f s), single run")
+          if (runsPerQuery > 1) singleRunCount += 1
           1
         } else runsPerQuery
       val times = (1 to runsThisQuery).map { i =>
@@ -157,7 +162,7 @@ object Bench {
     // the timings line must stay comfortably inside the 2000-char tail
     val totalStr = f"$total%.3f"
     val sfTier = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsFull,"exec":$plan,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -177,6 +182,6 @@ object Bench {
       System.err.println(s"[bench] post-run cleanup failed: ${e.getMessage}")
     }
     println(s"""{"metric":"exec","exec":$plan}""")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfTier"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"single_run":$singleRunCount,"sf":"$sfTier"}""")
   }
 }

@@ -204,6 +204,121 @@ object ScaleRehearsal {
       graft.core.Materialize.releaseCheckpoint(skewed)
     }
 
+    if (which("saltskew")) {
+      // ---- 7. salted join under a single hot key (round-9 directive #5)
+      // The q40 operator's claim — "one hot key spreads over `salt` tasks
+      // instead of melting one" — measured instead of argued. Shape: a 4M-
+      // row fact where ONE key carries 2M rows (1M-fold over the uniform
+      // keys' ~20), joined to a 100k-key dim. Broadcast is disabled (a
+      // broadcastable dim is the case where salting is pointless by
+      // construction) so the join must shuffle, i.e. the 100 TB shape
+      // where both sides exceed the driver. Three plans:
+      //   (a) plain shuffle join, AQE skew-split OFF — the naive plan: the
+      //       hot key's 2M rows land in ONE task (maxTask ~= wall).
+      //   (b) plain join, AQE skew-split ON — Spark's runtime answer,
+      //       sort-merge only.
+      //   (c) saltedJoin(salt=32) — the explicit form, which also covers
+      //       shuffled-hash joins and agg-feeding-join shapes AQE's
+      //       skew rule can't touch.
+      // A task-duration listener pins the straggler claim directly: (a)
+      // must show one task dominating; (c) must show maxTask ~ wall/32.
+      val taskMax = new java.util.concurrent.atomic.AtomicLong
+      val taskCount = new java.util.concurrent.atomic.AtomicLong
+      // per stage: (maxTaskMs, tasks, maxShuffleRecordsRead, sumShuffleRecordsRead)
+      val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Long, Long)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskCount.incrementAndGet()
+          val d = e.taskInfo.duration
+          var cur = taskMax.get()
+          while (d > cur && !taskMax.compareAndSet(cur, d)) cur = taskMax.get()
+          val rec = Option(e.taskMetrics)
+            .map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+          stageMax.merge(e.stageId, (d, 1, rec, rec),
+            (a, b) => (math.max(a._1, b._1), a._2 + b._2,
+              math.max(a._3, b._3), a._4 + b._4))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def joinTypes(df: DataFrame): String =
+        df.queryExecution.sparkPlan.collect {
+          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "broadcast"
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "sortmerge"
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => "shuffledhash"
+        }.mkString(",")
+      def measured(name: String, df: DataFrame): Unit = {
+        taskMax.set(0); taskCount.set(0); stageMax.clear()
+        // noop write, NOT count(): a count lets Catalyst prune both
+        // payloads at the scan, and a hot key of narrow rows costs
+        // nothing — the full 400 B/row join output must flow for the
+        // straggler to exist at all
+        timed(name)(df.write.format("noop").mode("overwrite").save())
+        // listener bus is async; give the tail events a moment to land
+        Thread.sleep(500)
+        println(s"[rehearsal] $name: plan=${joinTypes(df)} " +
+          s"tasks=${taskCount.get()} maxTaskMs=${taskMax.get()}")
+        // the skew pin is the shuffle-read RECORD distribution of the join
+        // stage — deterministic where task millis on a contended local[32]
+        // are not: every task competes for the same 32 cores, so a
+        // balanced stage still shows wall-clock-sized task durations
+        import scala.jdk.CollectionConverters._
+        stageMax.asScala.toSeq.filter(_._2._4 > 0).sortBy(-_._2._3).take(3).foreach {
+          case (sid, (mx, cnt, maxRec, sumRec)) =>
+            val avg = sumRec / math.max(1, cnt)
+            println(s"[rehearsal]   stage $sid tasks=$cnt maxTaskMs=$mx " +
+              s"shuffleRecords max=$maxRec avg=$avg skew=${maxRec.toDouble / math.max(1L, avg)}")
+        }
+      }
+      val fact = timed("saltskew fact build (8M rows, one key x4M)") {
+        val d = spark.range(8000000L).select(
+          when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 100000L).as("key"),
+          rpad(concat(lit("fact payload "), col("id")), 200, "f").as("fact_payload"))
+          .repartition(64).localCheckpoint()
+        d.count(); d
+      }
+      val dim = timed("saltskew dim build (100k keys)") {
+        val d = spark.range(100000L).select(
+          col("id").as("key"),
+          rpad(concat(lit("dim payload "), col("id")), 200, "d").as("dim_payload"))
+          .localCheckpoint()
+        d.count(); d
+      }
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        measured("saltskew (a) plain join, AQE skew OFF",
+          fact.join(dim, Seq("key"), "inner"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        measured("saltskew (b) plain join, AQE skew ON",
+          fact.join(dim, Seq("key"), "inner"))
+        measured("saltskew (c) saltedJoin(salt=32)",
+          graft.operators.Partitioning.saltedJoin(fact, dim, "key", salt = 32))
+        if (which("saltdebug")) {
+          // distribution probes: salt uniformity on the hot key, and join
+          // output rows per physical partition
+          val salted = fact.withColumn("_salt",
+            pmod(pmod(hash(monotonically_increasing_id()), lit(32)) + 32, lit(32)))
+          println("[rehearsal] hot-key salt distribution (expect ~125k each):")
+          salted.filter(col("key") === 0).groupBy("_salt").count()
+            .orderBy(desc("count")).limit(5).collect()
+            .foreach(r => println(s"[rehearsal]   salt=${r.get(0)} n=${r.get(1)}"))
+          println("[rehearsal] join-output rows per partition (top 8):")
+          graft.operators.Partitioning.saltedJoin(fact, dim, "key", salt = 32)
+            .withColumn("p", spark_partition_id()).groupBy("p").count()
+            .orderBy(desc("count")).limit(8).collect()
+            .foreach(r => println(s"[rehearsal]   part=${r.get(0)} n=${r.get(1)}"))
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      graft.core.Materialize.releaseCheckpoint(fact)
+      graft.core.Materialize.releaseCheckpoint(dim)
+    }
+
     if (which("decon")) {
       // ---- 5. decontamination at 10x corpus, BOTH join strategies ----
       // (round-8 directive #4: q79's scale claim needed measurement, and
