@@ -143,7 +143,8 @@ object SuiteRehearsal {
     * run their bounded replay eagerly inside the builder, and that IS
     * their workload (the returned frame is the drained sink).
     */
-  private def runOnce(build: => DataFrame): (Map[String, Int], Double) = {
+  private def runOnce(
+      build: => DataFrame, explain: Boolean = false): (Map[String, Int], Double) = {
     val (qe, dt) = timedSec {
       val df = build
       val qe = df.queryExecution
@@ -154,6 +155,7 @@ object SuiteRehearsal {
         })
       qe
     }
+    if (explain) println(qe.executedPlan.toString)
     (shape(qe.executedPlan), dt)
   }
 
@@ -176,7 +178,10 @@ object SuiteRehearsal {
       generate(spark)
     else println(s"[suite10x] reusing existing $tier10")
 
-    val only = args.toSeq.filter(_.nonEmpty)
+    // --explain: print each selected query's FINAL executed plan tree per
+    // tier (flip auditing)
+    val explain = args.contains("--explain")
+    val only = args.toSeq.filterNot(_.startsWith("--")).filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.isEmpty || only.exists(n.startsWith)
     }
@@ -190,8 +195,10 @@ object SuiteRehearsal {
     val summary = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try {
-        val (s01, t01) = runOnce(fn(spark, tier01))
-        val (s10, t10) = runOnce(fn(spark, tier10))
+        if (explain) println(s"[suite10x] ==== $name @ sf0.1 ====")
+        val (s01, t01) = runOnce(fn(spark, tier01), explain)
+        if (explain) println(s"[suite10x] ==== $name @ 10x ====")
+        val (s10, t10) = runOnce(fn(spark, tier10), explain)
         val keys = (s01.keySet ++ s10.keySet).toSeq.sorted
         val diff = keys.flatMap { k =>
           val (a, b) = (s01.getOrElse(k, 0), s10.getOrElse(k, 0))
