@@ -207,9 +207,9 @@ object ScaleRehearsal {
     if (which("saltskew")) {
       // ---- 7. salted join under a single hot key (round-9 directive #5)
       // The q40 operator's claim — "one hot key spreads over `salt` tasks
-      // instead of melting one" — measured instead of argued. Shape: a 4M-
-      // row fact where ONE key carries 2M rows (1M-fold over the uniform
-      // keys' ~20), joined to a 100k-key dim. Broadcast is disabled (a
+      // instead of melting one" — measured instead of argued. Shape: an
+      // 8M-row fact where ONE key carries 4M rows (100,000-fold over the
+      // uniform keys' ~40), joined to a 100k-key dim. Broadcast is disabled (a
       // broadcastable dim is the case where salting is pointless by
       // construction) so the join must shuffle, i.e. the 100 TB shape
       // where both sides exceed the driver. Three plans:
