@@ -138,6 +138,8 @@ object SparkEntry {
   def clearSessionCaches(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     SimilaritySearch.clearSessionCache(s)
+    q28FittedCentroids.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(k => q28FittedCentroids.remove(k))
     harCache.keySet.asScala.filter(_._1 eq s).toList.foreach { key =>
       Option(harCache.remove(key)).foreach { case (train, testAll) =>
         graft.core.Materialize.releaseCheckpoint(train)

@@ -44,6 +44,26 @@ class QueriesSpec extends SparkTestBase {
       "oracle SQL does not embed the fitted centroid literals")
   }
 
+  test("q28 oracle degrades to rows-only when live fits diverge, recovers on cleanup") {
+    // r9 keying: the stash holds one fit per (session, sfDir); the oracle
+    // entry exists only while every live fit agrees. A sibling session
+    // fitting a DIFFERENT corpus (sf0.01 vs sf0.001) makes the stash
+    // ambiguous — oracleSql must drop the entry (rows-only degrade)
+    // rather than ship an oracle only one dumped output could match.
+    SparkEntry.queries("q28_ann_ivf")(spark, sf001).count()
+    assert(SparkEntry.oracleSql.contains("q28_ann_ivf"))
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2)
+    try {
+      SparkEntry.queries("q28_ann_ivf")(s2, "/root/testdata/sf0.01").count()
+      assert(!SparkEntry.oracleSql.contains("q28_ann_ivf"),
+        "divergent live fits must degrade q28 to rows-only")
+    } finally SparkEntry.clearSessionCaches(s2)
+    // with the ambiguous entry cleared, the original fit gates again
+    assert(SparkEntry.oracleSql.contains("q28_ann_ivf"),
+      "q28 oracle must recover once the diverging session's stash is cleared")
+  }
+
   test("the IVF fit is deterministic across refits") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
