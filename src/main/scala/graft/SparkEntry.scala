@@ -1863,10 +1863,16 @@ object SparkEntry {
     // iff the inter-event gap is STRICTLY below the gap (Spark's session
     // end is exclusive), so a new session starts at diff >= gap.
     // epoch_ns keeps the nanos integral; // truncates to seconds.
+    // gap comparator is STRICT: Spark's session_window merges an event
+    // arriving EXACTLY at lastEvent + gap (probed: events 300 s apart
+    // under a "5 minutes" gap land in ONE session; 301 s splits) — a
+    // >= here disagrees at the boundary. sf0.01 has no exactly-at-gap
+    // pair, so the driver gate never caught it; the r9 10x rehearsal's
+    // oracle run at sf0.1 did (users 812/1298 each carry a 300 s pair).
     "q42_sessionize" ->
       """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s FROM events),
               flagged AS (SELECT user_id, s,
-                                 CASE WHEN s - LAG(s) OVER (PARTITION BY user_id ORDER BY s) >= 300
+                                 CASE WHEN s - LAG(s) OVER (PARTITION BY user_id ORDER BY s) > 300
                                       OR LAG(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
                                       THEN 1 ELSE 0 END AS new_s
                           FROM ev),

@@ -44,6 +44,25 @@ class QueriesSpec extends SparkTestBase {
       "oracle SQL does not embed the fitted centroid literals")
   }
 
+  test("session_window merges an event arriving EXACTLY at the gap boundary") {
+    // pins the semantics q42's oracle comparator encodes (strict >):
+    // events 300 s apart under a "5 minutes" gap share a session; 301 s
+    // splits. Found by the r9 10x rehearsal — sf0.01 (the driver tier)
+    // carries no exactly-at-gap pair, sf0.1 does (users 812/1298). If a
+    // Spark upgrade flips this boundary, this fails before the driver
+    // gate does.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      explode(array(lit(1000L), lit(1300L), lit(1601L))).as("s"))
+      .select(lit(1L).as("user_id"), timestamp_seconds(col("s")).as("tss"))
+    val out = df.groupBy(col("user_id"), session_window(col("tss"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("session_window.start")).as("start"), col("n"))
+      .orderBy("start").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1000L, 2L), (1601L, 1L)))
+  }
+
   test("q28 oracle degrades to rows-only when live fits diverge, recovers on cleanup") {
     // r9 keying: the stash holds one fit per (session, sfDir); the oracle
     // entry exists only while every live fit agrees. A sibling session
