@@ -31,6 +31,14 @@ object Verify {
     if (only.isDefined) {
       val selected = SparkEntry.queries.keySet
         .filter(n => only.forall(_.exists(n.startsWith)))
+      // a filter that matches nothing (typo) must not wipe prior full-run
+      // outputs and then dump nothing — fail loudly instead
+      if (selected.isEmpty) {
+        System.err.println(
+          s"[verify] SPARK_GRAFT_ONLY=${only.get.mkString(",")} matched no query names; aborting")
+        spark.stop()
+        sys.exit(2)
+      }
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !selected.contains(f.getName))
         .foreach { d =>
