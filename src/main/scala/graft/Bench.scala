@@ -146,10 +146,27 @@ object Bench {
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val plan = results.map { case (k, _, runs, j, st, tk) =>
+    // Per-query run spread ((max-min)/median) and a suite-level noise
+    // index (median of spreads across multi-run queries): r9's official
+    // 86.8 s vs same-round preview 63.1 s was pure tenancy, but a reader
+    // of BENCH_rN alone couldn't see that — now the artifact itself says
+    // how trustworthy its own medians are. High noise + flat plan diff
+    // = tenancy; low noise + a moved median = the engine moved.
+    def spreadOf(runs: Seq[Double], med: Double): Option[Double] =
+      if (runs.size < 2 || med <= 0) None
+      else Some((runs.max - runs.min) / med)
+    val plan = results.map { case (k, med, runs, j, st, tk) =>
+      val spread = spreadOf(runs, med)
+        .map(s => ",\"spread\":" + f"$s%.3f").getOrElse("")
       "\"" + k + "\":{\"jobs\":" + j + ",\"stages\":" + st + ",\"tasks\":" + tk +
-        ",\"runs\":[" + runs.map(t => f"$t%.3f").mkString(",") + "]}"
+        spread + ",\"runs\":[" + runs.map(t => f"$t%.3f").mkString(",") + "]}"
     }.mkString("{", ",", "}")
+    val spreads = results.flatMap { case (_, med, runs, _, _, _) =>
+      spreadOf(runs, med)
+    }.sorted
+    // upper median, same rationale as the per-query timing median
+    val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    val noiseStr = f"$noise%.3f"
     val total = results.map(_._2).sum
     // The driver keeps only the LAST 2000 chars of stdout, so the compact
     // timings JSON must be the final line. The (larger) per-query
@@ -162,7 +179,7 @@ object Bench {
     // the timings line must stay comfortably inside the 2000-char tail
     val totalStr = f"$total%.3f"
     val sfTier = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"noise":$noiseStr,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -182,6 +199,6 @@ object Bench {
       System.err.println(s"[bench] post-run cleanup failed: ${e.getMessage}")
     }
     println(s"""{"metric":"exec","exec":$plan}""")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"single_run":$singleRunCount,"sf":"$sfTier"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"single_run":$singleRunCount,"noise":$noiseStr,"sf":"$sfTier"}""")
   }
 }

@@ -1564,7 +1564,11 @@ object SparkEntry {
     */
   private def q28OracleEntry: Option[(String, String)] = {
     import scala.jdk.CollectionConverters._
-    q28FittedCentroids.values.asScala.toList match {
+    // sweep only runs at stash time, so a stopped session's fit against a
+    // different dir could otherwise trip (or, worse, solely back) the
+    // ambiguity check here — consider live sessions only
+    q28FittedCentroids.entrySet.asScala.toList
+      .filterNot(_.getKey._1.sparkContext.isStopped).map(_.getValue) match {
       case head :: rest if rest.forall(c =>
           c.length == head.length &&
             c.indices.forall(i => java.util.Arrays.equals(c(i), head(i)))) =>
