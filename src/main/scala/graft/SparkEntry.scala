@@ -15,7 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    // every consumer of events.ts assumes the epoch-nanos-long contract;
+    // the physical encoding varies by writer (see EventTime)
+    graft.sources.EventTime.nanos(s.read.parquet(s"$dir/$name.parquet"))
 
   /** embeddings split: even vec_id = train, odd = test (FIXTURES.md §B). */
   private def trainTest(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {

@@ -13,7 +13,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      // events.parquet carries TIMESTAMP(NANOS); read as long (col unused)
+      // legacy flag for TIMESTAMP(NANOS) events data (rounds <= 9); the
+      // current testdata ships micros and normalizes via EventTime.nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

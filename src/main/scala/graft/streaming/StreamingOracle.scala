@@ -40,7 +40,8 @@ object StreamingOracle {
     val stage = graft.core.TempDirs.scratch(s"graft_so_$table")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/$table.parquet"),
       stage.resolve(s"$table.parquet"))
-    s.readStream.schema(schema).parquet(stage.toString)
+    // normalize ts to the epoch-nanos-long contract (stateless, stream-safe)
+    graft.sources.EventTime.nanos(s.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** Run a streaming frame to completion against a memory sink; returns

@@ -99,7 +99,8 @@ class AsofJoinSpec extends SparkTestBase {
   }
 
   test("matches a brute-force per-row scan on the events table") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.sources.EventTime.nanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val views = ev.filter(col("event_type") === "view")

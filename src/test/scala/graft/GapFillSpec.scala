@@ -53,7 +53,8 @@ class GapFillSpec extends SparkTestBase {
   }
 
   test("resampled events table: every value sits within its segment's bounds") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = graft.sources.EventTime.nanos(
+      spark.read.parquet(s"$sf001/events.parquet"))
       .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
     val out = GapFill.resampleLinear(ev, Seq("user_id"), "ts", "value",
       step = 86400000000L)

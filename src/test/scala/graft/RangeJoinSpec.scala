@@ -32,7 +32,8 @@ class RangeJoinSpec extends SparkTestBase {
   }
 
   test("rangePairs matches a brute-force nested scan on the events table") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.sources.EventTime.nanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = ev.filter(col("event_type") === "error")

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class StreamingOracleSpec extends SparkTestBase {
 
   private def ev: DataFrame =
-    spark.read.parquet(s"$sf001/events.parquet")
+    graft.sources.EventTime.nanos(spark.read.parquet(s"$sf001/events.parquet"))
       .withColumn("tss", expr("ts div 1000000000"))
 
   private def assertSameRows(actual: DataFrame, expected: DataFrame): Unit = {
