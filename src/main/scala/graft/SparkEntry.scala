@@ -1033,9 +1033,13 @@ object SparkEntry {
     // (JPEG frames in a RIFF container — both pure JDK), container-walked
     // and frame-decoded per partition (Multimodal.sampleFrameFeatures,
     // every 2nd frame), then the per-frame features feed the same IVF
-    // ANN. Rows-only (binary codec work isn't ANSI-SQL-expressible);
-    // deterministic end to end, frame decode pinned in
-    // StreamingMultimodalSpec.
+    // ANN. HASH-GATED since r10: MJPEG is lossy, but the synth frames
+    // are 8x8-TILE constant, so every JPEG macroblock is DC-only and the
+    // JDK round-trip is measured identity on the tile grays — the oracle
+    // replays the splitmix64 (doc_id*1000003+f, tile) mixing exactly in
+    // DuckDB, maps grays through the real-codec-captured
+    // Multimodal.jpegGrayFeatureLut, and re-runs the IVF q45-style
+    // (see q32cOracleSql; exactness pinned in StreamingMultimodalSpec).
     "q32c_multimodal_video" -> ((s, dir) => {
       GraftFunctions.register(s)
       val media = graft.operators.Multimodal.syntheticAviTable(
@@ -1471,31 +1475,49 @@ object SparkEntry {
     * (id, v) for [[ivfOracleSqlOver]]: queries are doc_id % 10 = 0,
     * mirroring the Spark side's split.
     */
+  private val U64 = "18446744073709551616" // 2^64
+  private val S63 = "9223372036854775808"  // 2^63
+
+  /** Java `z >>> k` on a signed-BIGINT column z: unsigned HUGEINT image,
+    * exact floor-division by 2^k, back to BIGINT.
+    */
+  private def splitmixUshr(k: Int): String =
+    s"CAST((CASE WHEN z < 0 THEN CAST(z AS HUGEINT) + $U64 ELSE CAST(z AS HUGEINT) END) // ${1L << k} AS BIGINT)"
+
+  /** One 64-bit wraparound stage of the splitmix64 replay: `${stage}h`
+    * takes the product in HUGEINT (|a*b| < 2^126, no overflow),
+    * `${stage}u` reduces mod 2^64, `$stage` maps back to the signed
+    * BIGINT domain where DuckDB's `xor` agrees with Java's `^`. Carries
+    * (doc_id, blk) through each stage.
+    */
+  private def splitmixWrap(stage: String, hExpr: String, from: String): String =
+    s"""${stage}h AS (SELECT doc_id, blk, $hExpr AS h FROM $from),
+        ${stage}u AS (SELECT doc_id, blk, ((h % $U64) + $U64) % $U64 AS uh FROM ${stage}h),
+        $stage AS (SELECT doc_id, blk, CAST(CASE WHEN uh >= $S63 THEN uh - $U64 ELSE uh END AS BIGINT) AS z FROM ${stage}u)"""
+
+  /** The full (doc_id, blk) -> z splitmix64 finalizer chain over a CTE
+    * `grid(doc_id, blk)` — the exact-arithmetic replay of
+    * [[graft.operators.Multimodal.grayImageFor]]-family mixing. Emits
+    * CTE `zf(doc_id, blk, z)`.
+    */
+  private def splitmixZfCtes: String =
+    s"""${splitmixWrap("s0",
+          "CAST(doc_id AS HUGEINT) * CAST(-7046029254386353131 AS HUGEINT) + CAST(blk AS HUGEINT) * CAST(-4417276706812531889 AS HUGEINT)",
+          "grid")},
+        ${splitmixWrap("s1",
+          s"CAST(xor(z, ${splitmixUshr(30)}) AS HUGEINT) * CAST(-4658895280553007687 AS HUGEINT)", "s0")},
+        ${splitmixWrap("s2",
+          s"CAST(xor(z, ${splitmixUshr(27)}) AS HUGEINT) * CAST(-7723592293110705685 AS HUGEINT)", "s1")},
+        zf AS (SELECT doc_id, blk, xor(z, ${splitmixUshr(31)}) AS z FROM s2)"""
+
   private def mediaIvfSrcCtes(
       blocks: Int, featFrom: String, featExpr: String,
       extraCtes: String = ""): String = {
-    val B = "18446744073709551616" // 2^64
-    val H = "9223372036854775808"  // 2^63
-    // Java z >>> k on the signed-BIGINT z: unsigned image, exact // 2^k
-    def ushr(k: Int) =
-      s"CAST((CASE WHEN z < 0 THEN CAST(z AS HUGEINT) + $B ELSE CAST(z AS HUGEINT) END) // ${1L << k} AS BIGINT)"
-    // one wrap stage: sXh = HUGEINT product, sXu = mod-2^64 image, sX = signed
-    def wrap(stage: String, hExpr: String, from: String) =
-      s"""${stage}h AS (SELECT doc_id, blk, $hExpr AS h FROM $from),
-          ${stage}u AS (SELECT doc_id, blk, ((h % $B) + $B) % $B AS uh FROM ${stage}h),
-          $stage AS (SELECT doc_id, blk, CAST(CASE WHEN uh >= $H THEN uh - $B ELSE uh END AS BIGINT) AS z FROM ${stage}u)"""
     val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,"
     s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
         blks AS (SELECT CAST(UNNEST(range(0, $blocks)) AS BIGINT) AS blk),
         grid AS (SELECT doc_id, blk FROM ids CROSS JOIN blks),
-        ${wrap("s0",
-          "CAST(doc_id AS HUGEINT) * CAST(-7046029254386353131 AS HUGEINT) + CAST(blk AS HUGEINT) * CAST(-4417276706812531889 AS HUGEINT)",
-          "grid")},
-        ${wrap("s1",
-          s"CAST(xor(z, ${ushr(30)}) AS HUGEINT) * CAST(-4658895280553007687 AS HUGEINT)", "s0")},
-        ${wrap("s2",
-          s"CAST(xor(z, ${ushr(27)}) AS HUGEINT) * CAST(-7723592293110705685 AS HUGEINT)", "s1")},
-        zf AS (SELECT doc_id, blk, xor(z, ${ushr(31)}) AS z FROM s2),
+        $splitmixZfCtes,
         $extra
         feat AS (SELECT doc_id, blk, $featExpr AS f FROM $featFrom),
         vecs AS (SELECT doc_id, list(f ORDER BY blk) AS v FROM feat GROUP BY doc_id),
@@ -1533,6 +1555,51 @@ object SparkEntry {
         featFrom = "zf",
         featExpr = "CAST(xor(z & 65535, 32768) AS DOUBLE) / CAST(65536 AS DOUBLE)"),
       q32Centers, probes = 4)
+
+  /** q32c oracle: MJPEG ground-truth features via the captured JDK
+    * JPEG round-trip LUT. MJPEG is lossy, but the synth only drives the
+    * codec through its lossless subspace: every frame is 8x8-TILE
+    * constant, so each JPEG macroblock is DC-only (ACs exactly zero),
+    * the quantized DC entropy-codes losslessly, and the decoded tile
+    * gray is a pure per-gray function of the input — measured identity,
+    * captured through the real codec as
+    * [[graft.operators.Multimodal.jpegGrayFeatureLut]] and pinned in
+    * StreamingMultimodalSpec.
+    *
+    * Replay: the Spark side samples every 2nd of 6 frames (frame_idx 0,
+    * 2, 4), each frame seeded `doc_id * 1000003 + f` with the splitmix64
+    * mix over tile 0..3; feature dim d of 32 is an 8-pixel half-row
+    * lying inside tile `(d // 16) * 2 + (d % 2)`. Queries are
+    * (doc_id % 10 = 0, frame 0) keyed by doc_id; the corpus is every
+    * other (doc, frame) keyed `doc_id * 8 + frame_idx` — mirroring the
+    * Spark plan's split exactly. The seed doubles as the carrier of
+    * (doc_id, f) through the mixing CTEs: f < 1000003 makes
+    * `seed // 1000003` and `seed % 1000003` recover them losslessly.
+    */
+  private def q32cOracleSql: String = {
+    val lutRows = graft.operators.Multimodal.jpegGrayFeatureLut.zipWithIndex
+      .map { case (d, g) => s"($g, ${java.lang.Double.toString(d)})" }
+      .mkString(", ")
+    val srcCtes =
+      s"""ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+          frs AS (SELECT CAST(UNNEST([0, 2, 4]) AS BIGINT) AS f),
+          tiles AS (SELECT CAST(UNNEST(range(0, 4)) AS BIGINT) AS blk),
+          grid AS (SELECT doc_id * 1000003 + f AS doc_id, blk
+                   FROM ids CROSS JOIN frs CROSS JOIN tiles),
+          $splitmixZfCtes,
+          lut(gv, lum) AS (VALUES $lutRows),
+          dims AS (SELECT CAST(UNNEST(range(0, 32)) AS BIGINT) AS d),
+          dimtile AS (SELECT d, (d // 16) * 2 + (d % 2) AS t FROM dims),
+          feat AS (SELECT zf.doc_id, dt.d, CAST(lut.lum AS DOUBLE) AS fv
+                   FROM zf JOIN dimtile dt ON zf.blk = dt.t
+                   JOIN lut ON (zf.z & 255) = lut.gv),
+          vecs AS (SELECT doc_id, list(fv ORDER BY d) AS v FROM feat GROUP BY doc_id),
+          q AS (SELECT doc_id // 1000003 AS id, v FROM vecs
+                WHERE (doc_id // 1000003) % 10 = 0 AND doc_id % 1000003 = 0),
+          c AS (SELECT (doc_id // 1000003) * 8 + (doc_id % 1000003) AS id, v FROM vecs
+                WHERE NOT ((doc_id // 1000003) % 10 = 0 AND doc_id % 1000003 = 0))"""
+    ivfOracleSqlOver(srcCtes, q32Centers, probes = 4)
+  }
 
   /** Centroids q28's LIVE KMeans fit produced, captured when the query
     * runs so [[oracleSql]] can replay the probe+rerank pipeline against
@@ -2149,6 +2216,8 @@ object SparkEntry {
     "q32_multimodal_ann" -> q32OracleSql,
 
     "q32b_multimodal_wav" -> q32bOracleSql,
+
+    "q32c_multimodal_video" -> q32cOracleSql,
 
     // Q22's LSH banding is full-recall and verification is exact, so its
     // result set is definitionally Q15's — same brute-force oracle.

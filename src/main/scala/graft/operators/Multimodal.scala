@@ -254,15 +254,26 @@ object Multimodal {
   }
 
   /** Deterministic MJPEG-in-AVI payload: `frames` JPEG frames (the
-    * [[grayImageFor]] block pattern, frame index folded into the seed)
-    * wrapped in a minimal spec-shaped RIFF: `hdrl` (avih + one `vids`
-    * stream with an MJPG `strh`/`strf`), `movi` with `00dc` chunks,
-    * `idx1`. 10 fps.
+    * [[grayTileImageFor]] 8x8-tile pattern, frame index folded into the
+    * seed) wrapped in a minimal spec-shaped RIFF: `hdrl` (avih + one
+    * `vids` stream with an MJPG `strh`/`strf`), `movi` with `00dc`
+    * chunks, `idx1`. 10 fps.
+    *
+    * The frames are DC-exact by construction: each 8x8 JPEG macroblock
+    * is a single gray value, so every AC coefficient is exactly zero
+    * (each is a weighted sum of differences of equal values, in integer
+    * and float DCTs alike), the quantized DC entropy-codes losslessly,
+    * and the IDCT of a DC-only block is constant — the JDK's
+    * grayscale-JPEG round-trip of such frames is measured IDENTITY
+    * (d(g) == g for all 256 grays, neighbor-independent; pinned in
+    * StreamingMultimodalSpec). That is what lets the q32c oracle derive
+    * the decoded features in closed form even though MJPEG is a lossy
+    * codec: the synth only drives it through its lossless subspace.
     */
   private[graft] def aviFor(
-      id: Long, frames: Int, w: Int, h: Int, blocks: Int): Array[Byte] = {
+      id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
     val jpegs = Array.tabulate(frames) { f =>
-      val img = grayImageFor(id * 1000003L + f, w, h, blocks)
+      val img = grayTileImageFor(id * 1000003L + f, w, h)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
@@ -313,17 +324,17 @@ object Multimodal {
     * decode end to end — the video sibling of [[syntheticPngTable]].
     */
   def syntheticAviTable(docs: DataFrame, idCol: String = "doc_id",
-      frames: Int = 6, side: Int = 16, blocks: Int = 32): DataFrame = {
+      frames: Int = 6, side: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("content", BinaryType),
       StructField("meta", mediaMetaType)))
     val enc = ExpressionEncoder(outSchema)
-    val f = frames; val s = side; val b = blocks
+    val f = frames; val s = side
     docs.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        Row(id, aviFor(id, f, s, s, b), Row("video/avi", s, s, f * 100L))
+        Row(id, aviFor(id, f, s, s), Row("video/avi", s, s, f * 100L))
       }
     }(enc)
   }
@@ -482,6 +493,36 @@ object Multimodal {
     img
   }
 
+  /** Deterministic grayscale image whose constant regions are JPEG
+    * MACROBLOCKS: each 8x8 tile (row-major tile index) carries a single
+    * gray value from the same splitmix64 (seed, tile) mixing as
+    * [[grayImageFor]]. Feeding the JPEG encoder only tile-constant
+    * frames keeps every macroblock DC-only, which makes the (lossy)
+    * MJPEG round-trip exactly reproducible — see [[aviFor]].
+    */
+  private[graft] def grayTileImageFor(
+      seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    require(w % 8 == 0 && h % 8 == 0, "tiles must align with JPEG 8x8 blocks")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val tilesPerRow = w / 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val tile = (y / 8) * tilesPerRow + (x / 8)
+        var z = seed * -7046029254386353131L + tile * -4417276706812531889L
+        z = (z ^ (z >>> 30)) * -4658895280553007687L
+        z = (z ^ (z >>> 27)) * -7723592293110705685L
+        z ^= (z >>> 31)
+        img.getRaster.setSample(x, y, 0, (z & 0xFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   /** Deterministic grayscale PNG over [[grayImageFor]]'s pixels. */
   private[graft] def pngFor(id: Long, w: Int, h: Int, blocks: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -566,6 +607,34 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    imageBlockMeans(dec, 32).get.apply(0).toDouble
+  }
+
+  /** Ground-truth feature LUT for the q32c oracle: the feature value the
+    * real JPEG encode→decode→block-mean path produces for a uniform gray
+    * value at [[syntheticAviTable]]'s frame geometry (16x16; dim=32
+    * block means are 8-pixel half-rows, each lying inside ONE 8x8 JPEG
+    * tile, so every feature block is uniform). Captured by running the
+    * ACTUAL codec per gray value, like [[pngGrayFeatureLut]]. The JDK's
+    * grayscale-JPEG round-trip of a DC-only macroblock is measured
+    * identity (d(g) == g), so this coincides numerically with the PNG
+    * LUT — but it is captured through the real JPEG codec so the oracle
+    * depends on measurement, not on that identity holding.
+    */
+  private[graft] lazy val jpegGrayFeatureLut: Array[Double] = Array.tabulate(256) { g =>
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) { img.getRaster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
     val dec = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bos.toByteArray))
     imageBlockMeans(dec, 32).get.apply(0).toDouble

@@ -261,7 +261,7 @@ class StreamingMultimodalSpec extends SparkTestBase {
   }
 
   test("AVI round-trip: container walk recovers every MJPEG frame at full size") {
-    val avi = Multimodal.aviFor(3L, frames = 6, w = 16, h = 16, blocks = 32)
+    val avi = Multimodal.aviFor(3L, frames = 6, w = 16, h = 16)
     val frames = Multimodal.decodeAviFrames(avi)
     assert(frames.isDefined && frames.get.length === 6)
     frames.get.foreach(f => assert(f.getWidth === 16 && f.getHeight === 16))
@@ -269,11 +269,49 @@ class StreamingMultimodalSpec extends SparkTestBase {
     val means = frames.get.map(f => Multimodal.imageBlockMeans(f, 1).get(0))
     assert(means.distinct.length > 1)
     // deterministic encode: byte-identical across calls in one JVM
-    assert(avi.toSeq === Multimodal.aviFor(3L, 6, 16, 16, 32).toSeq)
+    assert(avi.toSeq === Multimodal.aviFor(3L, 6, 16, 16).toSeq)
+  }
+
+  test("MJPEG DC-exactness: decoded frames equal the splitmix64 tile grays bit-for-bit") {
+    // The q32c oracle's foundation: aviFor's frames are 8x8-tile-constant,
+    // so every JPEG macroblock is DC-only and the JDK round-trip is
+    // IDENTITY on the tile grays. If a JDK change ever breaks this, the
+    // oracle breaks with it — this test fails first.
+    def mix(seed: Long, tile: Int): Int = {
+      var z = seed * -7046029254386353131L + tile * -4417276706812531889L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^= (z >>> 31)
+      (z & 0xFF).toInt
+    }
+    for (id <- Seq(0L, 7L, 123L, 4999L, 9000123L)) {
+      val frames = Multimodal.decodeAviFrames(Multimodal.aviFor(id, 6, 16, 16)).get
+      frames.zipWithIndex.foreach { case (img, f) =>
+        val seed = id * 1000003L + f
+        for (y <- 0 until 16; x <- 0 until 16) {
+          val tile = (y / 8) * 2 + (x / 8)
+          assert(img.getRaster.getSample(x, y, 0) === mix(seed, tile),
+            s"id=$id f=$f ($x,$y)")
+        }
+      }
+    }
+    // ... and the feature kernel over those frames matches the captured
+    // JPEG LUT bit-for-bit (dim=32 half-row blocks each sit inside one
+    // tile), which is exactly what the q32c oracle replays.
+    val frames = Multimodal.decodeAviFrames(Multimodal.aviFor(77L, 2, 16, 16)).get
+    frames.zipWithIndex.foreach { case (img, f) =>
+      val seed = 77L * 1000003L + f
+      val feats = Multimodal.imageBlockMeans(img, 32).get
+      for (d <- 0 until 32) {
+        val tile = (d / 16) * 2 + (d % 2)
+        val expect = Multimodal.jpegGrayFeatureLut(mix(seed, tile)).toFloat
+        assert(feats(d) === expect, s"f=$f d=$d")
+      }
+    }
   }
 
   test("AVI decode degrades: truncated container and non-video bytes never throw") {
-    val avi = Multimodal.aviFor(4L, 4, 16, 16, 32)
+    val avi = Multimodal.aviFor(4L, 4, 16, 16)
     assert(Multimodal.decodeAviFrames(avi.take(40)).isEmpty)
     assert(Multimodal.decodeAviFrames("RIFFxxxxAVI corrupted".getBytes).isEmpty)
     // whole-video features fall back deterministically via decodeBytes
@@ -283,9 +321,9 @@ class StreamingMultimodalSpec extends SparkTestBase {
   }
 
   test("whole-video decodeBytes: mean of per-frame features, id-sensitive") {
-    val a = Multimodal.decodeBytes(Multimodal.aviFor(1L, 4, 16, 16, 32), 32)
-    val a2 = Multimodal.decodeBytes(Multimodal.aviFor(1L, 4, 16, 16, 32), 32)
-    val b = Multimodal.decodeBytes(Multimodal.aviFor(2L, 4, 16, 16, 32), 32)
+    val a = Multimodal.decodeBytes(Multimodal.aviFor(1L, 4, 16, 16), 32)
+    val a2 = Multimodal.decodeBytes(Multimodal.aviFor(1L, 4, 16, 16), 32)
+    val b = Multimodal.decodeBytes(Multimodal.aviFor(2L, 4, 16, 16), 32)
     assert(a.toSeq === a2.toSeq)
     assert(a.toSeq !== b.toSeq)
     assert(a.forall(v => v >= 0f && v <= 1f))
