@@ -174,6 +174,98 @@ object ScaleRehearsal {
       graft.core.Materialize.releaseCheckpoint(queries)
     }
 
+    if (which("ivfshuffle")) {
+      // ---- 5b. IVF 1000x degrade path: the shuffle-on-`cell` plan ----
+      // (round-9 directive #4) The q32/q32b 10x flip audit NAMES this
+      // plan — "at 1000x neither side fits the broadcast threshold and
+      // the probe join degrades to a shuffle on `cell`" — but no
+      // rehearsal had ever executed it. Force the shape: 1.2M-vector
+      // corpus, 50k queries (x4 probe rows each), broadcast disabled
+      // entirely (the 100 TB case where BOTH sides exceed the driver).
+      // Pins: the probe join is a SHUFFLE join keyed on `cell` — NO
+      // BroadcastNestedLoopJoin, NO CartesianProduct — and the join
+      // stage's parallelism is bounded by OCCUPIED CELLS, which is the
+      // measured argument for why `ivfTopK` takes `numCells` explicitly
+      // (a 16-cell index shuffles into <=16 occupied partitions no
+      // matter how many executors exist; cells must scale with corpus).
+      val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val corpus = timed("ivfshuffle corpus build (1.2M vectors)") {
+        val c = base.crossJoin(spark.range(600).select(col("id").as("rep")))
+          .select((col("vec_id") + col("rep") * lit(1000000L)).as("item_id"),
+            col("embedding").cast("array<double>").as("item_vec"))
+          .localCheckpoint()
+        c.count(); c
+      }
+      val queries = timed("ivfshuffle query build (50k queries)") {
+        val q = base.filter(col("vec_id") % 10 === 0)
+          .crossJoin(spark.range(100).select(col("id").as("qrep")))
+          .select((col("vec_id") + col("qrep") * lit(1000000L)).as("query_id"),
+            col("embedding").cast("array<double>").as("query_vec"))
+          .localCheckpoint()
+        q.count(); q
+      }
+      def joinShape(df: DataFrame): (String, Int, Int) = {
+        val plan = df.queryExecution.sparkPlan
+        val kinds = plan.collect {
+          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "broadcast"
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "sortmerge"
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => "shuffledhash"
+        }
+        val bnlj = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }.size
+        val cart = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.size
+        (kinds.mkString(","), bnlj, cart)
+      }
+      // per-stage shuffle-read record distribution: with a cell-keyed
+      // exchange, tasks-with-records at the join stage <= occupied cells
+      val stageRec = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val rec = Option(e.taskMetrics)
+            .map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+          if (rec > 0)
+            stageRec.merge(e.stageId, (1, rec, rec), (a, b) =>
+              (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Seq(16, 256).foreach { cells =>
+          val ivf = SimilaritySearch.ivfTopK(queries, corpus, k = 5,
+            numCells = cells)
+          val (kinds, bnlj, cart) = joinShape(ivf)
+          println(s"[rehearsal] ivfshuffle cells=$cells plan: joins=$kinds " +
+            s"bnlj=$bnlj cartesian=$cart")
+          assert(bnlj == 0 && cart == 0,
+            s"degrade path must not plan BNLJ/cartesian (got bnlj=$bnlj cart=$cart)")
+          assert(kinds.contains("sortmerge") || kinds.contains("shuffledhash"),
+            s"probe join must shuffle on cell (got: $kinds)")
+          stageRec.clear()
+          val n = timed(s"ivfTopK shuffle-on-cell (cells=$cells, 1.2Mx50k)")(
+            ivf.count())
+          Thread.sleep(500) // async listener bus tail
+          import scala.jdk.CollectionConverters._
+          stageRec.asScala.toSeq.sortBy(-_._2._3).take(2).foreach {
+            case (sid, (tasks, maxRec, sumRec)) =>
+              println(s"[rehearsal] ivfshuffle cells=$cells stage $sid: " +
+                s"tasksWithRecords=$tasks maxRec=$maxRec avgRec=${sumRec / tasks} " +
+                s"skew=${maxRec.toDouble / math.max(1L, sumRec / tasks)}")
+          }
+          println(s"[rehearsal] ivfshuffle cells=$cells: result rows=$n")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      graft.core.Materialize.releaseCheckpoint(corpus)
+      graft.core.Materialize.releaseCheckpoint(queries)
+    }
+
     if (which("dedupskew")) {
       // ---- 6. exact-dedup keep-first under heavy duplicate skew ----
       // (round-8: dropExactDuplicates moved from a row_number window to
@@ -407,7 +499,7 @@ object ScaleRehearsal {
       // path). Dedup key: (user_id, event_type, props) — the
       // mid-cardinality content key a real ingest pipeline uses.
       val src = "/root/testdata/sf0.1/events.parquet"
-      val base = spark.read.parquet(src)
+      val base = graft.sources.EventTime.nanos(spark.read.parquet(src))
       val bounds = base.select(min(expr("ts div 1000000000")),
         max(expr("ts div 1000000000"))).head()
       val spanSec = bounds.getLong(1) - bounds.getLong(0) + 3600L
@@ -423,10 +515,11 @@ object ScaleRehearsal {
           java.nio.file.Files.move(part, stage.resolve(f"events_$i%02d.parquet"))
         }
       }
-      val stream = spark.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(stage.toString)
+      val stream = graft.sources.EventTime.nanos(
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(stage.toString))
         .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
         .withColumn("content",
           concat_ws("|", col("user_id"), col("event_type"), col("props")))

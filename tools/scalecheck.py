@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Standing per-round 10x scale gate -> SCALECHECK_rN.json (round-9
+directive #2: the full-suite 10x rehearsal ran once, by hand, in round 9;
+this makes it a per-round artifact the judge can diff like CORRECTNESS).
+
+Pipeline (all steps resumable via --skip-* flags):
+  1. `sbt Test/runMain graft.tools.SuiteRehearsal --json` — synthesizes
+     the 10x tier (10 id-shifted copies of every scalable sf0.1 table),
+     runs all 82 queries at sf0.1 AND 10x through the adaptive executor,
+     records per-query timings and final-plan operator-histogram diffs.
+  2. `graft.Verify <tier10x>` in a FRESH JVM for every query whose oracle
+     is tractable at 10x (fresh so q28's fit-at-verify-time stash sees
+     exactly one sfDir and stays unambiguous), then
+     `tools/check_oracle.py` replays the oracles in DuckDB at 10x.
+  3. Merge into SCALECHECK_rN.json: per query
+       tenx_ran / sf01_s / tenx_s / plan_flip / flip_audited /
+       result_verified / class
+     where class is one of:
+       scale_path          — runs AND result-verified at 10x
+       oracle_intractable  — the SPARK side ran at 10x; the ORACLE's SQL
+                             shape (brute cross joins, recursive CTE,
+                             all-pairs sort) is what cannot scale; still
+                             hash-gated at sf0.01 (driver) and sf0.1
+       same_size_by_design — inputs don't grow at 10x (full published
+                             HAR size at every tier; nation-synth
+                             series); scaling covered by dedicated
+                             ScaleRehearsal cases
+  A plan flip with no audit note fails the run (exit 1): every flip must
+  be audited (read the final plans via `SuiteRehearsal <q> --explain`)
+  and recorded in AUDITED_FLIPS before the artifact goes green.
+
+Usage:
+  python3 tools/scalecheck.py --round 10 [--skip-rehearsal] [--skip-verify]
+
+Wall-clock: ~15 min rehearsal + ~20-40 min 10x verify on local[32].
+"""
+import argparse, json, os, re, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TIER10 = "/tmp/graft_suite10x/sf0.1x10"
+WORK = "/tmp/graft_scalecheck"
+
+# The oracle (not the operator) is the scale limit: brute-by-design
+# baseline SQL (quadratic cross joins: q9/q10/q11/q15/q29/q60/q65/q78),
+# recursive-CTE transitive closure over 500k docs (q27), brute jaccard
+# over a 10x^2 pair sample (q22), and the k-sweep's all-pairs distance
+# sort that exhausts DuckDB temp disk (q38). Measured in round 9
+# (NOTES_r9.md "result verification"); each stays hash-gated at sf0.01
+# and sf0.1.
+ORACLE_INTRACTABLE = {
+    "q9_knn_eu_k1", "q10_knn_eu_k5", "q11_knn_accuracy", "q15_ngram_jaccard",
+    "q22_minhash_pairs", "q27_dedup_clusters", "q29_knn_dtw_band0",
+    "q38_ksweep", "q60_editdist_pairs", "q65_kfold_cv", "q78_stream_knn",
+}
+
+# Inputs pinned at every tier: the HAR cascade family runs the FULL
+# published dataset size regardless of sfDir (its scaling has the
+# dedicated `ScaleRehearsal har` case), and q44/q46 run nation-synth
+# constant series (fixed-size TPC-H dimension).
+SAME_SIZE = {
+    "q25_knn_dtw_pruned", "q26_har_model2_1nn", "q31_har_accuracy",
+    "q33_knn_pruned_band0", "q44_fastdtw_1nn", "q46_dtw_unconstrained_1nn",
+}
+
+# Every known plan flip must carry an audit note (from reading the final
+# executed plans via `SuiteRehearsal <query> --explain`). A flip seen in
+# the rehearsal but absent here fails the gate.
+AUDITED_FLIPS = {
+    "q32_multimodal_ann":
+        "IVF probe join BuildLeft->BuildRight at 10x: planner swaps the "
+        "broadcast side to the (smaller, localCheckpoint-measured) corpus "
+        "side; pulls the probe-explode Generate into its own codegen span "
+        "(4->5). Size-driven, both sides broadcast-eligible at both tiers; "
+        "at 1000x neither fits and the join degrades to the shuffle-on-cell "
+        "plan (measured: ScaleRehearsal ivfshuffle). Audited round 9.",
+    "q32b_multimodal_wav": "same flip as q32_multimodal_ann (shared IVF tail).",
+    "q32c_multimodal_video": "same flip as q32_multimodal_ann (shared IVF tail).",
+}
+
+
+def run(cmd, env=None, timeout=None):
+    print(f"[scalecheck] $ {' '.join(cmd)}", flush=True)
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    return subprocess.run(cmd, cwd=REPO, env=e, timeout=timeout,
+                          capture_output=True, text=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--skip-rehearsal", action="store_true",
+                    help="reuse existing rehearsal.json")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="reuse existing 10x verify outputs + check log")
+    args = ap.parse_args()
+    os.makedirs(WORK, exist_ok=True)
+    rehearsal_json = f"{WORK}/rehearsal.json"
+    verify_dir = f"{WORK}/verify10x"
+    check_log = f"{WORK}/check10x.log"
+
+    if not args.skip_rehearsal:
+        r = run(["sbt", "-batch",
+                 f"Test/runMain graft.tools.SuiteRehearsal --json {rehearsal_json}"],
+                env={"SPARK_DRIVER_MEM": "48g"}, timeout=7200)
+        sys.stdout.write("\n".join(
+            l for l in r.stdout.splitlines() if "[suite10x]" in l) + "\n")
+        if r.returncode != 0:
+            print(r.stdout[-3000:]); print(r.stderr[-3000:])
+            sys.exit(f"rehearsal failed rc={r.returncode}")
+    rehearsal = json.load(open(rehearsal_json))
+
+    verifiable = sorted(set(rehearsal) - ORACLE_INTRACTABLE - SAME_SIZE)
+    if not args.skip_verify:
+        r = run(["sbt", "-batch", f"runMain graft.Verify {TIER10} {verify_dir}"],
+                env={"SPARK_GRAFT_ONLY": ",".join(verifiable),
+                     "SPARK_GRAFT_CPUS": "16"}, timeout=7200)
+        if r.returncode != 0:
+            print(r.stdout[-3000:]); print(r.stderr[-3000:])
+            sys.exit(f"10x verify failed rc={r.returncode}")
+        failed = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l]
+        for l in failed:
+            print(l)
+        r = run(["python3", "tools/check_oracle.py", TIER10, verify_dir],
+                timeout=7200)
+        open(check_log, "w").write(r.stdout + r.stderr)
+        print(r.stdout)
+    check = open(check_log).read()
+
+    verified = set(re.findall(r"^(\S+): OK \(\d+ rows\)", check, re.M))
+    mismatched = set(re.findall(
+        r"^(\S+): (?:MISMATCH|SCHEMA MISMATCH|TYPE MISMATCH|ORACLE SQL ERROR|NO OUTPUT)",
+        check, re.M))
+
+    out, problems = {}, []
+    for name in sorted(rehearsal):
+        rec = dict(rehearsal[name])
+        if name in ORACLE_INTRACTABLE:
+            cls, rv = "oracle_intractable", None
+        elif name in SAME_SIZE:
+            cls, rv = "same_size_by_design", None
+        else:
+            cls = "scale_path"
+            rv = name in verified
+            if name in mismatched or (not rv and name in verifiable):
+                problems.append(f"{name}: 10x result NOT verified (see {check_log})")
+        flip = rec.get("plan_flip")
+        if flip:
+            rec["flip_audited"] = name in AUDITED_FLIPS
+            if name in AUDITED_FLIPS:
+                rec["flip_audit"] = AUDITED_FLIPS[name]
+            else:
+                problems.append(f"{name}: UNAUDITED plan flip: {flip}")
+        if not rec.get("tenx_ran"):
+            problems.append(f"{name}: failed at 10x")
+        rec["result_verified"] = rv
+        rec["class"] = cls
+        out[name] = rec
+
+    n_ver = sum(1 for r in out.values() if r["result_verified"])
+    summary = {
+        "queries": len(out),
+        "tenx_ran": sum(1 for r in out.values() if r.get("tenx_ran")),
+        "plan_flips": sum(1 for r in out.values() if r.get("plan_flip")),
+        "result_verified_10x": n_ver,
+        "oracle_intractable": len(ORACLE_INTRACTABLE),
+        "same_size_by_design": len(SAME_SIZE),
+        "problems": problems,
+        "tier": TIER10,
+    }
+    path = f"{REPO}/SCALECHECK_r{args.round:02d}.json"
+    json.dump({"summary": summary, "queries": out}, open(path, "w"), indent=1)
+    print(f"\n[scalecheck] wrote {path}")
+    print(f"[scalecheck] {summary['tenx_ran']}/{len(out)} ran at 10x, "
+          f"{n_ver} result-verified, {summary['plan_flips']} plan flips, "
+          f"{len(problems)} problems")
+    for p in problems:
+        print(f"[scalecheck] PROBLEM {p}")
+    sys.exit(1 if problems else 0)
+
+
+if __name__ == "__main__":
+    main()
