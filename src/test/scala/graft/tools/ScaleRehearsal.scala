@@ -180,7 +180,7 @@ object ScaleRehearsal {
       // plan — "at 1000x neither side fits the broadcast threshold and
       // the probe join degrades to a shuffle on `cell`" — but no
       // rehearsal had ever executed it. Force the shape: 1.2M-vector
-      // corpus, 50k queries (x4 probe rows each), broadcast disabled
+      // corpus, 20k queries (x4 probe rows each), broadcast disabled
       // entirely (the 100 TB case where BOTH sides exceed the driver).
       // Pins: the probe join is a SHUFFLE join keyed on `cell` — NO
       // BroadcastNestedLoopJoin, NO CartesianProduct — and the join
@@ -196,7 +196,7 @@ object ScaleRehearsal {
           .localCheckpoint()
         c.count(); c
       }
-      val queries = timed("ivfshuffle query build (50k queries)") {
+      val queries = timed("ivfshuffle query build (20k queries)") {
         val q = base.filter(col("vec_id") % 10 === 0)
           .crossJoin(spark.range(100).select(col("id").as("qrep")))
           .select((col("vec_id") + col("qrep") * lit(1000000L)).as("query_id"),
@@ -246,7 +246,7 @@ object ScaleRehearsal {
           assert(kinds.contains("sortmerge") || kinds.contains("shuffledhash"),
             s"probe join must shuffle on cell (got: $kinds)")
           stageRec.clear()
-          val n = timed(s"ivfTopK shuffle-on-cell (cells=$cells, 1.2Mx50k)")(
+          val n = timed(s"ivfTopK shuffle-on-cell (cells=$cells, 1.2Mx20k)")(
             ivf.count())
           Thread.sleep(500) // async listener bus tail
           import scala.jdk.CollectionConverters._
