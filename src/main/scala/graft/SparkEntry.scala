@@ -1677,12 +1677,20 @@ object SparkEntry {
             qa AS (SELECT id, v, idx AS cell,
                           ROW_NUMBER() OVER (PARTITION BY id ORDER BY list_distance(v, ctr), idx) AS rn
                    FROM q CROSS JOIN ctr),
-            qc AS (SELECT id, v, cell FROM qa WHERE rn <= $probes)
+            qc AS (SELECT id, v, cell FROM qa WHERE rn <= $probes),
+            -- project the cosine SCALAR before the rank window: ordering
+            -- the window by the inline expression would materialize both
+            -- 32/64-dim vectors per candidate pair into the sort spill
+            -- (~46 GB at the 10x rehearsal tier — measured ENOSPC);
+            -- (query_id, item_id, cos) rows spill at ~1/20th that
+            cand AS (SELECT qc.id AS query_id, cc.id AS item_id,
+                            list_cosine_similarity(qc.v, cc.v) AS cos
+                     FROM qc JOIN cc ON qc.cell = cc.cell)
        SELECT query_id, rank, item_id FROM (
-         SELECT qc.id AS query_id, cc.id AS item_id,
-                ROW_NUMBER() OVER (PARTITION BY qc.id
-                  ORDER BY list_cosine_similarity(qc.v, cc.v) DESC, cc.id) AS rank
-         FROM qc JOIN cc ON qc.cell = cc.cell) x
+         SELECT query_id, item_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, item_id) AS rank
+         FROM cand) x
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
