@@ -204,19 +204,32 @@ object ScaleRehearsal {
           .localCheckpoint()
         q.count(); q
       }
-      def joinShape(df: DataFrame): (String, Int, Int) = {
-        val plan = df.queryExecution.sparkPlan
-        val kinds = plan.collect {
-          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "broadcast"
-          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "sortmerge"
-          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => "shuffledhash"
+      def joinShape(plan: org.apache.spark.sql.execution.SparkPlan): (String, Int, Int) = {
+        // Walks the adaptive FINAL plan — call only AFTER execution.
+        // This case exists to pin the EXECUTED 1000x degrade shape, and
+        // with AQE on the pre-execution sparkPlan can differ from the
+        // runtime-replanned tree (broadcast is disabled here, but AQE
+        // can still rewrite join/exchange shapes). Query stages are
+        // leaves in the adaptive tree, so unwrap them explicitly.
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val kinds = scala.collection.mutable.ArrayBuffer.empty[String]
+        var bnlj = 0
+        var cart = 0
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case other =>
+            other match {
+              case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => kinds += "broadcast"
+              case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => kinds += "sortmerge"
+              case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => kinds += "shuffledhash"
+              case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => bnlj += 1
+              case _: org.apache.spark.sql.execution.joins.CartesianProductExec => cart += 1
+              case _ =>
+            }
+            other.children.foreach(walk)
         }
-        val bnlj = plan.collect {
-          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-        }.size
-        val cart = plan.collect {
-          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-        }.size
+        walk(plan)
         (kinds.mkString(","), bnlj, cart)
       }
       // per-stage shuffle-read record distribution: with a cell-keyed
@@ -238,16 +251,24 @@ object ScaleRehearsal {
         Seq(16, 256).foreach { cells =>
           val ivf = SimilaritySearch.ivfTopK(queries, corpus, k = 5,
             numCells = cells)
-          val (kinds, bnlj, cart) = joinShape(ivf)
-          println(s"[rehearsal] ivfshuffle cells=$cells plan: joins=$kinds " +
+          stageRec.clear()
+          // Execute through the frame's OWN QueryExecution (a count()
+          // plans a separate tree) so the adaptive plan asserted on
+          // below is exactly the one that ran.
+          val qe = ivf.queryExecution
+          val n = timed(s"ivfTopK shuffle-on-cell (cells=$cells, 1.2Mx20k)") {
+            spark.sparkContext.runJob(qe.toRdd,
+              (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+                var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+              }).sum
+          }
+          val (kinds, bnlj, cart) = joinShape(qe.executedPlan)
+          println(s"[rehearsal] ivfshuffle cells=$cells final plan: joins=$kinds " +
             s"bnlj=$bnlj cartesian=$cart")
           assert(bnlj == 0 && cart == 0,
-            s"degrade path must not plan BNLJ/cartesian (got bnlj=$bnlj cart=$cart)")
+            s"degrade path must not execute BNLJ/cartesian (got bnlj=$bnlj cart=$cart)")
           assert(kinds.contains("sortmerge") || kinds.contains("shuffledhash"),
             s"probe join must shuffle on cell (got: $kinds)")
-          stageRec.clear()
-          val n = timed(s"ivfTopK shuffle-on-cell (cells=$cells, 1.2Mx20k)")(
-            ivf.count())
           Thread.sleep(500) // async listener bus tail
           import scala.jdk.CollectionConverters._
           stageRec.asScala.toSeq.sortBy(-_._2._3).take(2).foreach {

@@ -224,7 +224,11 @@ object SuiteRehearsal {
         }
         val flipJson =
           if (diff.isEmpty) "null" else "\"" + diff.mkString(" ") + "\""
-        records += f"""  "$name": {"tenx_ran": true, "sf01_s": $t01%.2f, "tenx_s": $t10%.2f, "plan_flip": $flipJson}"""
+        // Locale.ROOT, not the f-interpolator: under a comma-decimal
+        // default locale f"$t01%.2f" emits "2,52" — invalid JSON that
+        // breaks tools/scalecheck.py's json.load.
+        def num(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+        records += s"""  "$name": {"tenx_ran": true, "sf01_s": ${num(t01)}, "tenx_s": ${num(t10)}, "plan_flip": $flipJson}"""
       } catch {
         case e: Throwable =>
           failures += 1

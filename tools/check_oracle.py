@@ -84,7 +84,18 @@ def table_rows(tbl: pa.Table):
                   for i in range(tbl.num_rows)]
 
 
-def connect(sfdir):
+def events_ts_is_integer(sfdir):
+    """Whether events.ts is physically an integer (epoch-nanos) column.
+    Read from the parquet SCHEMA, not a data row: a `SELECT typeof(ts)
+    ... LIMIT 1` probe returns no row on an empty table (fetchone() ->
+    None -> TypeError), and schema is the contract anyway. Computed once
+    per run and passed into connect() — the per-oracle fresh-connection
+    policy must not re-probe the file for every query."""
+    ts = pq.read_schema(f"{sfdir}/events.parquet").field("ts").type
+    return pa.types.is_integer(ts)
+
+
+def connect(sfdir, ts_integer):
     """Fresh per-query connection: a resource failure inside one oracle
     (e.g. a temp-spill ENOSPC) must not poison the connection and
     silently swallow every query after it — the first SCALECHECK run
@@ -101,8 +112,7 @@ def connect(sfdir):
     # TIMESTAMP(NANOS) column truncates to microseconds, and
     # make_timestamp(ts // 1000) reproduces precisely that. No-op on the
     # driver's testdata (ts is already a timestamp there).
-    (ts_type,) = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
-    if ts_type in ("BIGINT", "HUGEINT", "INTEGER", "UBIGINT"):
+    if ts_integer:
         con.execute("DROP VIEW events")
         con.execute(
             "CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
@@ -113,6 +123,7 @@ def connect(sfdir):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ts_integer = events_ts_is_integer(sfdir)
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(f"{outdir}/{d}"))
     fails = 0
@@ -126,7 +137,7 @@ def main():
         if name not in oracle:
             print(f"{name}: rows-only ({spark_tbl.num_rows} rows)"); continue
         try:
-            con = connect(sfdir)
+            con = connect(sfdir, ts_integer)
             try:
                 duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
             finally:

@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""DATACHECK — step ZERO of every round, before sbt/Verify/scalecheck.
+
+Round 10 lost real turns to a silent environment contract change: the
+driver regenerated /root/testdata and events.ts flipped physical type
+TIMESTAMP(NANOS) -> TIMESTAMP(MICROS); 18 tests failed before the cause
+was even located (NOTES_r10.md "Environment change caught mid-round").
+This tool makes that class of change fail LOUDLY and FIRST.
+
+It snapshots, for every table in every /root/testdata/sf* tier:
+  - the Arrow-level schema (name + type, which distinguishes
+    timestamp[ns] / timestamp[us] / int64),
+  - the parquet PHYSICAL type and LOGICAL-type annotation per column
+    (the layer where the r10 flip actually happened),
+  - the row count and file mtime,
+writes DATACHECK_r{N}.json, and diffs against the most recent prior
+DATACHECK_r{M}.json (M < N):
+  - any column added/removed/renamed, or any arrow/physical/logical
+    type change  -> CONTRACT CHANGE, exit 1 (fix the engine's load
+    contract — e.g. sources/EventTime.scala — before running anything)
+  - row-count drift only -> WARN, exit 0 (regeneration with a new seed
+    changes counts benignly; types are the contract)
+  - no prior artifact -> baseline snapshot, exit 0.
+
+Usage: python3 tools/datacheck.py --round N
+         [--testdata /root/testdata] [--repo /root/repo]
+"""
+import argparse, glob, json, os, re, sys
+import pyarrow.parquet as pq
+
+
+def snapshot_file(path):
+    pf = pq.ParquetFile(path)
+    arrow = pf.schema_arrow
+    phys = pf.schema  # ParquetSchema: physical + logical annotations
+    cols = []
+    for i, field in enumerate(arrow):
+        entry = {"name": field.name, "arrow": str(field.type)}
+        # Top-level flat columns map 1:1 onto parquet leaf columns; for
+        # nested types (list/struct) the leaf walk differs, so record
+        # the physical layer only where the mapping is unambiguous.
+        if i < len(phys.names) and phys.column(i).name == field.name:
+            pc = phys.column(i)
+            entry["physical"] = pc.physical_type
+            entry["logical"] = str(pc.logical_type)
+        cols.append(entry)
+    return {
+        "rows": pf.metadata.num_rows,
+        "mtime": os.path.getmtime(path),
+        "columns": cols,
+    }
+
+
+def snapshot(testdata):
+    tables = {}
+    for sfdir in sorted(glob.glob(os.path.join(testdata, "sf*"))):
+        sf = os.path.basename(sfdir)
+        for f in sorted(glob.glob(os.path.join(sfdir, "*.parquet"))):
+            tables[f"{sf}/{os.path.splitext(os.path.basename(f))[0]}"] = \
+                snapshot_file(f)
+    return tables
+
+
+def col_sig(c):
+    return (c["name"], c["arrow"], c.get("physical"), c.get("logical"))
+
+
+def diff(prev, cur):
+    """Returns (contract_changes, warnings) as printable strings."""
+    contract, warns = [], []
+    for key in sorted(set(prev) | set(cur)):
+        if key not in cur:
+            contract.append(f"{key}: table REMOVED")
+            continue
+        if key not in prev:
+            contract.append(f"{key}: table ADDED (new tier or table)")
+            continue
+        p, c = prev[key], cur[key]
+        pc = {col["name"]: col_sig(col) for col in p["columns"]}
+        cc = {col["name"]: col_sig(col) for col in c["columns"]}
+        for name in sorted(set(pc) | set(cc)):
+            if name not in cc:
+                contract.append(f"{key}.{name}: column REMOVED")
+            elif name not in pc:
+                contract.append(f"{key}.{name}: column ADDED")
+            elif pc[name] != cc[name]:
+                contract.append(
+                    f"{key}.{name}: TYPE CHANGED {pc[name][1:]} -> {cc[name][1:]}")
+        if [col["name"] for col in p["columns"]] != \
+           [col["name"] for col in c["columns"]] and \
+           set(pc) == set(cc) and not any(s.startswith(key) for s in contract):
+            contract.append(f"{key}: column ORDER changed")
+        if p["rows"] != c["rows"]:
+            warns.append(f"{key}: rows {p['rows']} -> {c['rows']}")
+        elif p["mtime"] != c["mtime"]:
+            warns.append(f"{key}: regenerated (same schema+rows)")
+    return contract, warns
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--testdata", default="/root/testdata")
+    ap.add_argument("--repo", default="/root/repo")
+    args = ap.parse_args()
+
+    tables = snapshot(args.testdata)
+    out = {"round": args.round, "testdata": args.testdata, "tables": tables}
+
+    prior_round, prior = -1, None
+    for f in glob.glob(os.path.join(args.repo, "DATACHECK_r*.json")):
+        m = re.search(r"DATACHECK_r(\d+)\.json$", f)
+        if m and prior_round < int(m.group(1)) < args.round:
+            prior_round = int(m.group(1))
+            prior = f
+
+    out_path = os.path.join(args.repo, f"DATACHECK_r{args.round:02d}.json")
+    if prior is None:
+        out["baseline"] = True
+        json.dump(out, open(out_path, "w"), indent=1)
+        print(f"DATACHECK r{args.round}: baseline snapshot "
+              f"({len(tables)} tables) -> {out_path}")
+        sys.exit(0)
+
+    prev = json.load(open(prior))["tables"]
+    contract, warns = diff(prev, tables)
+    out["diff_against"] = os.path.basename(prior)
+    out["contract_changes"] = contract
+    out["warnings"] = warns
+    json.dump(out, open(out_path, "w"), indent=1)
+
+    for w in warns:
+        print(f"WARN  {w}")
+    if contract:
+        print(f"\nDATACHECK r{args.round}: *** TESTDATA CONTRACT CHANGED "
+              f"since r{prior_round} ***")
+        for s in contract:
+            print(f"FAIL  {s}")
+        print("\nFix the engine's load contract (see sources/EventTime.scala "
+              "for the r10 precedent) BEFORE running sbt test / Verify / "
+              "scalecheck — their failures will be symptoms of this.")
+        sys.exit(1)
+    print(f"DATACHECK r{args.round}: contract unchanged vs r{prior_round} "
+          f"({len(tables)} tables, {len(warns)} benign warnings) -> {out_path}")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,14 +4,18 @@ directive #2: the full-suite 10x rehearsal ran once, by hand, in round 9;
 this makes it a per-round artifact the judge can diff like CORRECTNESS).
 
 Pipeline (all steps resumable via --skip-* flags):
+  0. `tools/datacheck.py --round N` — the testdata contract preflight
+     (r10's events.ts NANOS->MICROS flip class). A contract change
+     aborts the run before any JVM starts.
   1. `sbt Test/runMain graft.tools.SuiteRehearsal --json` — synthesizes
      the 10x tier (10 id-shifted copies of every scalable sf0.1 table),
      runs all 82 queries at sf0.1 AND 10x through the adaptive executor,
      records per-query timings and final-plan operator-histogram diffs.
-  2. `graft.Verify <tier10x>` in a FRESH JVM for every query whose oracle
-     is tractable at 10x (fresh so q28's fit-at-verify-time stash sees
-     exactly one sfDir and stays unambiguous), then
-     `tools/check_oracle.py` replays the oracles in DuckDB at 10x.
+  2. `graft.Verify <tier10x>` over all tractable-oracle queries in ONE
+     fresh JVM (fresh relative to the rehearsal so q28's
+     fit-at-verify-time stash sees exactly one sfDir and stays
+     unambiguous), then `tools/check_oracle.py` replays the oracles in
+     DuckDB at 10x (one fresh DuckDB connection per oracle).
   3. Merge into SCALECHECK_rN.json: per query
        tenx_ran / sf01_s / tenx_s / plan_flip / flip_audited /
        result_verified / class
@@ -96,6 +100,19 @@ def main():
     ap.add_argument("--skip-verify", action="store_true",
                     help="reuse existing 10x verify outputs + check log")
     args = ap.parse_args()
+
+    # Step zero: the testdata contract preflight. Everything downstream
+    # (rehearsal tier synth, Verify, DuckDB oracles) reads /root/testdata;
+    # a silent physical-schema change there turns into dozens of
+    # misleading downstream failures (r10: 18 test failures before the
+    # NANOS->MICROS flip was located).
+    r = run(["python3", "tools/datacheck.py", "--round", str(args.round)])
+    print(r.stdout, end="")
+    if r.returncode != 0:
+        print(r.stderr, end="")
+        sys.exit("datacheck preflight failed — testdata contract changed; "
+                 "fix the load contract before running the scale gate")
+
     os.makedirs(WORK, exist_ok=True)
     rehearsal_json = f"{WORK}/rehearsal.json"
     verify_dir = f"{WORK}/verify10x"
@@ -127,6 +144,10 @@ def main():
                 timeout=7200)
         open(check_log, "w").write(r.stdout + r.stderr)
         print(r.stdout)
+    if not os.path.exists(check_log):
+        sys.exit(f"--skip-verify given but {check_log} does not exist — "
+                 "run once without --skip-verify first (the resume flags "
+                 "only reuse artifacts from a prior run in the same WORK dir)")
     check = open(check_log).read()
 
     verified = set(re.findall(r"^(\S+): OK \(\d+ rows\)", check, re.M))
