@@ -298,7 +298,50 @@ object Scratch {
       pairs.explain("formatted")
       spark.stop(); return
     }
-    for (name <- args.drop(1)) {
+    if (args.contains("__q37")) {
+      // round-11 directive #5: decompose q37's 2.5 s — is it the
+      // VectorAssembler transform (ML row overhead), the norm kernel,
+      // the global orderBy, or the scan? Median of 3 after one warmup,
+      // noop-forced, at the bench tier.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.ml.feature.VectorAssembler
+      import org.apache.spark.ml.functions.vector_to_array
+      import org.apache.spark.sql.DataFrame
+      def li = graft.sources.EventTime.nanos(
+        spark.read.parquet(s"$dir/lineitem.parquet"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double"), col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double"), col("l_tax").cast("double"))
+      def assembled = new VectorAssembler()
+        .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .setOutputCol("features").transform(li)
+      def normOf(arr: org.apache.spark.sql.Column) =
+        round(sqrt(graft.functions.SeriesFunctions.dotProduct(arr, arr)), 6).as("norm")
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        "scan+project only" -> (() => li),
+        "assembler only" -> (() => assembled.select(col("l_orderkey"), col("features"))),
+        "full q37 (assembler+norm+sort)" -> (() =>
+          assembled.select(col("l_orderkey"), col("l_linenumber"),
+            normOf(vector_to_array(col("features")).cast("array<double>")))
+            .orderBy("l_orderkey", "l_linenumber")),
+        "q37 minus sort" -> (() =>
+          assembled.select(col("l_orderkey"), col("l_linenumber"),
+            normOf(vector_to_array(col("features")).cast("array<double>")))),
+        "array path (no ML) + sort" -> (() =>
+          li.select(col("l_orderkey"), col("l_linenumber"),
+            normOf(array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax"))))
+            .orderBy("l_orderkey", "l_linenumber")))
+      variants.foreach { case (name, build) =>
+        val times = (0 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          build().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.drop(1).sorted
+        println(f"[q37] $name%-32s median=${times(1)}%.2fs (${times.mkString("/").take(40)})")
+      }
+    }
+    for (name <- args.drop(1) if !name.startsWith("__")) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan // forces analysis+optimization+planning

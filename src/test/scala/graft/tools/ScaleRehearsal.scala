@@ -287,6 +287,60 @@ object ScaleRehearsal {
       graft.core.Materialize.releaseCheckpoint(queries)
     }
 
+    if (which("memlimit")) {
+      // ---- memory-pressure rehearsal (round-11 directive #2) ----
+      // The standing 10x SCALECHECK validates plans and results at a
+      // 48g heap; 100 TB kills engines via SPILL behavior, not plan
+      // shape. This case runs the shuffle-heaviest gate queries at the
+      // 10x tier under a deliberately constrained heap (run WITHOUT
+      // SPARK_DRIVER_MEM so build.sbt's default -Xmx8g applies:
+      //   sbt "Test/runMain graft.tools.ScaleRehearsal memlimit"
+      // ) and records spill + peak-execution-memory from the task
+      // metrics. Completion without OOM is the assertion; the table
+      // lands in NOTES_r11.
+      val tier = sys.env.getOrElse("GRAFT_TIER10", "/tmp/graft_suite10x/sf0.1x10")
+      val heapMiB = Runtime.getRuntime.maxMemory() / (1L << 20)
+      println(s"[rehearsal] memlimit heap=${heapMiB}MiB tier=$tier")
+      // (spillMem, spillDisk, peakExecMem-max, shufRead, shufWrite, tasks)
+      val m = new java.util.concurrent.atomic.AtomicReference(
+        (0L, 0L, 0L, 0L, 0L, 0L))
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(e.taskMetrics).foreach { tm =>
+            m.updateAndGet { case (sm, sd, pk, sr, sw, n) =>
+              (sm + tm.memoryBytesSpilled, sd + tm.diskBytesSpilled,
+                math.max(pk, tm.peakExecutionMemory),
+                sr + tm.shuffleReadMetrics.totalBytesRead,
+                sw + tm.shuffleWriteMetrics.bytesWritten, n + 1)
+            }
+            ()
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def gib(b: Long) = f"${b / 1073741824.0}%.2f"
+      try {
+        Seq("q50_tfidf", "q27_dedup_clusters", "q24_embedding_neardup",
+          "q10_knn_eu_k5").foreach { q =>
+          m.set((0L, 0L, 0L, 0L, 0L, 0L))
+          // build INSIDE the timed block: some builders (q27's label
+          // propagation) run their iterative work eagerly at build time
+          val rows = timed(s"memlimit $q (10x tier, ${heapMiB}MiB heap)") {
+            val qe = graft.SparkEntry.queries(q)(spark, tier).queryExecution
+            spark.sparkContext.runJob(qe.toRdd,
+              (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+                var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+              }).sum
+          }
+          Thread.sleep(500) // listener bus tail
+          val (sm, sd, pk, sr, sw, n) = m.get()
+          println(s"[rehearsal] memlimit $q: rows=$rows tasks=$n " +
+            s"spillMemGiB=${gib(sm)} spillDiskGiB=${gib(sd)} " +
+            s"peakExecMemGiB=${gib(pk)} shufReadGiB=${gib(sr)} " +
+            s"shufWriteGiB=${gib(sw)}")
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     if (which("dedupskew")) {
       // ---- 6. exact-dedup keep-first under heavy duplicate skew ----
       // (round-8: dropExactDuplicates moved from a row_number window to
