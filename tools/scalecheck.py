@@ -53,6 +53,23 @@ WORK = "/tmp/graft_scalecheck"
 # jaccard over shingle sets, q60 edit distance, q27 recursive-CTE
 # transitive closure over 500k docs) remain past the 600 s cap.
 # Each stays hash-gated at sf0.01 (driver) and sf0.1.
+#
+# Round 11 re-probed the two then-unargued entries at an 1800 s cap
+# (tools/probe_q27_q60.py) and both are now STRUCTURALLY evidenced:
+#   q60: capped at 1800 s. The blocked levenshtein pair set is measured
+#        157,661 pairs at sf0.1 -> 15,991,100 at 10x (101x: the tier's
+#        9 exact duplicates per doc share lang and length, so every
+#        block's pair count grows quadratically), each pair an O(297^2)
+#        DP — ~1.4e12 DP cells, >3x the cap by construction.
+#   q27: one-shot capped at 1800 s; the verdict-suggested staged
+#        formulation (materialized edges + iterative min-label
+#        propagation replacing the all-pairs recursive closure) shows
+#        shingling takes 4.5 s and the EDGES stage alone consumes the
+#        full 1800 s — the bottleneck is the same all-pairs jaccard
+#        shape whose structural blowup (1.25e9 pairs at 10x, hot-shingle
+#        inverted-index explosion measured r10) is already q15/q22's
+#        documented class. q27 inherits that argument; the closure was
+#        never the problem.
 ORACLE_INTRACTABLE = {
     "q15_ngram_jaccard", "q22_minhash_pairs", "q27_dedup_clusters",
     "q38_ksweep", "q60_editdist_pairs", "q65_kfold_cv",
