@@ -123,7 +123,19 @@ def connect(sfdir, ts_integer):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    ts_integer = events_ts_is_integer(sfdir)
+    # Degrade, don't crash: a missing/corrupt events.parquet here must
+    # still produce the per-query report + failure summary (scalecheck
+    # regex-extracts OK lines from this output; a bare traceback before
+    # any query line would mark everything unverified with no pointer to
+    # which outputs existed). Every oracle touching events then fails
+    # its own connect() with a visible ORACLE SQL ERROR line.
+    try:
+        ts_integer = events_ts_is_integer(sfdir)
+    except Exception as e:
+        print(f"WARN events.parquet unreadable ({type(e).__name__}: {e}); "
+              "assuming timestamp encoding — events oracles will fail "
+              "individually below")
+        ts_integer = False
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(f"{outdir}/{d}"))
     fails = 0
@@ -131,7 +143,10 @@ def main():
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"{name}: NO OUTPUT"); fails += 1; continue
-        spark_tbl = pq.read_table(files[0])
+        try:
+            spark_tbl = pq.read_table(files[0])
+        except Exception as e:
+            print(f"{name}: SPARK OUTPUT UNREADABLE: {e}"); fails += 1; continue
         spark_cols, spark_rows = table_rows(spark_tbl)
         spark_types = {f.name: canon_type(f.type) for f in spark_tbl.schema}
         if name not in oracle:

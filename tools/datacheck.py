@@ -73,7 +73,13 @@ def diff(prev, cur):
             contract.append(f"{key}: table REMOVED")
             continue
         if key not in prev:
-            contract.append(f"{key}: table ADDED (new tier or table)")
+            # A brand-new tier/table cannot break an existing load
+            # contract; failing here would also dead-end the round (every
+            # re-run diffs against the PRIOR round's artifact, so the
+            # "failure" could never clear). Warn loudly instead — this
+            # run's artifact records it, becoming next round's baseline.
+            warns.append(f"{key}: table ADDED (new tier or table — engine "
+                         "coverage for it is a separate question)")
             continue
         p, c = prev[key], cur[key]
         pc = {col["name"]: col_sig(col) for col in p["columns"]}
@@ -105,6 +111,16 @@ def main():
     args = ap.parse_args()
 
     tables = snapshot(args.testdata)
+    # An empty snapshot is never a valid baseline: it means testdata is
+    # missing/empty or --testdata is mistyped. Exiting 0 here would
+    # green-light exactly the broken environment this tool exists to
+    # catch (and, committed as a baseline, would make the NEXT round's
+    # diff report every table as a spurious ADDED contract failure).
+    if not tables:
+        print(f"DATACHECK r{args.round}: *** NO TABLES FOUND under "
+              f"{args.testdata} *** — testdata missing/empty or the "
+              "--testdata path is wrong; refusing to write a snapshot.")
+        sys.exit(1)
     out = {"round": args.round, "testdata": args.testdata, "tables": tables}
 
     prior_round, prior = -1, None

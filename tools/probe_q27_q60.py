@@ -26,7 +26,7 @@ import duckdb
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check_oracle import table_rows, canon_type, events_ts_is_integer  # noqa: E402
+from check_oracle import table_rows, canon_type  # noqa: E402
 
 SH_SQL = """
 CREATE TEMP TABLE sh AS
@@ -46,19 +46,35 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+class CapExceeded(Exception):
+    pass
+
+
 def with_cap(con, cap_s, fn):
-    """Run fn(); interrupt the connection from a watchdog at cap_s."""
+    """Run fn(fired); interrupt the connection from a watchdog at cap_s.
+
+    con.interrupt() only cancels a query that is RUNNING at that moment
+    — a watchdog firing in the gap between two statements of a
+    multi-statement fn is otherwise lost (and the next statement runs
+    uncapped, which at 10x scale can be hours). Multi-statement fns must
+    therefore call the passed-in guard between statements; it raises
+    CapExceeded once the watchdog has fired.
+    """
     fired = threading.Event()
 
     def kill():
         fired.set()
         con.interrupt()
 
+    def guard():
+        if fired.is_set():
+            raise CapExceeded("cap fired between statements")
+
     t = threading.Timer(cap_s, kill)
     t.start()
     t0 = time.time()
     try:
-        out = fn()
+        out = fn(guard)
         return ("ok", time.time() - t0, out)
     except Exception as e:
         kind = "interrupt" if fired.is_set() else "error"
@@ -92,26 +108,15 @@ def compare(name, duck_tbl, outdir):
             f"(set-equal={set(s_rows) == set(d_rows)})")
 
 
-def probe_q60(tier, outdir, cap, oracle_sql):
+def probe_oneshot(name, tier, outdir, cap, oracle_sql):
+    """One capped oracle execution, compared against the Spark output
+    for `name` on completion (shared by the q60 and q27 one-shots)."""
     con = connect(tier)
     status, dt, out = with_cap(
-        con, cap, lambda: con.execute(oracle_sql).fetch_arrow_table())
+        con, cap, lambda _guard: con.execute(oracle_sql).fetch_arrow_table())
     rec = {"status": status, "seconds": round(dt, 1)}
     if status == "ok":
-        rec["compare"] = compare("q60_editdist_pairs", out, outdir)
-    else:
-        rec["detail"] = out
-    con.close()
-    return rec
-
-
-def probe_q27_oneshot(tier, outdir, cap, oracle_sql):
-    con = connect(tier)
-    status, dt, out = with_cap(
-        con, cap, lambda: con.execute(oracle_sql).fetch_arrow_table())
-    rec = {"status": status, "seconds": round(dt, 1)}
-    if status == "ok":
-        rec["compare"] = compare("q27_dedup_clusters", out, outdir)
+        rec["compare"] = compare(name, out, outdir)
     else:
         rec["detail"] = out
     con.close()
@@ -129,14 +134,14 @@ def probe_q27_staged(tier, outdir, cap):
     deadline = time.time() + cap
 
     status, dt, out = with_cap(con, deadline - time.time(),
-                               lambda: con.execute(SH_SQL))
+                               lambda _guard: con.execute(SH_SQL))
     rec["stages"]["shingles"] = {"status": status, "seconds": round(dt, 1)}
     if status != "ok":
         rec["stages"]["shingles"]["detail"] = out
         con.close(); return rec
 
     status, dt, out = with_cap(con, deadline - time.time(),
-                               lambda: con.execute(EDGES_SQL))
+                               lambda _guard: con.execute(EDGES_SQL))
     rec["stages"]["edges"] = {"status": status, "seconds": round(dt, 1)}
     if status != "ok":
         rec["stages"]["edges"]["detail"] = out
@@ -144,24 +149,32 @@ def probe_q27_staged(tier, outdir, cap):
     rec["stages"]["edges"]["rows"] = \
         con.execute("SELECT count(*) FROM edges").fetchone()[0]
 
-    def label_prop():
+    def label_prop(guard):
+        # guard() between statements: the watchdog's con.interrupt() is
+        # lost if it fires while no query is running, and a single
+        # uncapped pass over the 10x edge set can run for hours
+        guard()
         con.execute("""CREATE TEMP TABLE und AS
             SELECT ia AS src, ib AS dst FROM edges
             UNION SELECT ib, ia FROM edges""")
+        guard()
         con.execute("""CREATE TEMP TABLE lab AS
             SELECT doc_id AS node, doc_id AS lbl FROM documents""")
         passes = 0
         while True:
             passes += 1
+            guard()
             con.execute("""CREATE OR REPLACE TEMP TABLE lab2 AS
                 SELECT node, MIN(lbl) AS lbl FROM (
                   SELECT node, lbl FROM lab
                   UNION ALL
                   SELECT u.dst AS node, l.lbl FROM lab l JOIN und u ON u.src = l.node
                 ) GROUP BY node""")
+            guard()
             changed = con.execute(
                 """SELECT count(*) FROM lab JOIN lab2 USING (node)
                    WHERE lab.lbl <> lab2.lbl""").fetchone()[0]
+            guard()
             con.execute("DROP TABLE lab")
             con.execute("ALTER TABLE lab2 RENAME TO lab")
             if changed == 0:
@@ -189,13 +202,13 @@ def main():
     results = {"tier": tier, "cap_seconds": cap}
 
     print(f"[probe] q60 one-shot oracle, cap {cap}s ...", flush=True)
-    results["q60_oneshot"] = probe_q60(tier, outdir, cap,
-                                       oracle["q60_editdist_pairs"])
+    results["q60_oneshot"] = probe_oneshot(
+        "q60_editdist_pairs", tier, outdir, cap, oracle["q60_editdist_pairs"])
     print(f"[probe] q60: {results['q60_oneshot']}", flush=True)
 
     print(f"[probe] q27 one-shot recursive oracle, cap {cap}s ...", flush=True)
-    results["q27_oneshot"] = probe_q27_oneshot(tier, outdir, cap,
-                                               oracle["q27_dedup_clusters"])
+    results["q27_oneshot"] = probe_oneshot(
+        "q27_dedup_clusters", tier, outdir, cap, oracle["q27_dedup_clusters"])
     print(f"[probe] q27 one-shot: {results['q27_oneshot']}", flush=True)
 
     print(f"[probe] q27 staged (edges table + label-prop loop), cap {cap}s ...",

@@ -123,7 +123,11 @@ def main():
     # a silent physical-schema change there turns into dozens of
     # misleading downstream failures (r10: 18 test failures before the
     # NANOS->MICROS flip was located).
-    r = run(["python3", "tools/datacheck.py", "--round", str(args.round)])
+    # --repo pinned to this script's own REPO: datacheck's default is
+    # /root/repo, which would read/write another checkout's artifacts
+    # if this repo lives elsewhere
+    r = run(["python3", "tools/datacheck.py", "--round", str(args.round),
+             "--repo", REPO])
     print(r.stdout, end="")
     if r.returncode != 0:
         print(r.stderr, end="")
