@@ -486,11 +486,41 @@ class MetamorphicDedupSpec extends SparkTestBase {
     assertRows("q27", got, brute)
   }
 
+  // ---- q16: token counting over whitespace/unicode/null edges ----
+  test("fuzz q16: token counts agree with brute tokenization") {
+    val bpeRe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    def bpeCount(t: String): Int = {
+      val m = bpeRe.matcher(t); var c = 0; while (m.find()) c += 1; c
+    }
+    val brute = docs.sortBy(_.doc_id).map { d =>
+      if (d.text == null)
+        (d.doc_id, None: Option[Int], None: Option[Int], None: Option[String])
+      else {
+        val t = toks(d.text)
+        (d.doc_id, Some(t.size), Some(bpeCount(d.text)), t.headOption)
+      }
+    }
+    val got = run("q16_token_count").map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getString(3)))
+    }.toSeq
+    assert(got == brute, s"q16 drifted from brute tokenization (sizes " +
+      s"${got.size}/${brute.size}; first diff: ${
+        got.zip(brute).find { case (x, y) => x != y }})")
+  }
+
   // ---- permutation metamorphism: row order must not matter ----
-  test("fuzz permutation: every dedup/ANN query is invariant to input row order") {
+  // The text-analysis family rides along: q50's top-3-per-doc runs over
+  // a corpus FULL of duplicate texts (massive tf-idf ties), so this
+  // pins the round-before-rank + tie-break-by-term determinism claim
+  // under far denser ties than the driver corpus ever produces.
+  test("fuzz permutation: every dedup/ANN/text query is invariant to input row order") {
     val names = Seq("q14_dedup_exact", "q15_ngram_jaccard", "q20_ann_cosine",
       "q22_minhash_pairs", "q23_simhash_pairs", "q24_embedding_neardup",
-      "q27_dedup_clusters")
+      "q27_dedup_clusters", "q16_token_count", "q17_quality", "q18_langid",
+      "q19_fingerprint", "q50_tfidf", "q72_pii_redact", "q73_repetition")
     names.foreach { n =>
       val a = run(n).toSeq
       val b = run(n, permDir).toSeq
