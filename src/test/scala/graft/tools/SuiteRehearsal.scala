@@ -52,15 +52,23 @@ object SuiteRehearsal {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** 10 id-shifted copies of each scalable table. Shifts are multiples of
-    * 10^6 (orderkeys 10^7) so modulus-based query splits (% 10, % 50,
-    * % 100) land identically on every copy, and foreign keys shift in
-    * lockstep so join fan-outs scale linearly (10x rows, same per-key
-    * match counts) rather than quadratically.
+  /** `reps` id-shifted copies of each scalable table. Shifts are
+    * multiples of 10^6 (orderkeys 10^7) so modulus-based query splits
+    * (% 10, % 50, % 100) land identically on every copy, and foreign
+    * keys shift in lockstep so join fan-outs scale linearly (N x rows,
+    * same per-key match counts) rather than quadratically.
+    *
+    * `only` restricts which tables are written (ScaleRehearsal's
+    * tier100 linearity case synthesizes a 100x tier of just the tables
+    * its linear-path queries read); None writes every table.
     */
-  private def generate(spark: SparkSession): Unit = {
+  private def generate(spark: SparkSession): Unit =
+    generateTier(spark, 10, tier10, None)
+
+  private[tools] def generateTier(spark: SparkSession, nReps: Int,
+      dest: String, only: Option[Set[String]]): Unit = {
     val src = tier01
-    val reps = spark.range(10).select(col("id").as("rep"))
+    val reps = spark.range(nReps.toLong).select(col("id").as("rep"))
     def shifted(table: String, shifts: Map[String, Long]): DataFrame = {
       val df = spark.read.parquet(s"$src/$table.parquet")
       val cols = df.columns.map { c =>
@@ -93,7 +101,7 @@ object SuiteRehearsal {
       // duplicates, the duplicate-heavy shape dedup exists for
       "documents" -> (() => shifted("documents", Map("doc_id" -> 1000000L))),
       "embeddings" -> (() => shifted("embeddings", Map("vec_id" -> 1000000L))))
-    plans.foreach { case (name, build) =>
+    plans.filter(p => only.forall(_.contains(p._1))).foreach { case (name, build) =>
       val (_, dt) = timedSec {
         // testdata contract: each table is ONE parquet FILE (consumers
         // like StreamingOracle.stageStream Files.copy it); write to a
@@ -105,9 +113,9 @@ object SuiteRehearsal {
           try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
           finally walk.close()
         }
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tier10))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
         java.nio.file.Files.move(part,
-          java.nio.file.Paths.get(s"$tier10/$name.parquet"),
+          java.nio.file.Paths.get(s"$dest/$name.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         val walk2 = java.nio.file.Files.walk(tmp)
         try walk2.sorted(java.util.Comparator.reverseOrder())
