@@ -46,8 +46,14 @@ object StreamingClassify {
   def runningUserStats(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    // coalesce BEFORE the typed boundary: the tuple encoder's primitive
+    // double field throws on NULL ("Null value appeared in non-nullable
+    // field") and events.value is nullable. Contract (matches the
+    // oracle's COUNT(*) + SUM-skips-NULL exactly): the row is counted,
+    // a null value contributes 0.
     val typed = events
-      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .select(col("user_id").cast("long"),
+        coalesce(col("value").cast("double"), lit(0.0)))
       .as[(Long, Double)]
     typed.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
@@ -69,8 +75,14 @@ object StreamingClassify {
   def runningUserStatsCents(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    // coalesce BEFORE the typed boundary: the tuple encoder's primitive
+    // double field throws on NULL ("Null value appeared in non-nullable
+    // field") and events.value is nullable. Contract (matches the
+    // oracle's COUNT(*) + SUM-skips-NULL exactly): the row is counted,
+    // a null value contributes 0.
     val typed = events
-      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .select(col("user_id").cast("long"),
+        coalesce(col("value").cast("double"), lit(0.0)))
       .as[(Long, Double)]
     typed.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
@@ -154,15 +166,23 @@ object StreamingClassify {
   def asofEnrichStream(probe: DataFrame, reference: DataFrame): DataFrame = {
     import probe.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // value rides as Option: events.value is nullable, and a primitive
+    // double tuple field throws on NULL at the encoder boundary. A
+    // null-valued reference row still MATCHES (it updates state and
+    // blocks earlier rows — the batch operator's semantics) and
+    // enriches with null; within a tie None orders before every Some,
+    // so a null-valued row loses the greatest-value tie-break
+    // deterministically.
     val p = probe.select(col("id").cast("long"), col("key").cast("long"),
-      col("ts").cast("long"), lit(1).as("side"), lit(0.0).as("value"))
+      col("ts").cast("long"), lit(1).as("side"),
+      lit(null).cast("double").as("value"))
     val r = reference.select(lit(-1L).as("id"), col("key").cast("long"),
       col("ts").cast("long"), lit(0).as("side"), col("value").cast("double"))
-    p.union(r).as[(Long, Long, Long, Int, Double)]
+    p.union(r).as[(Long, Long, Long, Int, Option[Double])]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: Long, it: Iterator[(Long, Long, Long, Int, Double)],
-         state: GroupState[(Long, Double)]) => {
+        (key: Long, it: Iterator[(Long, Long, Long, Int, Option[Double])],
+         state: GroupState[(Long, Option[Double])]) => {
           val rows = it.toArray.sortBy(t => (t._3, t._4, t._5))
           var st = state.getOption
           val out = Seq.newBuilder[(Long, Long, Long, Option[Double])]
@@ -170,7 +190,7 @@ object StreamingClassify {
             if (side == 0) {
               if (st.forall(_._1 <= ts)) { st = Some((ts, v)); state.update((ts, v)) }
             } else {
-              out += ((id, k, ts, st.filter(_._1 <= ts).map(_._2)))
+              out += ((id, k, ts, st.filter(_._1 <= ts).flatMap(_._2)))
             }
           }
           out.result().iterator

@@ -86,11 +86,13 @@ class MetamorphicSpec extends SparkTestBase {
       val types = Array("click", "view", "purchase", "error", "signup")
       val et = if (rng.nextInt(20) == 0) null else types(rng.nextInt(5))
       if (nullBurst == 0 && rng.nextInt(30) == 0) nullBurst = 2 + rng.nextInt(4)
-      // purchases keep non-null values: q71's reference side is typed
-      // Dataset[... Double] (the events-table no-null contract); null
-      // bursts exercise the SQL-null paths (avg skip, payload nulls)
+      // null bursts hit EVERY event type, purchases included: the
+      // streaming as-of and state operators carry nullable values
+      // through their typed boundaries as Option (a null-valued
+      // purchase still matches and blocks earlier ones — this corpus
+      // is what gates that path; the driver corpus has no nulls)
       val v: java.lang.Double =
-        if (et != "purchase" && nullBurst > 0) { nullBurst -= 1; null }
+        if (nullBurst > 0) { nullBurst -= 1; null }
         else java.lang.Double.valueOf(rng.nextInt(2001) * 0.25)
       out += Ev(id, ts, u, et, v, "")
       id += 1
@@ -154,10 +156,13 @@ class MetamorphicSpec extends SparkTestBase {
     val onDayGrid = events.count(e => e.ts % 86400000000000L == 0L)
     val nullValues = events.count(_.value == null)
     val nullTypes = events.count(_.event_type == null)
+    val nullPurchases = events.count(e =>
+      e.event_type == "purchase" && e.value == null)
     val counts = Map("gap==300s" -> secGap300, "(user,ts) ties" -> ties,
       "gap==600e9ns" -> nsGap600, "gap==1800s" -> secGap1800,
       ".999999999 edges" -> subSecEdge, "on-day-grid ts" -> onDayGrid,
-      "null values" -> nullValues, "null event_types" -> nullTypes)
+      "null values" -> nullValues, "null event_types" -> nullTypes,
+      "null purchase values" -> nullPurchases)
     info(counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     counts.foreach { case (k, v) =>
       assert(v > 0, s"generator never produced '$k' — the fuzz is vacuous there")
@@ -295,14 +300,46 @@ class MetamorphicSpec extends SparkTestBase {
     val brute = events.map { e =>
       val es = sec(e.ts)
       val cand = refs.getOrElse(e.user_id, Vector.empty).filter(r => sec(r.ts) <= es)
+      // max over (ts, Option value): greatest ts wins regardless of its
+      // value (a null-valued purchase still blocks earlier ones), and
+      // within a ts tie None < every Some — the engine's sort order
       val v = if (cand.isEmpty) None
-        else Some(cand.map(r => (sec(r.ts), r.value.doubleValue)).max._2)
+        else cand.map(r => (sec(r.ts), Option(r.value).map(_.doubleValue))).max._2
       (e.event_id, e.user_id, es, v)
     }
     val got = run("q71_stream_asof").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
     assertRows("q71", got, brute)
+  }
+
+  // ---- q68: watermarked streaming dedup — distinct (user, type) keys.
+  //      The staged corpus is ONE file -> one micro-batch, so (like the
+  //      driver gate) within-batch dedup sees every row and the key set
+  //      equals batch DISTINCT; eviction across batches is exercised by
+  //      ScaleRehearsal's stream case. Null event_type rides the fuzz
+  //      corpus (a dedup KEY column the driver corpus never nulls). ----
+  test("fuzz q68: stream dedup key set equals brute distinct keys") {
+    val brute = events.map(e => (e.user_id, Option(e.event_type))).distinct
+    val got = run("q68_stream_dedup").map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getString(1)))).toSeq
+    assertRows("q68", got, brute)
+  }
+
+  // ---- q69: mapGroupsWithState running totals — the typed
+  //      Dataset[(Long, Double)] path meeting NULL values (the driver
+  //      corpus has none, so this path is otherwise ungated). Contract:
+  //      COUNT(*) counts every row, a null value contributes 0 cents —
+  //      identical to the oracle's SUM-skips-NULL semantics. ----
+  test("fuzz q69: stream state totals agree with brute per-user cents") {
+    val brute = events.groupBy(_.user_id).toSeq.map { case (u, evs) =>
+      val cents = evs.map(e =>
+        if (e.value == null) 0L else math.round(e.value.doubleValue * 100)).sum
+      (u, evs.size.toLong, cents / 100.0)
+    }
+    val got = run("q69_stream_state").map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assertRows("q69", got, brute)
   }
 
   // ---- direct GapFill micro-fuzz: negative spans, sub-step spans,
