@@ -342,6 +342,55 @@ class MetamorphicSpec extends SparkTestBase {
     assertRows("q69", got, brute)
   }
 
+  // ---- q69 across REAL micro-batches: the gate's bounded replay is a
+  //      single batch (one staged file), so cross-batch state
+  //      persistence is otherwise only exercised at rehearsal scale.
+  //      Round-robin split -> every user's events span all 4 batches;
+  //      the final update-mode emission per user must equal the
+  //      whole-corpus totals (integer-cents state is batch-split-free
+  //      BY DESIGN — this pins it generatively, nulls included). ----
+  test("fuzz q69-multibatch: state accumulates across micro-batches to the same totals") {
+    val dir = graft.core.TempDirs.scratch("graft_meta_multibatch")
+    events.zipWithIndex.groupBy(_._2 % 4).toSeq.sortBy(_._1).foreach {
+      case (i, part) =>
+        val tmp = graft.core.TempDirs.scratch(s"graft_meta_mb_$i")
+        part.map(_._1).toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val walk = java.nio.file.Files.list(tmp)
+        val f = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally walk.close()
+        java.nio.file.Files.move(f, dir.resolve(f"part$i%02d.parquet"))
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.sources.EventTime.nanos(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
+    val out = graft.streaming.StreamingClassify.runningUserStatsCents(stream)
+    val qname = "graft_meta_mb_sink"
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName(qname).start()
+    val batches = try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+      finally q.stop()
+    val sink = spark.table(qname).collect()
+    spark.catalog.dropTempView(qname)
+    assert(batches >= 3, s"expected a genuinely multi-batch run, got $batches")
+    // memory sink in update mode APPENDS each batch's emissions: the
+    // final state per user is its row with the greatest running count
+    val finals = sink.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSeq
+    val brute = events.groupBy(_.user_id).toSeq.map { case (u, evs) =>
+      val cents = evs.map(e =>
+        if (e.value == null) 0L else math.round(e.value.doubleValue * 100)).sum
+      (u, evs.size.toLong, cents / 100.0)
+    }
+    assertRows("q69-multibatch", finals, brute)
+    // and every user must have emitted MORE than once (state really
+    // crossed batch boundaries rather than arriving in one batch)
+    val multi = sink.map(r => r.getLong(0)).groupBy(identity)
+      .count(_._2.length > 1)
+    assert(multi > brute.size / 2,
+      s"only $multi of ${brute.size} users emitted across multiple batches")
+  }
+
   // ---- direct GapFill micro-fuzz: negative spans, sub-step spans,
   //      on-grid singles, duplicate-ts collapse (q62b's edge family) ----
   test("fuzz gapfill-direct: resampleLinear agrees with brute on adversarial micro sets") {
