@@ -107,10 +107,10 @@ class MetamorphicSpec extends SparkTestBase {
     * that exact path), ts as int64 epoch-nanos — one of the physical
     * encodings EventTime.nanos owns.
     */
-  private lazy val fuzzDir: String = {
+  private def stageEvents(evs: Vector[Ev]): String = {
     val dir = graft.core.TempDirs.scratch("graft_metamorphic")
     val tmp = graft.core.TempDirs.scratch("graft_metamorphic_stage")
-    events.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val walk = java.nio.file.Files.list(tmp)
     val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
       finally walk.close()
@@ -118,8 +118,12 @@ class MetamorphicSpec extends SparkTestBase {
     dir.toString
   }
 
-  private def run(name: String): Array[Row] =
-    SparkEntry.queries(name)(spark, fuzzDir).collect()
+  private lazy val fuzzDir: String = stageEvents(events)
+  private lazy val permDir: String =
+    stageEvents(new scala.util.Random(20260814L).shuffle(events))
+
+  private def run(name: String, dir: String = null): Array[Row] =
+    SparkEntry.queries(name)(spark, if (dir == null) fuzzDir else dir).collect()
 
   private def sec(ns: Long): Long = Math.floorDiv(ns, 1000000000L)
 
@@ -389,6 +393,27 @@ class MetamorphicSpec extends SparkTestBase {
       .count(_._2.length > 1)
     assert(multi > brute.size / 2,
       s"only $multi of ${brute.size} users emitted across multiple batches")
+  }
+
+  // ---- permutation metamorphism over the events-analytics family:
+  //      row order must not matter. The corpus's 495 (user, ts) ties
+  //      make this bite — a window ordered by ts alone, a
+  //      partitioning-dependent sample, or arrival-order-sensitive
+  //      bounded streaming state would all diverge here (q64's
+  //      hash-membership sampling CLAIMS reproducibility across
+  //      partitionings; this is the generative test of that claim). ----
+  test("fuzz permutation: every events-family query is invariant to input row order") {
+    val names = Seq("q42_sessionize", "q47_asof_join", "q49_range_join",
+      "q56_json", "q57_daily", "q58_moving_window", "q62_gapfill",
+      "q64_sample", "q67_stream_window", "q68_stream_dedup",
+      "q69_stream_state", "q70_stream_interval_join", "q71_stream_asof")
+    names.foreach { n =>
+      val a = run(n).toSeq
+      val b = run(n, permDir).toSeq
+      assert(a == b, s"$n changed under an input permutation " +
+        s"(sizes ${a.size}/${b.size}; first diff: ${
+          a.zip(b).find { case (x, y) => x != y }})")
+    }
   }
 
   // ---- direct GapFill micro-fuzz: negative spans, sub-step spans,
