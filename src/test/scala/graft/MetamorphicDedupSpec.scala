@@ -179,6 +179,26 @@ class MetamorphicDedupSpec extends SparkTestBase {
     }
     if (s % 6 == 0) out += MetaEmb(nid(),
       Array.fill(DIM - 3)((rng.nextInt(33) - 16) * 0.25f), lbl())
+    // KNN-family plants (vec_id parity splits train=even / test=odd):
+    //  - an identical vector on BOTH parities: the resulting dist==0.0
+    //    pair must be dropped by excludeZeroDistance;
+    //  - an equidistance triple (test t with trains t+d and t-d —
+    //    quarter-multiple floats make the two distances bit-identical):
+    //    the (dist, train_id) rank and the vote comparator must decide.
+    def pad(parity: Int): Unit =
+      if (idx % 2 != parity) out += MetaEmb(nid(), baseVec(), lbl())
+    locally {
+      val v = pickNZ()
+      pad(0); out += MetaEmb(nid(), v.clone(), lbl())
+      pad(1); out += MetaEmb(nid(), v.clone(), lbl())
+    }
+    locally {
+      val t = baseVec()
+      val d = Array.fill(DIM)((rng.nextInt(9) - 4) * 0.25f)
+      pad(1); out += MetaEmb(nid(), t, lbl())
+      pad(0); out += MetaEmb(nid(), t.zip(d).map { case (a, b) => a + b }, lbl())
+      pad(0); out += MetaEmb(nid(), t.zip(d).map { case (a, b) => a - b }, lbl())
+    }
     // threshold-skimming pair: b = t*â + sqrt(1-t²)*û with û ⊥ a, then
     // FLOAT-rounded — cos(a, b) lands within ~1e-6 of t, probing the
     // 6-dp round-then-compare edge from both sides across seeds
@@ -344,6 +364,10 @@ class MetamorphicDedupSpec extends SparkTestBase {
         if !c.isNaN && math.abs(roundN(c, 6) - 0.3) <= 2e-6 } yield 1).size
     }
     val nQueries = embs.count(_.vec_id % 10 == 0)
+    val crossParityDups = {
+      val even = embs.filter(_.vec_id % 2 == 0).map(_.embedding.toSeq).toSet
+      embs.count(e => e.vec_id % 2 == 1 && even(e.embedding.toSeq))
+    }
     val counts = Map("exact-dup groups" -> exactDupGroups,
       "token-identical text-different pairs" -> tokIdentNotExact,
       "jaccard == 0.3" -> atThreshold, "jaccard in [0.25,0.3)" -> justBelow,
@@ -352,7 +376,8 @@ class MetamorphicDedupSpec extends SparkTestBase {
       "unicode docs" -> unicodeDocs, "duplicate vectors" -> dupVecPairs,
       "zero vectors" -> zeroVecs, "NaN vectors" -> nanVecs,
       "short vectors" -> shortVecs, "cos within 1e-6 of 0.3" -> nearCos,
-      "ANN queries" -> nQueries)
+      "ANN queries" -> nQueries,
+      "cross-parity identical vectors" -> crossParityDups)
     info(counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     counts.foreach { case (k, v) =>
       assert(v > 0, s"generator never produced '$k' — the fuzz is vacuous there")
@@ -466,6 +491,52 @@ class MetamorphicDedupSpec extends SparkTestBase {
         s"first diff: ${got.zip(brute).find { case (x, y) => x != y }}")
   }
 
+  // ---- q9/q10: flagship KNN — brute 1-NN min-by and k=5 majority vote
+  //      with planted exact distance ties (t±d trains), cross-parity
+  //      identical vectors (the excludeZeroDistance drop), NaN and
+  //      length-mismatched vectors ----
+  test("fuzz q9/q10: KNN classification agrees with brute vote semantics") {
+    val train = embs.filter(_.vec_id % 2 == 0)
+    val test = embs.filter(_.vec_id % 2 == 1)
+    // Kernels.sqdist replica: common-prefix squared deltas, missing
+    // tail as distance-to-zero, then sqrt
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val n = math.min(ad.length, bd.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = ad(i) - bd(i); s += d * d; i += 1 }
+      var j = n
+      while (j < ad.length) { s += ad(j) * ad(j); j += 1 }
+      while (j < bd.length) { s += bd(j) * bd(j); j += 1 }
+      math.sqrt(s)
+    }
+    // SQL double ordering: NaN greatest, then train_id ascending
+    val ord = new Ordering[(Double, Long, Int)] {
+      def compare(x: (Double, Long, Int), y: (Double, Long, Int)): Int = {
+        val c = negCmp(x._1, y._1)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      }
+    }
+    def candidates(te: MetaEmb): Seq[(Double, Long, Int)] =
+      train.map(tr => (dist(te.embedding, tr.embedding), tr.vec_id, tr.label))
+        .filter(_._1 != 0.0) // excludeZeroDistance (NaN != 0.0 -> kept)
+        .sorted(ord)
+    val brute9 = test.map { te =>
+      (te.vec_id, candidates(te).head._3) // min (dist, train_id) -> label
+    }
+    val got9 = run("q9_knn_eu_k1").map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assertRows("q9", got9, brute9)
+    val brute10 = test.map { te =>
+      val top5 = candidates(te).take(5).zipWithIndex
+      val votes = top5.groupBy(_._1._3).toSeq.map { case (lbl, g) =>
+        (g.size, g.map(_._2 + 1).min, lbl) } // (votes, best_rank, label)
+      val win = votes.sortBy { case (v, br, l) => (-v, br, l) }.head._3
+      (te.vec_id, win)
+    }
+    val got10 = run("q10_knn_eu_k5").map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assertRows("q10", got10, brute10)
+  }
+
   // ---- q27: labels == union-find over the engine's OWN q22 edge set ----
   test("fuzz q27: cluster labels equal union-find over the engine's edges") {
     val edges = run("q22_minhash_pairs").map(r => (r.getLong(0), r.getLong(1)))
@@ -520,7 +591,8 @@ class MetamorphicDedupSpec extends SparkTestBase {
     val names = Seq("q14_dedup_exact", "q15_ngram_jaccard", "q20_ann_cosine",
       "q22_minhash_pairs", "q23_simhash_pairs", "q24_embedding_neardup",
       "q27_dedup_clusters", "q16_token_count", "q17_quality", "q18_langid",
-      "q19_fingerprint", "q50_tfidf", "q72_pii_redact", "q73_repetition")
+      "q19_fingerprint", "q50_tfidf", "q72_pii_redact", "q73_repetition",
+      "q9_knn_eu_k1", "q10_knn_eu_k5")
     names.foreach { n =>
       val a = run(n).toSeq
       val b = run(n, permDir).toSeq
