@@ -13,6 +13,44 @@ class KernelsSpec extends AnyFunSuite {
     (1 to trials).foreach { _ => check(randomSeries(rnd), randomSeries(rnd)) }
   }
 
+  /** Textbook O(n*m) 2D-table DTW with a plain |i-j| <= band index
+    * window — an independent reference for the kernel's rolling-row
+    * scratch-reuse DP (same |x-y| point cost, min(diag, up, left)
+    * recurrence, so every reachable cell is built by the identical
+    * float expression and equality below is EXACT, not approximate).
+    */
+  private def bruteDtw(a: Array[Double], b: Array[Double], band: Int): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return if (n == 0 && m == 0) 0.0 else Double.PositiveInfinity
+    val INF = Double.PositiveInfinity
+    val dp = Array.fill(n + 1, m + 1)(INF)
+    dp(0)(0) = 0.0
+    for (i <- 1 to n; j <- 1 to m)
+      if (band < 0 || math.abs(i - j) <= band) {
+        val best = math.min(dp(i - 1)(j - 1), math.min(dp(i - 1)(j), dp(i)(j - 1)))
+        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) + best // inf + cost = inf
+      }
+    dp(n)(m)
+  }
+
+  test("dtw fuzz: banded kernel equals brute 2D DP exactly over 400 random cases") {
+    val rnd = new scala.util.Random(0xD7B4)
+    val bands = Array(-1, 0, 1, 2, 5, 100)
+    (1 to 400).foreach { _ =>
+      def mk(): Array[Double] = {
+        val len = rnd.nextInt(13) // 0..12, empty included
+        if (rnd.nextBoolean()) Array.fill(len)((rnd.nextInt(81) - 40) * 0.25)
+        else Array.fill(len)(rnd.nextDouble() * 20 - 10)
+      }
+      val a = mk(); val b = mk()
+      val band = bands(rnd.nextInt(bands.length))
+      val got = Kernels.dtw(a, b, band)
+      val want = bruteDtw(a, b, band)
+      assert(got == want,
+        s"dtw mismatch band=$band got=$got want=$want a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
   test("euclidean matches hand-computed values") {
     assert(Kernels.euclidean(Array(0.0, 0.0), Array(3.0, 4.0)) === 5.0)
     assert(Kernels.euclidean(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)) === 0.0)
