@@ -763,11 +763,15 @@ object SparkEntry {
     // pivot values keep the plan one-pass (no distinct-scan) and the
     // output schema static.
     "q53_pivot" -> ((s, dir) => {
+      // fill ONLY the pivoted count columns: an unrestricted na.fill(0)
+      // also rewrites a null GROUP KEY to 0, silently merging the
+      // null-user group into real user 0 (found by the relational fuzz)
+      val cells = Seq("click", "view", "purchase", "signup", "error")
       t(s, dir, "events")
         .groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .pivot("event_type", cells)
         .agg(count(lit(1)))
-        .na.fill(0L)
+        .na.fill(0L, cells)
         .orderBy("user_id")
     }),
 
@@ -809,9 +813,13 @@ object SparkEntry {
     // structured props columns are universal in event pipelines):
     // pull props.k out of the JSON string, aggregate per event type.
     "q56_json" -> ((s, dir) => {
+      // try_cast, not cast: under Spark 4's default ANSI mode a single
+      // non-integral/malformed k ('{"k": 3.9}') would FAIL the whole
+      // job instead of contributing null (found by the relational fuzz;
+      // the DuckDB oracle's TRY_CAST has the same null-on-bad semantics)
       t(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') as long)").as("k"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("k_sum"),
           round(avg(col("k")), 6).as("k_avg"),
@@ -2115,8 +2123,8 @@ object SparkEntry {
 
     "q56_json" ->
       """SELECT event_type,
-                CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
-                ROUND(AVG(CAST(props->>'k' AS BIGINT)), 6) AS k_avg,
+                CAST(SUM(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+                ROUND(AVG(TRY_CAST(props->>'k' AS BIGINT)), 6) AS k_avg,
                 COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
 

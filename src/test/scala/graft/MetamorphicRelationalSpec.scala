@@ -1,0 +1,514 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Randomized metamorphic fuzz for the RELATIONAL / AGGREGATE family —
+  * the fourth family extension of round-11 directive #4 (temporal,
+  * dedup/ANN/KNN, and text already have generative brute-reference
+  * coverage). ~100 seeded corpora staged as real single-file parquet
+  * tables (events, lineitem, customer, orders) and driven through the
+  * REAL gate surface (`SparkEntry.queries`), compared against
+  * brute-force Scala references — independent of both Spark and DuckDB.
+  *
+  * The driver corpus contains no null keys, no null group values, and
+  * few exact ties, so these comparator edges were previously pinned only
+  * by construction, not generatively:
+  *
+  *  - q5 mode: tied top counts (lex-smallest type wins) INCLUDING a
+  *    null event type in the tie — the window's `orderBy(c desc,
+  *    event_type)` sorts nulls FIRST among equal counts, so a null type
+  *    beats every string at the same count (pinned engine behavior);
+  *  - q7 argmin: `min_by` over `struct(value, event_id)` with null
+  *    values planted — a null struct field orders before every non-null
+  *    value, so a null-valued event wins its user's argmin (pinned);
+  *  - q51 rollup / q59 cube: DATA nulls in the grouping columns collide
+  *    visually with subtotal-marker nulls — both rows must appear, and
+  *    a flag whose rows are ALL null-status makes the (f, null) data
+  *    group and the (f) subtotal byte-identical twins (multiplicity
+  *    checked, not just set membership);
+  *  - q52 percentiles: Spark's exact two-sided interpolation
+  *    `(hi − pos)·v[lo] + (pos − lo)·v[hi]` at positions landing on and
+  *    off integers, single-value and two-value groups, and an
+  *    all-null-value event type (percentiles null, count positive);
+  *  - q54 semi/anti: null join keys on BOTH sides (equi-join nulls
+  *    never match → semi drops, anti keeps), and null c_nationkey
+  *    groups on both aggregate branches — the full-outer recombination
+  *    does NOT merge them (nulls don't equi-join), yielding two
+  *    null-keyed rows (pinned);
+  *  - q55 set ops: INTERSECT/EXCEPT use null-safe equality — a null
+  *    user_id present on both sides lands in "both";
+  *  - q56 JSON extraction: absent keys, malformed JSON, quoted and
+  *    non-integral numerics through the `cast(long)` (non-ANSI → null),
+  *    null and empty props;
+  *  - q53 pivot: event types OUTSIDE the explicit value list are
+  *    dropped entirely; missing (user, type) cells fill 0;
+  *  - q3 window top-k: duplicate o_totalprice ties broken by o_orderkey.
+  *
+  * q51/q59/q54 order their outputs by non-unique keys once nulls are
+  * planted, so cross-staging comparisons sort client-side; every other
+  * query's orderBy key is unique and sequences compare exactly.
+  */
+private[graft] case class FzEv(event_id: Long, ts: Long,
+    user_id: java.lang.Long, event_type: String, value: java.lang.Double,
+    props: String)
+private[graft] case class FzLi(l_orderkey: Long, l_quantity: Double,
+    l_extendedprice: Double, l_discount: java.lang.Double,
+    l_tax: java.lang.Double, l_returnflag: String, l_linestatus: String)
+private[graft] case class FzCu(c_custkey: java.lang.Long,
+    c_nationkey: java.lang.Integer)
+private[graft] case class FzOr(o_orderkey: Long, o_custkey: java.lang.Long,
+    o_totalprice: Double)
+
+class MetamorphicRelationalSpec extends SparkTestBase {
+
+  private val SEEDS = 100
+
+  private val types = Vector("click", "view", "purchase", "signup", "error")
+
+  // quarter-multiple doubles: every sum/interpolation is exactly
+  // representable, so group totals are summation-order-free and the
+  // fuzz targets comparators, not float accumulation
+  private def q4v(rng: scala.util.Random, n: Int): Double =
+    rng.nextInt(n) * 0.25
+
+  private val jsonPlants = Vector(
+    """{"k": 5}""", """{"k": -12}""", """{"k": 0}""", """{"k": "7"}""",
+    """{"k": 3.9}""", """{"j": 1}""", """{k:1}""", "", null,
+    """{"k": null}""", """ {"k": 21} """)
+
+  /** get_json_object("$.k") + cast(long) brute semantics over the
+    * CONTROLLED plant shapes above: integral k (bare or quoted) parses,
+    * non-integral / absent / malformed / null-literal / null props → null.
+    */
+  private def bruteK(props: String): Option[Long] = props match {
+    case """{"k": 5}""" => Some(5L)
+    case """{"k": -12}""" => Some(-12L)
+    case """{"k": 0}""" => Some(0L)
+    case """{"k": "7"}""" => Some(7L)
+    case """ {"k": 21} """ => Some(21L)
+    case _ => None
+  }
+
+  private def genEvents(s: Int): Vector[FzEv] = {
+    val rng = new scala.util.Random(0x4E1A70L + s)
+    var idx = 0
+    def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
+    def ts(): Long = math.abs(rng.nextLong() % 1000000L) * 1000000L
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val out = Vector.newBuilder[FzEv]
+    def ev(u: java.lang.Long, et: String, v: java.lang.Double): Unit =
+      out += FzEv(nid(), ts(), u, et,
+        v, jsonPlants(rng.nextInt(jsonPlants.size)))
+    def rv(): java.lang.Double =
+      if (rng.nextInt(6) == 0) null else java.lang.Double.valueOf(q4v(rng, 400))
+    val u0 = jl(s * 100L); val u1 = jl(s * 100L + 1); val u2 = jl(s * 100L + 2)
+    // mode tie between two string types: lex-smallest wins
+    val (ta, tb) = (types(rng.nextInt(types.size)), types(rng.nextInt(types.size)))
+    ev(u0, ta, rv()); ev(u0, ta, rv()); ev(u0, tb, rv()); ev(u0, tb, rv())
+    if (rng.nextBoolean()) ev(u0, types(rng.nextInt(types.size)), rv())
+    // mode tie INCLUDING a null event type: null sorts first at equal counts
+    ev(u1, null, rv()); ev(u1, null, rv())
+    ev(u1, "click", rv()); ev(u1, "click", rv())
+    // singleton user
+    ev(u2, if (rng.nextBoolean()) "other" else types(rng.nextInt(types.size)), rv())
+    // argmin plants: an exact duplicate minimum value (event_id breaks
+    // the struct tie) and a null-valued event that must WIN the argmin
+    locally {
+      val u3 = jl(s * 100L + 3)
+      val v = java.lang.Double.valueOf(q4v(rng, 40))
+      ev(u3, "view", v); ev(u3, "click", v)
+      ev(u3, "error", java.lang.Double.valueOf(v.doubleValue() + 0.25))
+    }
+    locally {
+      val u4 = jl(s * 100L + 4)
+      ev(u4, "view", java.lang.Double.valueOf(-q4v(rng, 40) - 0.25))
+      ev(u4, "click", null)
+    }
+    // null user_id events on both q55 sides: null-safe set-op equality
+    if (s % 4 == 0) { ev(null, "click", rv()); ev(null, "error", rv()) }
+    if (s % 7 == 0) ev(null, "click", rv())
+    // the all-null-value percentile group (coordinated across seeds)
+    ev(jl(s * 100L + 5), "nilval", null)
+    // generic rows: random types (some outside the pivot list), values
+    (0 until 4 + rng.nextInt(5)).foreach { _ =>
+      val et = rng.nextInt(8) match {
+        case 0 => "other"
+        case 1 => null
+        case _ => types(rng.nextInt(types.size))
+      }
+      ev(jl(s * 100L + rng.nextInt(6)), et, rv())
+    }
+    out.result()
+  }
+
+  private def genLineitem(s: Int): Vector[FzLi] = {
+    val rng = new scala.util.Random(0x11E17E3L + s)
+    var idx = 0
+    def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
+    val out = Vector.newBuilder[FzLi]
+    def li(f: String, st: String): Unit =
+      out += FzLi(nid(), q4v(rng, 200), q4v(rng, 4000),
+        if (rng.nextInt(5) == 0) null else java.lang.Double.valueOf(q4v(rng, 40)),
+        if (rng.nextInt(5) == 0) null else java.lang.Double.valueOf(q4v(rng, 40)),
+        f, st)
+    val flags = Vector("A", "N", null)
+    val stats = Vector("F", "O", null)
+    (0 until 8 + rng.nextInt(5)).foreach { _ =>
+      li(flags(rng.nextInt(flags.size)), stats(rng.nextInt(stats.size)))
+    }
+    // flag "R" rows are ALL null-status in EVERY seed: its (R, null)
+    // data group and its (R) rollup subtotal are byte-identical twins
+    (0 until 1 + rng.nextInt(3)).foreach(_ => li("R", null))
+    out.result()
+  }
+
+  private def genCustomers(s: Int): Vector[FzCu] = {
+    val rng = new scala.util.Random(0xC0570AE2L + s)
+    val out = Vector.newBuilder[FzCu]
+    def ji(x: Int): java.lang.Integer = java.lang.Integer.valueOf(x)
+    (0 until 6 + rng.nextInt(4)).foreach { i =>
+      val nk = rng.nextInt(8) match {
+        case 0 => null
+        case n => ji(n % 4)
+      }
+      out += FzCu(java.lang.Long.valueOf(s * 100L + i), nk)
+    }
+    // null join key: never matches an order — always counted anti-side
+    if (s % 3 == 0) out += FzCu(null, ji(rng.nextInt(4)))
+    // null key AND null nation: exercises the null-keyed anti aggregate
+    if (s % 6 == 0) out += FzCu(null, null)
+    out.result()
+  }
+
+  private def genOrders(s: Int): Vector[FzOr] = {
+    val rng = new scala.util.Random(0x02DE25L + s)
+    var idx = 0
+    def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
+    val out = Vector.newBuilder[FzOr]
+    // orders for roughly half this seed's customers (some twice), plus
+    // dangling custkeys and null custkeys
+    (0 until 6 + rng.nextInt(5)).foreach { _ =>
+      val ck: java.lang.Long = rng.nextInt(10) match {
+        case 0 => null
+        case 1 => java.lang.Long.valueOf(s * 100L + 90 + rng.nextInt(5)) // dangling
+        case _ => java.lang.Long.valueOf(s * 100L + rng.nextInt(5))
+      }
+      out += FzOr(nid(), ck, q4v(rng, 2000))
+    }
+    // duplicate-totalprice tie inside one customer's top-3 window
+    locally {
+      val ck = java.lang.Long.valueOf(s * 100L)
+      val p = q4v(rng, 2000)
+      (0 until 4).foreach(_ => out += FzOr(nid(), ck, p))
+    }
+    out.result()
+  }
+
+  private lazy val events: Vector[FzEv] = (0 until SEEDS).flatMap(genEvents).toVector
+  private lazy val lineitem: Vector[FzLi] = (0 until SEEDS).flatMap(genLineitem).toVector
+  private lazy val customers: Vector[FzCu] = (0 until SEEDS).flatMap(genCustomers).toVector
+  private lazy val orders: Vector[FzOr] = (0 until SEEDS).flatMap(genOrders).toVector
+
+  private def stage(ev: Vector[FzEv], li: Vector[FzLi], cu: Vector[FzCu],
+      or: Vector[FzOr]): String = {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratch("graft_meta_rel")
+    def one(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = graft.core.TempDirs.scratch("graft_meta_rel_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val walk = java.nio.file.Files.list(tmp)
+      val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally walk.close()
+      java.nio.file.Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+    one(ev.toDF(), "events"); one(li.toDF(), "lineitem")
+    one(cu.toDF(), "customer"); one(or.toDF(), "orders")
+    dir.toString
+  }
+
+  private lazy val fuzzDir: String = stage(events, lineitem, customers, orders)
+  private lazy val permDir: String = {
+    val rng = new scala.util.Random(20260814L)
+    stage(rng.shuffle(events), rng.shuffle(lineitem), rng.shuffle(customers),
+      rng.shuffle(orders))
+  }
+
+  private def run(name: String, dir: String = null): Array[Row] =
+    SparkEntry.queries(name)(spark, if (dir == null) fuzzDir else dir).collect()
+
+  private def rN(d: Double, n: Int): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def assertRows[T](name: String, got: Seq[T], want: Seq[T]): Unit = {
+    val g = got.toSet; val w = want.toSet
+    assert(g == w, s"$name disagreed with brute reference: " +
+      s"engine-only=${(g -- w).take(5)} brute-only=${(w -- g).take(5)}")
+    // multiplicity too: rollup/cube twins must appear the right number
+    // of times, not just be present
+    assert(got.map(String.valueOf(_)).sorted == want.map(String.valueOf(_)).sorted,
+      s"$name multiplicity drift: engine=${got.size} rows, brute=${want.size}")
+  }
+
+  private def dOrNull(r: Row, i: Int): Any =
+    if (r.isNullAt(i)) null else r.getDouble(i).asInstanceOf[Any]
+  private def lOrNull(r: Row, i: Int): Any =
+    if (r.isNullAt(i)) null else r.getLong(i).asInstanceOf[Any]
+
+  // ---- generator adequacy ----
+  test("relational fuzz generator: the corpus exercises every probed class") {
+    val modeTies = events.filter(_.user_id != null).groupBy(_.user_id)
+      .count { case (_, evs) =>
+        val c = evs.groupBy(_.event_type).view.mapValues(_.size)
+        val mx = c.values.max
+        c.values.count(_ == mx) >= 2
+      }
+    val nullTypeTieUsers = events.filter(e =>
+      e.user_id != null && e.user_id % 100 == 1).map(_.user_id).distinct.size
+    val nullValArgminUsers = events.filter(_.user_id != null)
+      .groupBy(_.user_id).count(_._2.exists(_.value == null))
+    val nilvalRows = events.count(_.event_type == "nilval")
+    assert(events.count(e => e.event_type == "nilval" && e.value != null) == 0,
+      "nilval group must stay all-null")
+    val nullUserBoth = events.exists(e => e.user_id == null && e.event_type == "click") &&
+      events.exists(e => e.user_id == null && e.event_type == "error")
+    val dataNullFlags = lineitem.count(_.l_returnflag == null)
+    val allNullStatusR = lineitem.filter(_.l_returnflag == "R")
+    val nullCust = customers.count(_.c_custkey == null)
+    val nullNation = customers.count(_.c_nationkey == null)
+    val nullOrderKeys = orders.count(_.o_custkey == null)
+    val custNoOrders = {
+      val ok = orders.flatMap(o => Option(o.o_custkey).map(_.longValue())).toSet
+      customers.count(c => c.c_custkey != null && !ok(c.c_custkey.longValue()))
+    }
+    val priceTies = orders.groupBy(o => (o.o_custkey, o.o_totalprice))
+      .count(_._2.size >= 2)
+    val droppedTypes = events.count(e =>
+      e.event_type != null && !types.contains(e.event_type))
+    assert(modeTies > 0, "no mode-tie users")
+    assert(nullTypeTieUsers > 0, "no null-type mode ties")
+    assert(nullValArgminUsers > 0, "no null-value argmin plants")
+    assert(nilvalRows > 0, "no all-null percentile group")
+    assert(nullUserBoth, "null user_id missing from a q55 side")
+    assert(dataNullFlags > 0, "no data-null grouping keys in lineitem")
+    assert(allNullStatusR.nonEmpty && allNullStatusR.forall(_.l_linestatus == null),
+      "flag R must exist with all-null status")
+    assert(nullCust > 0 && nullNation > 0 && nullOrderKeys > 0,
+      "null join/group keys missing")
+    assert(custNoOrders > 0, "no order-less customers")
+    assert(priceTies > 0, "no duplicate-totalprice window ties")
+    assert(droppedTypes > 0, "no pivot-dropped event types")
+    info(s"adequacy: modeTies=$modeTies nullTypeTies=$nullTypeTieUsers " +
+      s"nullArgmin=$nullValArgminUsers nilval=$nilvalRows " +
+      s"dataNullFlags=$dataNullFlags rTwin=${allNullStatusR.size} " +
+      s"nullCust=$nullCust nullNation=$nullNation nullOCust=$nullOrderKeys " +
+      s"custNoOrders=$custNoOrders priceTies=$priceTies dropped=$droppedTypes")
+  }
+
+  // ---- q5 mode ----
+  test("q5 mode: count-desc + lex tie-break with nulls-first matches brute") {
+    val got = run("q5_mode").map(r =>
+      (lOrNull(r, 0), if (r.isNullAt(1)) null else r.getString(1))).toVector
+    val want = events.groupBy(_.user_id).map { case (u, evs) =>
+      val counts = evs.groupBy(_.event_type).view.mapValues(_.size).toVector
+      // orderBy(c desc, event_type asc) with asc nulls FIRST
+      val best = counts.minBy { case (et, c) =>
+        (-c, if (et == null) (0, "") else (1, et))
+      }
+      (if (u == null) null else u.asInstanceOf[Any], best._1)
+    }.toVector
+    assertRows("q5", got, want)
+  }
+
+  // ---- q7 argmin ----
+  test("q7 argmin: min_by struct ordering with null-first values matches brute") {
+    val got = run("q7_argmin").map(r =>
+      (lOrNull(r, 0), r.getLong(1), dOrNull(r, 2))).toVector
+    val want = events.groupBy(_.user_id).map { case (u, evs) =>
+      val best = evs.minBy { e =>
+        (if (e.value == null) (0, 0.0) else (1, e.value.doubleValue()),
+          e.event_id)
+      }
+      (if (u == null) null else u.asInstanceOf[Any], best.event_id,
+        if (best.value == null) null else best.value.doubleValue().asInstanceOf[Any])
+    }.toVector
+    assertRows("q7", got, want)
+  }
+
+  // ---- q4 aggregates ----
+  test("q4 grouped aggregates match brute (null group keys, null measures)") {
+    val got = run("q4_agg").map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      r.getLong(2), dOrNull(r, 3), dOrNull(r, 4), dOrNull(r, 5),
+      dOrNull(r, 6))).toVector
+    val want = lineitem.groupBy(l => (l.l_returnflag, l.l_linestatus)).map {
+      case ((f, st), ls) =>
+        val disc = ls.flatMap(l => Option(l.l_discount).map(_.doubleValue()))
+        val tax = ls.flatMap(l => Option(l.l_tax).map(_.doubleValue()))
+        (f, st, ls.size.toLong,
+          rN(ls.map(_.l_quantity).sum, 4).asInstanceOf[Any],
+          rN(ls.map(_.l_extendedprice).sum / ls.size, 4).asInstanceOf[Any],
+          (if (disc.isEmpty) null else disc.min.asInstanceOf[Any]),
+          (if (tax.isEmpty) null else tax.max.asInstanceOf[Any]))
+    }.toVector
+    assertRows("q4", got, want)
+  }
+
+  // ---- q51 rollup / q59 cube ----
+  private def groupedLi(keep: (String, String) => (String, String))
+      : Vector[(String, String, Long, Double)] =
+    lineitem.groupBy(l => keep(l.l_returnflag, l.l_linestatus)).map {
+      case ((f, st), ls) => (f, st, ls.size.toLong, ls.map(_.l_quantity).sum)
+    }.toVector
+
+  test("q51 rollup: data-null keys and subtotal markers both survive, twins included") {
+    val got = run("q51_rollup").map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      r.getLong(2), dOrNull(r, 3))).toVector
+    val want = (groupedLi((f, s) => (f, s)) ++
+      groupedLi((f, _) => (f, null)) ++
+      groupedLi((_, _) => (null, null)))
+      .map { case (f, s, c, sq) => (f, s, c, rN(sq, 4).asInstanceOf[Any]) }
+    assertRows("q51", got, want)
+  }
+
+  test("q59 cube: all four grouping sets match brute with planted null keys") {
+    val got = run("q59_cube").map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      r.getLong(2), dOrNull(r, 3))).toVector
+    val want = (groupedLi((f, s) => (f, s)) ++
+      groupedLi((f, _) => (f, null)) ++
+      groupedLi((_, s) => (null, s)) ++
+      groupedLi((_, _) => (null, null)))
+      .map { case (f, s, c, sq) => (f, s, c, rN(sq, 2).asInstanceOf[Any]) }
+    assertRows("q59", got, want)
+  }
+
+  // ---- q52 percentiles ----
+  test("q52 percentiles: Spark's two-sided interpolation matches brute exactly") {
+    def pct(sorted: Vector[Double], p: Double): Double = {
+      val pos = p * (sorted.size - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+    }
+    val got = run("q52_percentiles").map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      dOrNull(r, 1), dOrNull(r, 2), r.getLong(3))).toVector
+    val want = events.groupBy(_.event_type).map { case (et, evs) =>
+      val vs = evs.flatMap(e => Option(e.value).map(_.doubleValue())).sorted
+      (et,
+        (if (vs.isEmpty) null else rN(pct(vs, 0.5), 6).asInstanceOf[Any]),
+        (if (vs.isEmpty) null else rN(pct(vs, 0.9), 6).asInstanceOf[Any]),
+        evs.size.toLong)
+    }.toVector
+    assertRows("q52", got, want)
+  }
+
+  // ---- q53 pivot ----
+  test("q53 pivot: explicit value list drops other types, fills zero") {
+    val got = run("q53_pivot").map(r => (lOrNull(r, 0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toVector
+    val want = events.groupBy(_.user_id).map { case (u, evs) =>
+      val c = evs.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+      (if (u == null) null else u.asInstanceOf[Any],
+        c.getOrElse("click", 0L), c.getOrElse("view", 0L),
+        c.getOrElse("purchase", 0L), c.getOrElse("signup", 0L),
+        c.getOrElse("error", 0L))
+    }.toVector
+    assertRows("q53", got, want)
+  }
+
+  // ---- q54 semi/anti ----
+  test("q54 semi/anti: null keys never match; null-nation branches don't merge") {
+    val orderKeys: Set[Long] =
+      orders.flatMap(o => Option(o.o_custkey).map(_.longValue())).toSet
+    def agg(rows: Vector[FzCu]): Map[java.lang.Integer, Long] =
+      rows.groupBy(_.c_nationkey).view.mapValues(_.size.toLong).toMap
+    val withO = agg(customers.filter(c =>
+      c.c_custkey != null && orderKeys(c.c_custkey.longValue())))
+    val withoutO = agg(customers.filter(c =>
+      c.c_custkey == null || !orderKeys(c.c_custkey.longValue())))
+    val want = Vector.newBuilder[(Any, Long, Long)]
+    // non-null nations merge through the full outer join...
+    val nations = (withO.keySet ++ withoutO.keySet).filter(_ != null)
+    nations.foreach { nk =>
+      want += ((nk.intValue().asInstanceOf[Any],
+        withO.getOrElse(nk, 0L), withoutO.getOrElse(nk, 0L)))
+    }
+    // ...but null-keyed aggregate rows do NOT equi-join: one row per side
+    withO.get(null).foreach(n => want += ((null, n, 0L)))
+    withoutO.get(null).foreach(n => want += ((null, 0L, n)))
+    val got = run("q54_semi_anti").map(r => (
+      if (r.isNullAt(0)) null else r.getInt(0).asInstanceOf[Any],
+      r.getLong(1), r.getLong(2))).toVector
+    assertRows("q54", got, want.result())
+  }
+
+  // ---- q55 set ops ----
+  test("q55 intersect/except: null-safe equality puts a shared null in 'both'") {
+    def side(et: String): Set[Option[Long]] =
+      events.filter(_.event_type == et)
+        .map(e => Option(e.user_id).map(_.longValue())).toSet
+    val clickers = side("click"); val erroring = side("error")
+    val want =
+      clickers.intersect(erroring).toVector.map(u =>
+        (u.map(_.asInstanceOf[Any]).orNull, "both")) ++
+      (clickers -- erroring).toVector.map(u =>
+        (u.map(_.asInstanceOf[Any]).orNull, "click_only"))
+    val got = run("q55_setops").map(r =>
+      (lOrNull(r, 0), r.getString(1))).toVector
+    assertRows("q55", got, want)
+  }
+
+  // ---- q56 json ----
+  test("q56 json extraction: malformed/absent/non-integral props match brute") {
+    val got = run("q56_json").map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      lOrNull(r, 1), dOrNull(r, 2), r.getLong(3))).toVector
+    val want = events.groupBy(_.event_type).map { case (et, evs) =>
+      val ks = evs.flatMap(e => bruteK(e.props))
+      (et,
+        (if (ks.isEmpty) null else ks.sum.asInstanceOf[Any]),
+        (if (ks.isEmpty) null
+          else rN(ks.sum.toDouble / ks.size, 6).asInstanceOf[Any]),
+        evs.size.toLong)
+    }.toVector
+    assertRows("q56", got, want)
+  }
+
+  // ---- q3 window top-k ----
+  test("q3 window top-3: duplicate-price ties break by o_orderkey") {
+    val got = run("q3_window_topk").map(r =>
+      (lOrNull(r, 0), r.getLong(1), r.getDouble(2), r.getInt(3))).toVector
+    val want = orders.groupBy(_.o_custkey).toVector.flatMap { case (ck, os) =>
+      os.sortBy(o => (-o.o_totalprice, o.o_orderkey)).take(3).zipWithIndex.map {
+        case (o, i) =>
+          (if (ck == null) null else ck.asInstanceOf[Any], o.o_orderkey,
+            o.o_totalprice, i + 1)
+      }
+    }
+    assertRows("q3", got, want)
+  }
+
+  // ---- permutation invariance ----
+  test("relational family is invariant under input row-order permutation") {
+    // q51/q59/q54 order by keys that planted nulls make non-unique:
+    // compare their rows sorted; every other orderBy key is unique
+    val sortedCompare = Set("q51_rollup", "q59_cube", "q54_semi_anti")
+    for (q <- Seq("q3_window_topk", "q4_agg", "q5_mode", "q7_argmin",
+        "q51_rollup", "q52_percentiles", "q53_pivot", "q54_semi_anti",
+        "q55_setops", "q56_json", "q59_cube")) {
+      val a = run(q).toSeq
+      val b = run(q, permDir).toSeq
+      if (sortedCompare(q))
+        assert(a.map(String.valueOf(_)).sorted == b.map(String.valueOf(_)).sorted,
+          s"$q changed under input permutation")
+      else assert(a == b, s"$q changed under input permutation")
+    }
+  }
+}
