@@ -37,4 +37,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-Dfile.encoding=UTF-8",
 )
+// The container locale is POSIX, which makes the JVM's native path
+// encoding (sun.jnu.encoding) ASCII: any non-ASCII local FILE PATH —
+// e.g. a unicode hive partition value, event_type=uni日本/ — fails the
+// write task with InvalidPathException. The property is fixed natively
+// at VM startup from the LOCALE (a -D override does not reach
+// UnixPath's encoder), so set the environment for forked JVMs instead.
+// A production cluster runs UTF-8 locales; this pins the sandbox to
+// match so path-bearing unicode is actually exercisable in tests.
+Test / envVars += "LC_ALL" -> "C.utf8"
+run / envVars += "LC_ALL" -> "C.utf8"

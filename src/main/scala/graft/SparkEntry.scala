@@ -1354,9 +1354,24 @@ object SparkEntry {
       // natural partitioning: the CSV source reads a directory (each
       // part-file carries its own header); a coalesce(1) staging write
       // would serialize to one task — the wrong shape at any scale
+      // nullValue \N (MySQL convention): the default null token is the
+      // bare empty string, which the reader ALSO produces by unquoting
+      // a written empty `""` — conflating empty-vs-null on read (found
+      // by the source-format fuzz; a literal data value `\N` remains
+      // the one documented ambiguity of any marker scheme)
       n.write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N")
         .csv(stage.toString)
-      s.read.option("header", "true").schema(n.schema).csv(stage.toString)
+      // multiLine: the writer quotes embedded newlines, but the default
+      // reader splits records on raw newlines BEFORE parsing quotes —
+      // any field containing \n silently shears into malformed rows
+      // (nulled under PERMISSIVE; found by the source-format fuzz).
+      // Cost at scale: multiLine parses each FILE whole, so intra-file
+      // split parallelism is lost — parallelism comes from the many
+      // part files the natural (un-coalesced) staging write produces.
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("nullValue", "\\N")
+        .schema(n.schema).csv(stage.toString)
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
         .orderBy("n_regionkey")

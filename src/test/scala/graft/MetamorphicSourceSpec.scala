@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Randomized metamorphic fuzz for the SOURCE-FORMAT round-trips — the
+  * fifth family extension of round-11 directive #4. q74 (CSV), q75
+  * (JSONL), and q76 (hive-partitioned parquet) write a staged table out
+  * through a text/layout format and read it back before aggregating;
+  * the driver corpus's strings are tame, so the serialization edges the
+  * formats actually own were previously untested:
+  *
+  *  - CSV: embedded delimiters, double quotes, newlines (CR and LF)
+  *    inside quoted fields, backslashes, leading/trailing spaces,
+  *    unicode, empty-string-vs-null (writer emits quoted "" for empty,
+  *    bare empty for null — the reader must keep them distinct);
+  *  - JSONL: quotes, backslashes, control characters, astral-plane
+  *    unicode through \u escaping, null fields;
+  *  - partitioned layout: partition VALUES containing '/', '=', '%',
+  *    spaces, ':', unicode — everything the hive path-escaping layer
+  *    (%2F-style encoding) must round-trip — plus a null partition
+  *    value (the __HIVE_DEFAULT_PARTITION__ directory, read back as
+  *    null and excluded by the equality filter).
+  *
+  * Each query runs through the REAL gate surface (`SparkEntry.queries`)
+  * over a staged corpus and is compared against a brute Scala aggregate
+  * computed from the same rows — a round-trip corruption anywhere in
+  * write-escape/read-parse shows up as a value or group mismatch.
+  * String `min` is compared in UTF-8 BYTE order (Spark's binary string
+  * ordering), not UTF-16 — the two differ between astral-plane and
+  * high-BMP code units.
+  */
+private[graft] case class FzNation(n_nationkey: java.lang.Integer,
+    n_name: String, n_regionkey: java.lang.Integer)
+private[graft] case class FzDoc2(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: java.lang.Long)
+private[graft] case class FzEv2(event_id: Long, ts: Long,
+    user_id: java.lang.Long, event_type: String, value: java.lang.Double,
+    props: String)
+
+class MetamorphicSourceSpec extends SparkTestBase {
+
+  private val SEEDS = 60
+
+  private val nastyFragments = Vector(
+    "plain", "comma,inside", "quote\"inside", "two\"\"quotes",
+    "new\nline", "cr\rreturn", "crlf\r\nboth", "tab\tinside",
+    " lead-space", "trail-space ", "back\\slash", "\\n literal",
+    "semi;colon", "pipe|bar", "naïve-é", "日本語テキスト", "emoji😀x",
+    "astral🦄", "�repl", "highprivate", "'single'",
+    "{json:\"ish\"}", "null", "NULL", "-", "0", "12,345")
+
+  private def nasty(rng: scala.util.Random): String =
+    (0 until 1 + rng.nextInt(3))
+      .map(_ => nastyFragments(rng.nextInt(nastyFragments.size)))
+      .mkString(" ")
+
+  // partition values: everything hive path-escaping must encode
+  private val partTypes = Vector("purchase", "click", "a/b", "k=v", "p%20q",
+    "sp ace", "dot.seg", "co:lon", "uni日本", "UPPER", "tilde~x", null)
+
+  private def genNation(s: Int): Vector[FzNation] = {
+    val rng = new scala.util.Random(0xCA7510L + s)
+    def ji(x: Int): java.lang.Integer = java.lang.Integer.valueOf(x)
+    val out = Vector.newBuilder[FzNation]
+    (0 until 4 + rng.nextInt(3)).foreach { i =>
+      val name = rng.nextInt(10) match {
+        case 0 => null
+        case 1 => "" // empty-vs-null: must survive the CSV round-trip
+        case _ => nasty(rng)
+      }
+      val rk = if (rng.nextInt(8) == 0) null else ji(rng.nextInt(4))
+      out += FzNation(ji(s * 100 + i), name, rk)
+    }
+    out.result()
+  }
+
+  private def genDocs(s: Int): Vector[FzDoc2] = {
+    val rng = new scala.util.Random(0xD0C2L + s)
+    val out = Vector.newBuilder[FzDoc2]
+    val langs = Vector("en", "de", "uni日本", "l\"q", null)
+    (0 until 4 + rng.nextInt(3)).foreach { i =>
+      val text = rng.nextInt(12) match {
+        case 0 => null
+        case 1 => ""
+        case 2 => "ctrlchars" // control chars via \u escapes
+        case _ => nasty(rng)
+      }
+      out += FzDoc2(s * 100L + i, text, langs(rng.nextInt(langs.size)),
+        if (rng.nextInt(7) == 0) null else s"src${rng.nextInt(4)}",
+        if (rng.nextInt(9) == 0) null
+        else java.lang.Long.valueOf(rng.nextInt(1000).toLong))
+    }
+    out.result()
+  }
+
+  private def genEvents(s: Int): Vector[FzEv2] = {
+    val rng = new scala.util.Random(0xE7EA72L + s)
+    val out = Vector.newBuilder[FzEv2]
+    (0 until 6 + rng.nextInt(4)).foreach { i =>
+      out += FzEv2(s * 1000L + i, math.abs(rng.nextLong() % 1000000L) * 1000000L,
+        if (rng.nextInt(9) == 0) null else java.lang.Long.valueOf(s * 10L + rng.nextInt(4)),
+        partTypes(rng.nextInt(partTypes.size)),
+        if (rng.nextInt(7) == 0) null
+        else java.lang.Double.valueOf(rng.nextInt(2000) * 0.25),
+        "")
+    }
+    out.result()
+  }
+
+  private lazy val nations: Vector[FzNation] = (0 until SEEDS).flatMap(genNation).toVector
+  private lazy val docs: Vector[FzDoc2] = (0 until SEEDS).flatMap(genDocs).toVector
+  private lazy val events: Vector[FzEv2] = (0 until SEEDS).flatMap(genEvents).toVector
+
+  private def stage(): String = {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.scratch("graft_meta_src")
+    def one(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = graft.core.TempDirs.scratch("graft_meta_src_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val walk = java.nio.file.Files.list(tmp)
+      val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally walk.close()
+      java.nio.file.Files.move(part, dir.resolve(s"$name.parquet"))
+    }
+    one(nations.toDF(), "nation")
+    one(docs.toDF(), "documents")
+    one(events.toDF(), "events")
+    dir.toString
+  }
+
+  private lazy val fuzzDir: String = stage()
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, fuzzDir).collect()
+
+  private def assertRows[T](name: String, got: Seq[T], want: Seq[T]): Unit = {
+    val g = got.toSet; val w = want.toSet
+    assert(g == w, s"$name disagreed with brute reference: " +
+      s"engine-only=${(g -- w).take(5)} brute-only=${(w -- g).take(5)}")
+    assert(got.size == want.size,
+      s"$name row-count drift: engine=${got.size} brute=${want.size}")
+  }
+
+  /** Spark's string min = UTF-8 binary order, not UTF-16 ordering. */
+  private def utf8Min(xs: Seq[String]): String = {
+    import scala.math.Ordering.Implicits._
+    if (xs.isEmpty) null
+    else xs.minBy(s => s.getBytes("UTF-8").toSeq.map(b => b & 0xff))
+  }
+
+  test("source fuzz generator: the corpus exercises every probed class") {
+    val newlineNames = nations.count(n => n.n_name != null &&
+      (n.n_name.contains("\n") || n.n_name.contains("\r")))
+    val quoteNames = nations.count(n => n.n_name != null && n.n_name.contains("\""))
+    val commaNames = nations.count(n => n.n_name != null && n.n_name.contains(","))
+    val emptyNames = nations.count(_.n_name == "")
+    val nullNames = nations.count(_.n_name == null)
+    val nullRegions = nations.count(_.n_regionkey == null)
+    val ctrlDocs = docs.count(d => d.text != null && d.text.exists(_ < ' '))
+    val astralDocs = docs.count(d => d.text != null &&
+      d.text.codePoints().anyMatch(_ > 0xFFFF))
+    val slashTypes = events.count(e => e.event_type != null && e.event_type.contains("/"))
+    val eqTypes = events.count(e => e.event_type != null && e.event_type.contains("="))
+    val nullTypes = events.count(_.event_type == null)
+    val purchases = events.count(_.event_type == "purchase")
+    assert(newlineNames > 0 && quoteNames > 0 && commaNames > 0,
+      "CSV nasty classes missing")
+    assert(emptyNames > 0 && nullNames > 0, "empty-vs-null plants missing")
+    assert(nullRegions > 0, "null group keys missing")
+    assert(ctrlDocs > 0 && astralDocs > 0, "JSON control/astral plants missing")
+    assert(slashTypes > 0 && eqTypes > 0 && nullTypes > 0,
+      "partition-value classes missing")
+    assert(purchases > 0, "no purchase rows for the q76 filter")
+    info(s"adequacy: newline=$newlineNames quote=$quoteNames comma=$commaNames " +
+      s"empty=$emptyNames nullName=$nullNames nullRegion=$nullRegions " +
+      s"ctrl=$ctrlDocs astral=$astralDocs slash=$slashTypes eq=$eqTypes " +
+      s"nullType=$nullTypes purchase=$purchases")
+  }
+
+  test("q74 CSV round-trip survives quotes, newlines, commas, empty-vs-null") {
+    val got = run("q74_csv_source").map(r => (
+      if (r.isNullAt(0)) null else r.getInt(0).asInstanceOf[Any],
+      r.getLong(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toVector
+    val want = nations.groupBy(_.n_regionkey).map { case (rk, ns) =>
+      (if (rk == null) null else rk.intValue().asInstanceOf[Any],
+        ns.size.toLong, utf8Min(ns.flatMap(n => Option(n.n_name))))
+    }.toVector
+    assertRows("q74", got, want)
+  }
+
+  test("q75 JSONL round-trip survives control chars, astral unicode, nulls") {
+    val got = run("q75_jsonl_source").map(r => (
+      if (r.isNullAt(0)) null else r.getString(0),
+      r.getLong(1),
+      if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[Any],
+      r.getLong(3))).toVector
+    val want = docs.groupBy(_.lang).map { case (lang, ds) =>
+      val chars = ds.flatMap(d => Option(d.n_chars).map(_.longValue()))
+      (lang, ds.size.toLong,
+        (if (chars.isEmpty) null else chars.sum.asInstanceOf[Any]),
+        ds.flatMap(d => Option(d.source)).distinct.size.toLong)
+    }.toVector
+    assertRows("q75", got, want)
+  }
+
+  test("q76 partition values round-trip through hive path escaping") {
+    val got = run("q76_partitioned_prune").map(r => (
+      if (r.isNullAt(0)) null else r.getLong(0).asInstanceOf[Any],
+      r.getLong(1),
+      if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[Any])).toVector
+    val want = events.filter(_.event_type == "purchase").groupBy(_.user_id)
+      .map { case (u, evs) =>
+        val cents = evs.flatMap(e => Option(e.value).map(v =>
+          math.rint(v.doubleValue() * 100).toLong))
+        (if (u == null) null else u.longValue().asInstanceOf[Any],
+          evs.size.toLong,
+          (if (cents.isEmpty) null else cents.sum.asInstanceOf[Any]))
+      }.toVector
+    assertRows("q76", got, want)
+  }
+}
