@@ -55,7 +55,7 @@ private[graft] case class FzLi(l_orderkey: Long, l_quantity: Double,
     l_extendedprice: Double, l_discount: java.lang.Double,
     l_tax: java.lang.Double, l_returnflag: String, l_linestatus: String)
 private[graft] case class FzCu(c_custkey: java.lang.Long,
-    c_nationkey: java.lang.Integer)
+    c_name: String, c_nationkey: java.lang.Integer)
 private[graft] case class FzOr(o_orderkey: Long, o_custkey: java.lang.Long,
     o_totalprice: Double)
 
@@ -171,12 +171,13 @@ class MetamorphicRelationalSpec extends SparkTestBase {
         case 0 => null
         case n => ji(n % 4)
       }
-      out += FzCu(java.lang.Long.valueOf(s * 100L + i), nk)
+      out += FzCu(java.lang.Long.valueOf(s * 100L + i),
+        if (rng.nextInt(6) == 0) null else s"cust${s * 100 + i}", nk)
     }
     // null join key: never matches an order — always counted anti-side
-    if (s % 3 == 0) out += FzCu(null, ji(rng.nextInt(4)))
+    if (s % 3 == 0) out += FzCu(null, "cnull", ji(rng.nextInt(4)))
     // null key AND null nation: exercises the null-keyed anti aggregate
-    if (s % 6 == 0) out += FzCu(null, null)
+    if (s % 6 == 0) out += FzCu(null, null, null)
     out.result()
   }
 
@@ -201,6 +202,13 @@ class MetamorphicRelationalSpec extends SparkTestBase {
       val p = q4v(rng, 2000)
       (0 until 4).foreach(_ => out += FzOr(nid(), ck, p))
     }
+    // q63 plants around the strict > 300000 bloom-semi build threshold:
+    // exactly at (excluded), one cent above (included), and a high-price
+    // order with a NULL build key (contributes nothing)
+    out += FzOr(nid(), java.lang.Long.valueOf(s * 100L + 1), 300000.0)
+    if (s % 2 == 0)
+      out += FzOr(nid(), java.lang.Long.valueOf(s * 100L + 2), 300000.25)
+    if (s % 5 == 0) out += FzOr(nid(), null, 400000.0)
     out.result()
   }
 
@@ -481,6 +489,29 @@ class MetamorphicRelationalSpec extends SparkTestBase {
     assertRows("q56", got, want)
   }
 
+  // ---- q63 bloom semi ----
+  test("q63 bloom semi-join: exact despite the bloom prefilter, strict threshold") {
+    val buildKeys: Set[Long] = orders
+      .filter(_.o_totalprice > 300000.0)
+      .flatMap(o => Option(o.o_custkey).map(_.longValue())).toSet
+    val want = customers
+      .filter(c => c.c_custkey != null && buildKeys(c.c_custkey.longValue()))
+      .map(c => (c.c_custkey.longValue(),
+        if (c.c_name == null) null else c.c_name))
+    val got = run("q63_bloom_semi").map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toVector
+    assertRows("q63", got, want)
+    assert(want.nonEmpty, "q63 fuzz vacuous: no build-side matches planted")
+    // the exactly-at-threshold plant must NOT appear via its 300000.0
+    // order alone (strict >): seeds where key s*100+1 has no OTHER
+    // high-price order must be absent
+    val onlyAt = (0 until SEEDS).map(_ * 100L + 1).filterNot(k =>
+      orders.exists(o => o.o_custkey != null && o.o_custkey.longValue() == k &&
+        o.o_totalprice > 300000.0)).toSet
+    assert(onlyAt.nonEmpty && got.forall(r => !onlyAt(r._1)),
+      "strict-threshold boundary leaked into the semi join")
+  }
+
   // ---- q3 window top-k ----
   test("q3 window top-3: duplicate-price ties break by o_orderkey") {
     val got = run("q3_window_topk").map(r =>
@@ -502,7 +533,7 @@ class MetamorphicRelationalSpec extends SparkTestBase {
     val sortedCompare = Set("q51_rollup", "q59_cube", "q54_semi_anti")
     for (q <- Seq("q3_window_topk", "q4_agg", "q5_mode", "q7_argmin",
         "q51_rollup", "q52_percentiles", "q53_pivot", "q54_semi_anti",
-        "q55_setops", "q56_json", "q59_cube")) {
+        "q55_setops", "q56_json", "q59_cube", "q63_bloom_semi")) {
       val a = run(q).toSeq
       val b = run(q, permDir).toSeq
       if (sortedCompare(q))

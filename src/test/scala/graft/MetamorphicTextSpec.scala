@@ -451,10 +451,37 @@ class MetamorphicTextSpec extends SparkTestBase {
     assertRows("q50", got, want)
   }
 
+  // ---- q43 vocab ----
+  test("q43 vocab: corpus-wide distinct/total token counts match brute") {
+    val all = nonNull.flatMap(d => toks(d.text))
+    val r = run("q43_vocab").head
+    assert((r.getLong(0), r.getLong(1)) ==
+      (all.distinct.size.toLong, all.size.toLong),
+      s"q43 drift: engine=(${r.getLong(0)},${r.getLong(1)}) " +
+        s"brute=(${all.distinct.size},${all.size})")
+  }
+
+  // ---- q61 normalize ----
+  test("q61 normalize: stopword-strip + single-space rejoin matches brute") {
+    val got = run("q61_normalize").map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) null else r.getInt(2).asInstanceOf[Any])).toVector
+    val stopSet = stopTok.toSet
+    val want = docs.sortBy(_.doc_id).map { d =>
+      if (d.text == null) (d.doc_id, null, null)
+      else {
+        val norm = toks(d.text).filterNot(stopSet).mkString(" ")
+        (d.doc_id, norm, norm.length.asInstanceOf[Any])
+      }
+    }
+    assertRows("q61", got, want)
+  }
+
   // ---- permutation invariance ----
   test("text family is invariant under input row-order permutation") {
     for (q <- Seq("q17_quality", "q18_langid", "q72_pii_redact",
-        "q73_repetition", "q79_decontaminate", "q50_tfidf")) {
+        "q73_repetition", "q79_decontaminate", "q50_tfidf", "q43_vocab",
+        "q61_normalize")) {
       val a = run(q).toSeq
       val b = run(q, permDir).toSeq
       assert(a == b, s"$q changed under input permutation")
