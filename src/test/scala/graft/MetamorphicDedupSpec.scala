@@ -223,20 +223,9 @@ class MetamorphicDedupSpec extends SparkTestBase {
   private lazy val docs: Vector[MetaDoc] = (0 until SEEDS).flatMap(genDocsSeed).toVector
   private lazy val embs: Vector[MetaEmb] = (0 until SEEDS).flatMap(genEmbSeed).toVector
 
-  private def stage(d: Vector[MetaDoc], e: Vector[MetaEmb]): String = {
-    val dir = graft.core.TempDirs.scratch("graft_meta_dedup")
-    def one(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = graft.core.TempDirs.scratch("graft_meta_dedup_stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val walk = java.nio.file.Files.list(tmp)
-      val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally walk.close()
-      java.nio.file.Files.move(part, dir.resolve(s"$name.parquet"))
-    }
-    one(d.toDF(), "documents")
-    one(e.toDF(), "embeddings")
-    dir.toString
-  }
+  private def stage(d: Vector[MetaDoc], e: Vector[MetaEmb]): String =
+    FuzzStage.stage("graft_meta_dedup",
+      "documents" -> d.toDF(), "embeddings" -> e.toDF())
 
   private lazy val fuzzDir: String = stage(docs, embs)
   private lazy val permDir: String = {

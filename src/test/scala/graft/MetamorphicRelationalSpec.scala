@@ -220,18 +220,9 @@ class MetamorphicRelationalSpec extends SparkTestBase {
   private def stage(ev: Vector[FzEv], li: Vector[FzLi], cu: Vector[FzCu],
       or: Vector[FzOr]): String = {
     import spark.implicits._
-    val dir = graft.core.TempDirs.scratch("graft_meta_rel")
-    def one(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = graft.core.TempDirs.scratch("graft_meta_rel_stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val walk = java.nio.file.Files.list(tmp)
-      val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally walk.close()
-      java.nio.file.Files.move(part, dir.resolve(s"$name.parquet"))
-    }
-    one(ev.toDF(), "events"); one(li.toDF(), "lineitem")
-    one(cu.toDF(), "customer"); one(or.toDF(), "orders")
-    dir.toString
+    FuzzStage.stage("graft_meta_rel", "events" -> ev.toDF(),
+      "lineitem" -> li.toDF(), "customer" -> cu.toDF(),
+      "orders" -> or.toDF())
   }
 
   private lazy val fuzzDir: String = stage(events, lineitem, customers, orders)

@@ -107,16 +107,8 @@ class MetamorphicSpec extends SparkTestBase {
     * that exact path), ts as int64 epoch-nanos — one of the physical
     * encodings EventTime.nanos owns.
     */
-  private def stageEvents(evs: Vector[Ev]): String = {
-    val dir = graft.core.TempDirs.scratch("graft_metamorphic")
-    val tmp = graft.core.TempDirs.scratch("graft_metamorphic_stage")
-    evs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val walk = java.nio.file.Files.list(tmp)
-    val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
-      finally walk.close()
-    java.nio.file.Files.move(part, dir.resolve("events.parquet"))
-    dir.toString
-  }
+  private def stageEvents(evs: Vector[Ev]): String =
+    FuzzStage.stage("graft_metamorphic", "events" -> evs.toDF())
 
   private lazy val fuzzDir: String = stageEvents(events)
   private lazy val permDir: String =

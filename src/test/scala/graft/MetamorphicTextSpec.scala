@@ -208,14 +208,7 @@ class MetamorphicTextSpec extends SparkTestBase {
 
   private def stage(d: Vector[TxtDoc]): String = {
     import spark.implicits._
-    val dir = graft.core.TempDirs.scratch("graft_meta_text")
-    val tmp = graft.core.TempDirs.scratch("graft_meta_text_stage")
-    d.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val walk = java.nio.file.Files.list(tmp)
-    val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
-      finally walk.close()
-    java.nio.file.Files.move(part, dir.resolve("documents.parquet"))
-    dir.toString
+    FuzzStage.stage("graft_meta_text", "documents" -> d.toDF())
   }
 
   private lazy val fuzzDir: String = stage(docs)

@@ -87,14 +87,7 @@ class MetamorphicVectorSpec extends SparkTestBase {
 
   private def stage(vs: Vector[FzVec]): String = {
     import spark.implicits._
-    val dir = graft.core.TempDirs.scratch("graft_meta_vec")
-    val tmp = graft.core.TempDirs.scratch("graft_meta_vec_stage")
-    vs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val walk = java.nio.file.Files.list(tmp)
-    val part = try walk.filter(_.toString.endsWith(".parquet")).findFirst().get()
-      finally walk.close()
-    java.nio.file.Files.move(part, dir.resolve("embeddings.parquet"))
-    dir.toString
+    FuzzStage.stage("graft_meta_vec", "embeddings" -> vs.toDF())
   }
 
   private lazy val fuzzDir: String = stage(vecs)
