@@ -79,10 +79,41 @@ object Multimodal {
     * features are a pure function of the pixel content, not the byte
     * stream.
     */
-  private def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+  private def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    boundedImageRead(bytes, 0, bytes.length).flatMap(imageBlockMeans(_, dim))
+
+  /** Raster cap for decoding UNTRUSTED payloads: 64M pixels (~256 MB
+    * ARGB). Far above any real thumbnail/frame this engine feeds, far
+    * below executor-killing.
+    */
+  private final val MaxImagePixels = 64L * 1024 * 1024
+
+  /** Header-bounded image decode: read ONLY the header for dimensions
+    * and reject oversized rasters BEFORE the full decode. A plain
+    * `ImageIO.read` on a ~100-byte payload whose header declares
+    * 60000x60000 allocates a multi-GB raster — `OutOfMemoryError` is an
+    * Error, which the NonFatal degrade path never catches, so one
+    * crafted/corrupt blob would kill the executor. Decompression bombs
+    * are routine in crawled corpora; at 100 TB one WILL appear.
+    */
+  private[operators] def boundedImageRead(
+      bytes: Array[Byte], off: Int, len: Int): Option[java.awt.image.BufferedImage] = {
     javax.imageio.ImageIO.setUseCache(false) // memory-only streams on executors
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) None else imageBlockMeans(img, dim)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes, off, len))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+        else Option(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** Row-major luminance block means of one decoded image (the shared
@@ -198,9 +229,9 @@ object Multimodal {
             walk(dataStart + 4, dataEnd.toInt, insideMovi || listType == "movi")
           } else if (insideMovi && id.length == 4 && id.endsWith("dc") && size > 0) {
             if (frameIdx % everyN == 0) {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes, dataStart, size.toInt))
-              if (img != null) frames += ((frameIdx, img))
+              // bounded: an embedded frame is as untrusted as the container
+              boundedImageRead(bytes, dataStart, size.toInt)
+                .foreach(img => frames += ((frameIdx, img)))
             }
             frameIdx += 1
           }
@@ -408,7 +439,7 @@ object Multimodal {
     try {
       if (bytes == null || bytes.length < 12 || !isImage(bytes)) None
       else {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val img = boundedImageRead(bytes, 0, bytes.length).orNull
         if (img == null) None
         else {
           val out = new java.awt.image.BufferedImage(w, h,

@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Randomized corrupt-payload fuzz for the multimodal decode surface —
+  * the codec-bound family can't be value-fuzzed against a brute
+  * reference (the JDK codec IS the semantics), but its TOTALITY
+  * contract can: at 100 TB of crawled media, truncated files, bit rot,
+  * wrong extensions, and adversarial headers are guaranteed, and the
+  * degrade-don't-fail contract ([[Multimodal.realDecode]]) is what
+  * keeps one bad blob from failing a stage.
+  *
+  * Seeded corruption classes over REAL valid payloads (PNG/WAV/AVI from
+  * the engine's own encoders): truncation at every region (magic,
+  * header, payload, tail), random bit flips (including inside the
+  * magic), random garbage with VALID magics spliced on, cross-format
+  * header swaps, and empty/null inputs. Contract asserted for every
+  * variant: decode never throws, always returns exactly `dim` features
+  * in [0,1], and is bit-identical on a second call (determinism — the
+  * fallback must be a pure function of the bytes).
+  *
+  * Plus the decompression-bomb guard: a ~100-byte payload whose PNG/BMP
+  * header declares 60000x60000 would make a plain `ImageIO.read`
+  * allocate a multi-GB raster — `OutOfMemoryError` is FATAL (NonFatal
+  * never catches it), so pre-guard this killed the executor.
+  * [[Multimodal.boundedImageRead]] rejects oversized rasters from the
+  * header alone; the bomb tests pin that the decode stays in the
+  * degrade path and returns instantly.
+  */
+class MetamorphicMultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val SEEDS = 120
+  private val DIM = 32
+
+  private def valid(rng: scala.util.Random): Array[Byte] =
+    rng.nextInt(3) match {
+      case 0 => Multimodal.pngFor(rng.nextInt(50).toLong, 16, 16, DIM)
+      case 1 => Multimodal.wavFor(rng.nextInt(50).toLong, 2048, DIM)
+      case _ => Multimodal.aviFor(rng.nextInt(50).toLong, 3, 16, 16)
+    }
+
+  private def corrupt(rng: scala.util.Random, good: Array[Byte]): Array[Byte] =
+    rng.nextInt(6) match {
+      case 0 => // truncation anywhere, magic included
+        good.take(rng.nextInt(good.length))
+      case 1 => // bit flips anywhere
+        val b = good.clone()
+        (0 until 1 + rng.nextInt(8)).foreach { _ =>
+          val i = rng.nextInt(b.length)
+          b(i) = (b(i) ^ (1 << rng.nextInt(8))).toByte
+        }
+        b
+      case 2 => // valid magic, garbage body
+        val garbage = Array.fill(12 + rng.nextInt(200))(rng.nextInt(256).toByte)
+        good.take(12) ++ garbage
+      case 3 => // cross-format head swap
+        val other = valid(rng)
+        other.take(12) ++ good.drop(12)
+      case 4 => // mid-splice garbage
+        val at = rng.nextInt(good.length)
+        good.take(at) ++ Array.fill(1 + rng.nextInt(40))(
+          rng.nextInt(256).toByte) ++ good.drop(at)
+      case _ => // pure noise
+        Array.fill(rng.nextInt(300))(rng.nextInt(256).toByte)
+    }
+
+  test("corrupt payloads: decode is total, bounded, and deterministic") {
+    (0 until SEEDS).foreach { s =>
+      val rng = new scala.util.Random(0xBADB17E5L + s)
+      val payload = corrupt(rng, valid(rng))
+      val f1 = Multimodal.decodeBytes(payload, DIM)
+      val f2 = Multimodal.decodeBytes(payload, DIM)
+      assert(f1.length == DIM, s"seed $s: ${f1.length} features")
+      assert(f1.forall(x => x >= 0f && x <= 1f),
+        s"seed $s: feature out of [0,1]")
+      assert(f1.toSeq == f2.toSeq, s"seed $s: non-deterministic decode")
+      // the frame walker and the resizer must be total too
+      Multimodal.decodeAviFrames(payload) // must not throw
+      Multimodal.resizeImageBytes(payload, 8, 8) // must not throw
+    }
+  }
+
+  test("empty and degenerate inputs decode to the deterministic fallback") {
+    for (b <- Seq(Array.empty[Byte], Array[Byte](0), "RIFF".getBytes,
+        "PNG".getBytes, Array.fill(11)(0xFF.toByte))) {
+      val f = Multimodal.decodeBytes(b, DIM)
+      assert(f.length == DIM && f.forall(x => x >= 0f && x <= 1f))
+      assert(f.toSeq == Multimodal.decodeBytes(b, DIM).toSeq)
+    }
+  }
+
+  /** Minimal PNG whose IHDR declares `w`x`h` — a decompression bomb in
+    * ~60 bytes. Valid signature + CRC so the reader accepts the header.
+    */
+  private def pngBomb(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes)
+    def be(i: Int): Unit =
+      ihdr.write(Array((i >> 24) & 0xFF, (i >> 16) & 0xFF, (i >> 8) & 0xFF, i & 0xFF).map(_.toByte))
+    be(w); be(h)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    val body = ihdr.toByteArray
+    out.write(Array(0, 0, 0, 13).map(_.toByte)) // IHDR data length
+    out.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    val c = crc.getValue.toInt
+    out.write(Array((c >> 24) & 0xFF, (c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF).map(_.toByte))
+    out.toByteArray
+  }
+
+  /** Minimal BMP (BITMAPINFOHEADER) declaring `w`x`h`. */
+  private def bmpBomb(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    b(0) = 'B'; b(1) = 'M'
+    def le(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    le(2, 54); le(10, 54); le(14, 40); le(18, w); le(22, h)
+    b(26) = 1; b(28) = 24
+    b
+  }
+
+  test("decompression bombs: oversized declared rasters never reach the codec") {
+    for (bomb <- Seq(pngBomb(60000, 60000), bmpBomb(60000, 60000),
+        pngBomb(Int.MaxValue, 2), bmpBomb(1 << 20, 1 << 20))) {
+      val t0 = System.nanoTime()
+      val f = Multimodal.decodeBytes(bomb, DIM)
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(f.length == DIM, "bomb must degrade to the fallback vector")
+      assert(ms < 2000, f"bomb decode took $ms%.0f ms — allocation attempted?")
+      assert(Multimodal.resizeImageBytes(bomb, 8, 8).isEmpty,
+        "resize must refuse an oversized raster")
+    }
+    // and a sane-sized crafted header still takes the REAL codec path:
+    // 16x16 is under the cap, so the reader proceeds past the guard
+    // (truncated body -> decode failure -> degrade, but not rejected
+    // by the size check: decodeBytes stays total either way)
+    assert(Multimodal.decodeBytes(pngBomb(16, 16), DIM).length == DIM)
+  }
+
+  test("bounded read still decodes real media identically to before the guard") {
+    // the guard must be invisible for legitimate payloads: the pinned
+    // LUT/closed-form identities elsewhere cover PNG/WAV/AVI; here just
+    // re-assert a real png decodes through the bounded path
+    val png = Multimodal.pngFor(7L, 16, 16, DIM)
+    val f = Multimodal.decodeBytes(png, DIM)
+    assert(f.length == DIM && f.exists(_ > 0f))
+  }
+}
