@@ -1394,7 +1394,11 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("cents"))
+          // try_cast: under ANSI a NaN/Inf/overflow value would FAIL
+          // the whole job at the double->long cast (CAST_OVERFLOW);
+          // degrade to null-contributes-nothing, like the oracle's
+          // TRY_CAST (found by the source-format fuzz)
+          sum(expr("try_cast(round(value * 100) as long)")).as("cents"))
         .orderBy("user_id")
     }),
 
@@ -1411,8 +1415,9 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           // integer cents: a double SUM is summation-order-sensitive in
-          // its last ulps, and the oracle hash compares exact values
-          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          // its last ulps, and the oracle hash compares exact values.
+          // try_cast for the same ANSI NaN/overflow hazard as q76.
+          sum(expr("try_cast(round(o_totalprice * 100) as long)")).as("cents"))
         .orderBy("o_orderstatus")
     }),
 
@@ -2613,13 +2618,13 @@ object SparkEntry {
 
     "q76_partitioned_prune" ->
       """SELECT user_id, COUNT(*) AS n,
-                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
 
     "q77_orc_source" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                CAST(SUM(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // identical to q9's formulation: streaming and batch 1-NN must agree

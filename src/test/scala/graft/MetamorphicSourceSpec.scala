@@ -105,6 +105,17 @@ class MetamorphicSourceSpec extends SparkTestBase {
         else java.lang.Double.valueOf(rng.nextInt(2000) * 0.25),
         "")
     }
+    // non-finite / overflow values through the cents cast: under ANSI a
+    // plain cast(double as long) THROWS on NaN, ±Inf, and > Long.Max
+    if (s % 3 == 0) out += FzEv2(s * 1000L + 90, 0L,
+      java.lang.Long.valueOf(s * 10L), "purchase",
+      java.lang.Double.valueOf(Double.NaN), "")
+    if (s % 4 == 0) out += FzEv2(s * 1000L + 91, 0L,
+      java.lang.Long.valueOf(s * 10L + 1), "purchase",
+      java.lang.Double.valueOf(Double.PositiveInfinity), "")
+    if (s % 5 == 0) out += FzEv2(s * 1000L + 92, 0L,
+      java.lang.Long.valueOf(s * 10L + 2), "purchase",
+      java.lang.Double.valueOf(1e18), "")
     out.result()
   }
 
@@ -154,6 +165,13 @@ class MetamorphicSourceSpec extends SparkTestBase {
     val eqTypes = events.count(e => e.event_type != null && e.event_type.contains("="))
     val nullTypes = events.count(_.event_type == null)
     val purchases = events.count(_.event_type == "purchase")
+    val nonFinite = events.count(e => e.value != null &&
+      (e.value.isNaN || e.value.isInfinite))
+    val overflow = events.count(e => e.value != null &&
+      !e.value.isNaN && !e.value.isInfinite &&
+      math.abs(e.value.doubleValue()) * 100 > Long.MaxValue.toDouble)
+    assert(nonFinite > 0 && overflow > 0,
+      "NaN/Inf/overflow cents plants missing")
     assert(newlineNames > 0 && quoteNames > 0 && commaNames > 0,
       "CSV nasty classes missing")
     assert(emptyNames > 0 && nullNames > 0, "empty-vs-null plants missing")
@@ -208,12 +226,19 @@ class MetamorphicSourceSpec extends SparkTestBase {
       if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[Any])).toVector
     val want = events.filter(_.event_type == "purchase").groupBy(_.user_id)
       .map { case (u, evs) =>
-        val cents = evs.flatMap(e => Option(e.value).map(v =>
-          // Spark round() is HALF_UP, not rint's half-even — the
-          // quarter-multiple generator never lands on .5 cents today,
-          // but the reference must not drift if it ever does
-          java.math.BigDecimal.valueOf(v.doubleValue() * 100)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
+        val cents = evs.flatMap(e => Option(e.value).map(_.doubleValue()))
+          .flatMap { v =>
+            val c = v * 100
+            // try_cast semantics: NaN/Inf/out-of-long-range -> null,
+            // excluded from the sum (the planted non-finite rows).
+            // Spark round() is HALF_UP, not rint's half-even — the
+            // quarter-multiple generator never lands on .5 cents today,
+            // but the reference must not drift if it ever does
+            if (c.isNaN || c.isInfinite ||
+                c < Long.MinValue.toDouble || c > Long.MaxValue.toDouble) None
+            else Some(java.math.BigDecimal.valueOf(c)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+          }
         (if (u == null) null else u.longValue().asInstanceOf[Any],
           evs.size.toLong,
           (if (cents.isEmpty) null else cents.sum.asInstanceOf[Any]))
