@@ -215,8 +215,21 @@ object Multimodal {
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val frames = Vector.newBuilder[(Int, java.awt.image.BufferedImage)]
       var frameIdx = 0
+      // AGGREGATE budget across kept frames: the per-frame cap alone is
+      // defeatable by a crafted container of many just-under-cap frames
+      // (50 x 64M-pixel JPEGs accumulate ~12 GB of rasters -> the same
+      // fatal OutOfMemoryError the per-frame guard exists to prevent).
+      // Real MJPEG sampling workloads stay far below both limits.
+      var pixelBudget = 4L * MaxImagePixels
+      var keptFrames = 0
+      val maxKeptFrames = 4096
       val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
-      def walk(from: Int, to: Int, insideMovi: Boolean): Unit = {
+      def walk(from: Int, to: Int, insideMovi: Boolean, depth: Int): Unit = {
+        // depth bound: a crafted chain of nested 12-byte LIST headers
+        // otherwise recurses once per level -> StackOverflowError, a
+        // VirtualMachineError the NonFatal degrade path never catches.
+        // Real AVI nesting is ~3 (RIFF > movi > rec).
+        if (depth > 16) return
         var pos = from
         while (pos + 8 <= to) {
           val id = fourcc(pos)
@@ -226,19 +239,24 @@ object Multimodal {
           if (dataEnd > to) return // truncated chunk: stop this level
           if (id == "LIST" && size >= 4) {
             val listType = fourcc(dataStart)
-            walk(dataStart + 4, dataEnd.toInt, insideMovi || listType == "movi")
+            walk(dataStart + 4, dataEnd.toInt, insideMovi || listType == "movi",
+              depth + 1)
           } else if (insideMovi && id.length == 4 && id.endsWith("dc") && size > 0) {
-            if (frameIdx % everyN == 0) {
+            if (frameIdx % everyN == 0 && pixelBudget > 0 &&
+                keptFrames < maxKeptFrames) {
               // bounded: an embedded frame is as untrusted as the container
-              boundedImageRead(bytes, dataStart, size.toInt)
-                .foreach(img => frames += ((frameIdx, img)))
+              boundedImageRead(bytes, dataStart, size.toInt).foreach { img =>
+                frames += ((frameIdx, img))
+                pixelBudget -= img.getWidth.toLong * img.getHeight
+                keptFrames += 1
+              }
             }
             frameIdx += 1
           }
           pos = (dataEnd + (size & 1)).toInt // chunks are word-aligned
         }
       }
-      walk(12, riffEnd, insideMovi = false)
+      walk(12, riffEnd, insideMovi = false, depth = 0)
       val out = frames.result()
       if (out.isEmpty) None else Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -236,8 +236,20 @@ class MetamorphicSourceSpec extends SparkTestBase {
             // but the reference must not drift if it ever does
             if (c.isNaN || c.isInfinite ||
                 c < Long.MinValue.toDouble || c > Long.MaxValue.toDouble) None
-            else Some(java.math.BigDecimal.valueOf(c)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+            else {
+              // Spark's try_cast bound check compares against 2^63 after
+              // double promotion, so c == 2^63 exactly is ACCEPTED and
+              // saturates to Long.MaxValue — clamp, don't wrap
+              // (BigDecimal.longValue would wrap to Long.MinValue)
+              val r = java.math.BigDecimal.valueOf(c)
+                .setScale(0, java.math.RoundingMode.HALF_UP)
+              val max = java.math.BigDecimal.valueOf(Long.MaxValue)
+              val min = java.math.BigDecimal.valueOf(Long.MinValue)
+              Some(
+                if (r.compareTo(max) > 0) Long.MaxValue
+                else if (r.compareTo(min) < 0) Long.MinValue
+                else r.longValue())
+            }
           }
         (if (u == null) null else u.longValue().asInstanceOf[Any],
           evs.size.toLong,
