@@ -484,46 +484,71 @@ class MetamorphicDedupSpec extends SparkTestBase {
   //      with planted exact distance ties (t±d trains), cross-parity
   //      identical vectors (the excludeZeroDistance drop), NaN and
   //      length-mismatched vectors ----
+  // shared KNN brute kernel (q9/q10/q38): Kernels.sqdist replica —
+  // common-prefix squared deltas, missing tail as distance-to-zero,
+  // then sqrt; candidate rank = (dist, train_id) under SQL double
+  // ordering (NaN greatest); zero-distance pairs dropped
+  // (excludeZeroDistance; NaN != 0.0 -> kept)
+  private lazy val knnTrain: Vector[MetaEmb] = embs.filter(_.vec_id % 2 == 0)
+  private lazy val knnTest: Vector[MetaEmb] = embs.filter(_.vec_id % 2 == 1)
+  private def knnDist(a: Array[Float], b: Array[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val n = math.min(ad.length, bd.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = ad(i) - bd(i); s += d * d; i += 1 }
+    var j = n
+    while (j < ad.length) { s += ad(j) * ad(j); j += 1 }
+    while (j < bd.length) { s += bd(j) * bd(j); j += 1 }
+    math.sqrt(s)
+  }
+  private lazy val knnOrd = new Ordering[(Double, Long, Int)] {
+    def compare(x: (Double, Long, Int), y: (Double, Long, Int)): Int = {
+      val c = negCmp(x._1, y._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+  private def knnCandidates(te: MetaEmb): Seq[(Double, Long, Int)] =
+    knnTrain.map(tr => (knnDist(te.embedding, tr.embedding), tr.vec_id, tr.label))
+      .filter(_._1 != 0.0)
+      .sorted(knnOrd)
+
+  /** Majority vote over the first `k` ranked candidates: (votes desc,
+    * best_rank asc, label asc) — the engine's A5 comparator.
+    */
+  private def knnVote(te: MetaEmb, k: Int): Int = {
+    val topk = knnCandidates(te).take(k).zipWithIndex
+    val votes = topk.groupBy(_._1._3).toSeq.map { case (lbl, g) =>
+      (g.size, g.map(_._2 + 1).min, lbl) } // (votes, best_rank, label)
+    votes.sortBy { case (v, br, l) => (-v, br, l) }.head._3
+  }
+
   test("fuzz q9/q10: KNN classification agrees with brute vote semantics") {
-    val train = embs.filter(_.vec_id % 2 == 0)
-    val test = embs.filter(_.vec_id % 2 == 1)
-    // Kernels.sqdist replica: common-prefix squared deltas, missing
-    // tail as distance-to-zero, then sqrt
-    def dist(a: Array[Float], b: Array[Float]): Double = {
-      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
-      val n = math.min(ad.length, bd.length)
-      var s = 0.0; var i = 0
-      while (i < n) { val d = ad(i) - bd(i); s += d * d; i += 1 }
-      var j = n
-      while (j < ad.length) { s += ad(j) * ad(j); j += 1 }
-      while (j < bd.length) { s += bd(j) * bd(j); j += 1 }
-      math.sqrt(s)
-    }
-    // SQL double ordering: NaN greatest, then train_id ascending
-    val ord = new Ordering[(Double, Long, Int)] {
-      def compare(x: (Double, Long, Int), y: (Double, Long, Int)): Int = {
-        val c = negCmp(x._1, y._1)
-        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
-      }
-    }
-    def candidates(te: MetaEmb): Seq[(Double, Long, Int)] =
-      train.map(tr => (dist(te.embedding, tr.embedding), tr.vec_id, tr.label))
-        .filter(_._1 != 0.0) // excludeZeroDistance (NaN != 0.0 -> kept)
-        .sorted(ord)
-    val brute9 = test.map { te =>
-      (te.vec_id, candidates(te).head._3) // min (dist, train_id) -> label
+    val brute9 = knnTest.map { te =>
+      (te.vec_id, knnCandidates(te).head._3) // min (dist, train_id) -> label
     }
     val got9 = run("q9_knn_eu_k1").map(r => (r.getLong(0), r.getInt(1))).toSeq
     assertRows("q9", got9, brute9)
-    val brute10 = test.map { te =>
-      val top5 = candidates(te).take(5).zipWithIndex
-      val votes = top5.groupBy(_._1._3).toSeq.map { case (lbl, g) =>
-        (g.size, g.map(_._2 + 1).min, lbl) } // (votes, best_rank, label)
-      val win = votes.sortBy { case (v, br, l) => (-v, br, l) }.head._3
-      (te.vec_id, win)
-    }
+    val brute10 = knnTest.map(te => (te.vec_id, knnVote(te, 5)))
     val got10 = run("q10_knn_eu_k5").map(r => (r.getLong(0), r.getInt(1))).toSeq
     assertRows("q10", got10, brute10)
+  }
+
+  // ---- q38: the k-sweep — three k values voted from ONE pair pass.
+  //      The rank-prefix reformulation (explode k >= rank, per-(test,
+  //      k, label) counts) must reproduce the independent per-k brute
+  //      vote over the tie-dense fuzz corpus, and the grouped accuracy
+  //      must match exactly per k. ----
+  test("fuzz q38: per-k rank-prefix votes match independent brute sweeps") {
+    val truth = knnTest.map(te => te.vec_id -> te.label).toMap
+    val want = Seq(1, 3, 5).map { k =>
+      val correct = knnTest.map(te =>
+        if (knnVote(te, k) == truth(te.vec_id)) 1.0 else 0.0)
+      (k, roundN(correct.sum / knnTest.size, 6), knnTest.size.toLong)
+    }
+    val got = run("q38_ksweep").map(r =>
+      (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want,
+      s"q38 k-sweep drifted from brute: engine=$got brute=$want")
   }
 
   // ---- q27: labels == union-find over the engine's OWN q22 edge set ----
@@ -581,7 +606,7 @@ class MetamorphicDedupSpec extends SparkTestBase {
       "q22_minhash_pairs", "q23_simhash_pairs", "q24_embedding_neardup",
       "q27_dedup_clusters", "q16_token_count", "q17_quality", "q18_langid",
       "q19_fingerprint", "q50_tfidf", "q72_pii_redact", "q73_repetition",
-      "q9_knn_eu_k1", "q10_knn_eu_k5")
+      "q9_knn_eu_k1", "q10_knn_eu_k5", "q38_ksweep")
     names.foreach { n =>
       val a = run(n).toSeq
       val b = run(n, permDir).toSeq
