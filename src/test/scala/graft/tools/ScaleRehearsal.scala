@@ -30,6 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ScaleRehearsal {
 
+  /** Injected-fault counter for the `faults` case. A plain static works
+    * because local-mode executors share the driver JVM and classloader;
+    * a LongAccumulator would be ambiguous here (accumulator updates from
+    * FAILED task attempts are not uniformly applied), and the count must
+    * include the failed attempts — they ARE the injections.
+    */
+  private val injectedFailures = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def timed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -86,7 +94,12 @@ object ScaleRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    // The `faults` case needs task RETRIES enabled (local mode defaults
+    // to maxFailures=1, where the first injected failure is fatal);
+    // local[16, 4] = 16 threads, 4 attempts per task. Every other case
+    // keeps the standard local[32] bench-shaped master.
+    val master = if (args.contains("faults")) "local[16, 4]" else "local[32]"
+    val spark = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
@@ -419,6 +432,169 @@ object ScaleRehearsal {
             s"shufWriteGiB=${gib(sw)}")
         }
       } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    if (which("faults")) {
+      // ---- fault-injection rehearsal (round 11, third session) ----
+      // On a 1000-executor cluster, task retries and speculative
+      // re-execution are ROUTINE — any operator whose output depends on
+      // attempt-local state or on which attempt of a task wins silently
+      // corrupts results at scale. This case re-executes representative
+      // gate operators with first-attempt task failures injected at the
+      // source (eagerly, and MID-STREAM after rows were already emitted
+      // — exercising that Spark discards a failed attempt's partial
+      // output instead of double-counting it) and asserts bit-identical
+      // results against an uninjected control run of the same lineage
+      // shape.
+      //
+      //   sbt "Test/runMain graft.tools.ScaleRehearsal faults"
+      //
+      // Scope (documented limitation): local mode retries ResultTask /
+      // shuffle-map attempts but cannot LOSE shuffle files (single
+      // executor, no executor death), so map-stage recompute after a
+      // reducer has started — the SPARK-23207 shape — is covered by
+      // design argument instead: `spark.sql.execution.sortBeforeRepartition`
+      // (asserted true below) makes round-robin repartition inputs
+      // deterministic, every scan is parquet (stable row order per
+      // split), and the one order-sensitive id scheme (withRowId)
+      // derives ids from (partitionIdx, position), both reproducible on
+      // recompute.
+      require(spark.sparkContext.master.matches("""local\[\d+,\s*\d+\]"""),
+        s"faults case needs a retry-enabled master, got ${spark.sparkContext.master}")
+      assert(spark.conf.get("spark.sql.execution.sortBeforeRepartition").toBoolean,
+        "sortBeforeRepartition must stay at its true default (SPARK-23207)")
+      import graft.ingest.SeriesIngest
+      import graft.operators.{AsofJoin, Partitioning}
+      import org.apache.spark.TaskContext
+      val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+      /** Injecting wrapper: every first attempt of an even-indexed
+        * source partition throws — before any row (`failAfter=0`) or
+        * after emitting `failAfter` rows (partial-output discard path).
+        * `inject=false` builds the identical RDD-scan lineage without
+        * the failure, so control and injected runs compare the same
+        * plan shape.
+        */
+      def wrap(df: DataFrame, inject: Boolean, failAfter: Int): DataFrame = {
+        val schema = df.schema
+        val rdd = df.rdd.mapPartitions { it =>
+          val ctx = TaskContext.get()
+          val doFail = inject && ctx != null &&
+            ctx.attemptNumber() == 0 && ctx.partitionId() % 2 == 0
+          if (!doFail) it
+          else if (failAfter == 0) {
+            injectedFailures.incrementAndGet()
+            throw new RuntimeException(
+              s"[injected] eager first-attempt failure p=${ctx.partitionId()}")
+          } else {
+            var n = 0
+            it.map { row =>
+              n += 1
+              if (n > failAfter) {
+                injectedFailures.incrementAndGet()
+                throw new RuntimeException(
+                  s"[injected] mid-stream failure p=${ctx.partitionId()} " +
+                    s"after $failAfter rows")
+              }
+              row
+            }
+          }
+        }
+        spark.createDataFrame(rdd, schema)
+      }
+
+      def canon(df: DataFrame): IndexedSeq[String] =
+        df.collect().map(_.mkString("")).sorted.toIndexedSeq
+
+      val events = spark.read.parquet(s"$sf/events.parquet")
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      val customer = spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val embQ = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      def embC(w: DataFrame => DataFrame) = w(emb)
+        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      val L = 32
+      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+        spark.range(n).select(
+          (col("id") + offset).as(idCol),
+          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+          call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
+
+      // Each check: injector -> result frame. The injector is applied to
+      // the frame whose recompute path the check targets.
+      val checks: Seq[(String, (DataFrame => DataFrame) => DataFrame)] = Seq(
+        // rows neither lost nor duplicated across a retried scan
+        "scan_identity" -> (w => w(events)),
+        // hash-agg with partial (map-side) aggregation under retry
+        "groupby_agg" -> (w => w(events).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"))),
+        // retry DOWNSTREAM of a shuffle: the injected task is a consumer
+        // of the agg's shuffle output and re-reads it on its 2nd attempt
+        "agg_then_retry" -> (w => w(events.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s")))),
+        // order-sensitive id scheme: (partitionIdx, position) offsets
+        "rowid_scan" -> (w => SeriesIngest.withRowId(w(docs))),
+        // ids AFTER a round-robin shuffle (the sortBeforeRepartition path)
+        "rowid_roundrobin" -> (w => SeriesIngest.withRowId(w(docs).repartition(7))),
+        // keep-first exact dedup (min_by aggregate)
+        "dedup_keepfirst" -> (w => graft.operators.Dedup
+          .dropExactDuplicates(w(docs), "doc_id", "text")),
+        // MID-based salt assignment feeding a replicated join
+        "salted_join" -> (w => Partitioning.saltedJoin(w(orders), customer,
+          "custkey", salt = 4)),
+        // full-window as-of pick over a retried union
+        "asof_backward" -> { w =>
+          val ev = w(events)
+          val views = ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "event_id")
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "value")
+          AsofJoin.asofBackward(views, purchases, Seq("user_id"), "ts", Seq("value"))
+        },
+        // bounded-heap top-k (TypedImperativeAggregate partials) with a
+        // broadcast corpus whose build job itself gets retried
+        "ann_brute_topk" -> (w => graft.operators.SimilaritySearch
+          .bruteForceTopK(embQ, embC(w), k = 5)),
+        // flagship KNN vote chain: distances -> heap -> majority vote
+        "knn_vote" -> { w =>
+          val train = w(synth(600, 0, "train_id", "train_series"))
+          val test = synth(100, 1000000, "test_id", "test_series")
+            .select(col("test_id"), col("test_series"))
+          Knn.classify(train, test, KnnParams(k = 5, distance = "euclidean"))
+        })
+
+      var failed = List.empty[String]
+      checks.foreach { case (name, build) =>
+        val control = canon(build(df => wrap(df, inject = false, failAfter = 0)))
+        Seq("eager" -> 0, "mid" -> 16).foreach { case (mode, after) =>
+          injectedFailures.set(0)
+          val got = timed(s"faults $name/$mode") {
+            canon(build(df => wrap(df, inject = true, failAfter = after)))
+          }
+          val nInj = injectedFailures.get()
+          val ok = got == control && nInj > 0
+          if (!ok) failed ::= s"$name/$mode"
+          println(s"[rehearsal] faults $name/$mode: rows=${got.size} " +
+            s"injected=$nInj match=${got == control}" +
+            (if (nInj == 0) " VACUOUS-NO-INJECTION" else "") +
+            (if (ok) " PASS" else " FAIL"))
+        }
+      }
+      require(failed.isEmpty, s"fault-injection mismatches: ${failed.reverse.mkString(", ")}")
+      println(s"[rehearsal] faults: all ${checks.size} operators retry-invariant " +
+        "(eager + mid-stream injection)")
+      // Speculative execution cannot be rehearsed in-process:
+      // TaskSchedulerImpl.start() guards the speculation thread with
+      // `!isLocal`, so local mode never launches duplicate attempts.
+      // The covering argument is the output-commit protocol (exactly one
+      // attempt's output is committed per task) plus the determinism
+      // pinned above: racing attempts compute identical rows, so EITHER
+      // winner commits the same bytes.
     }
 
     if (which("dedupskew")) {
