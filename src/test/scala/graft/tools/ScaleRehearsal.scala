@@ -597,6 +597,78 @@ object ScaleRehearsal {
       // winner commits the same bytes.
     }
 
+    if (which("concurrent")) {
+      // ---- multi-tenant concurrency rehearsal (round 11) ----
+      // A production driver runs MANY queries on one session at once
+      // (FAIR scheduler, thread-per-request services). Single-threaded
+      // gates never exercise the engine's shared mutable surfaces under
+      // contention: the session-keyed memos (HAR synth/prediction
+      // caches, IVF centroid fits — ConcurrentHashMaps with documented
+      // lost-race semantics) and Catalyst itself. This case runs a
+      // 16-query mix over 8 threads x 3 rounds in ONE session and
+      // asserts every result stays bit-identical to its sequential
+      // baseline.
+      //
+      //   sbt "Test/runMain graft.tools.ScaleRehearsal concurrent"
+      //
+      // Deliberately EXCLUDED, with the multi-tenancy contract stated:
+      //   - q30/q41/q76-class fixed-name DDL (saveAsTable/overwrite):
+      //     concurrent same-name writes race by SQL semantics on any
+      //     engine; a multi-tenant driver namespaces or serializes DDL.
+      //   - streaming replays (q67..q71, q78): the bounded ORACLE
+      //     replay harness save/restores the session's shuffle-partition
+      //     conf (test infra, not engine); production streaming queries
+      //     are one-per-checkpoint-location by construction.
+      // q26/q31 stay IN: their prediction-table memo is the documented
+      // write-once-read-many shape, and q31 must see either the memo or
+      // rebuild it — never a torn table.
+      val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      val mix = Seq(
+        "q1_filter_project", "q4_agg", "q10_knn_eu_k5", "q17_quality",
+        "q20_ann_cosine", "q22_minhash_pairs", "q24_embedding_neardup",
+        "q26_har_model2_1nn", "q28_ann_ivf", "q31_har_accuracy",
+        "q42_sessionize", "q45_ann_ivf_det", "q47_asof_join",
+        "q50_tfidf", "q56_json", "q62_gapfill")
+      def canonQ(name: String): IndexedSeq[String] =
+        graft.SparkEntry.queries(name)(spark, sf)
+          .collect().map(_.mkString("")).sorted.toIndexedSeq
+      val baseline = timed("concurrent sequential baselines") {
+        mix.map(n => n -> canonQ(n)).toMap
+      }
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val rounds = 3
+      timed(s"concurrent mix (${mix.size} queries x $rounds rounds, 8 threads)") {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          (0 until rounds).foreach { r =>
+            // drop the session memos while quiescent (the documented
+            // lifecycle: release only between queries), so THIS round's
+            // threads race on COLD memo creation — harSynth checkpoints,
+            // the q26 prediction-table build q31 depends on, centroid
+            // fits — instead of reading what the baselines warmed
+            graft.SparkEntry.clearSessionCaches(spark)
+            val tasks = new scala.util.Random(41 + r).shuffle(mix).map { n =>
+              pool.submit(new Runnable {
+                def run(): Unit =
+                  try {
+                    if (canonQ(n) != baseline(n)) failures.add(s"$n@round$r")
+                  } catch {
+                    case e: Throwable =>
+                      failures.add(s"$n@round$r threw ${e.getClass.getSimpleName}: " +
+                        s"${String.valueOf(e.getMessage).take(200)}")
+                  }
+              })
+            }
+            tasks.foreach(_.get())
+          }
+        } finally pool.shutdown()
+      }
+      require(failures.isEmpty,
+        s"concurrent mismatches: ${failures.toArray.mkString("; ")}")
+      println(s"[rehearsal] concurrent: ${mix.size} queries x $rounds rounds " +
+        "across 8 threads all bit-identical to sequential baselines")
+    }
+
     if (which("dedupskew")) {
       // ---- 6. exact-dedup keep-first under heavy duplicate skew ----
       // (round-8: dropExactDuplicates moved from a row_number window to
