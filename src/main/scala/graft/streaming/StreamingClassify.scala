@@ -102,6 +102,16 @@ object StreamingClassify {
     * watermark passes it, so this runs forever at 100 TB/day ingest,
     * unlike unbounded `dropDuplicates` whose state grows monotonically).
     */
+  /** Restart caveat (measured by the `streamrecovery` rehearsal): the
+    * dedup guarantee is ONE-SIDED — duplicates arriving within the
+    * watermark delay of the kept row are always dropped, but arrivals
+    * beyond the delay may or may not be, because physical state
+    * eviction timing is not restart-invariant (a restart's no-data
+    * batch evicts expired keys a single query lifetime still holds, so
+    * re-arrivals can start a new kept "epoch"). Downstream consumers
+    * must tolerate a key re-appearing after the delay horizon; exact
+    * global dedup is the batch operator's job ([[graft.operators.Dedup]]).
+    */
   def dedupStream(
       stream: DataFrame, keyCols: Seq[String],
       tsCol: String, watermark: String): DataFrame =

@@ -38,6 +38,9 @@ object ScaleRehearsal {
     */
   private val injectedFailures = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** One-shot latch for the `streamrecovery` torn-batch injection. */
+  private val tornOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def timed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -667,6 +670,232 @@ object ScaleRehearsal {
         s"concurrent mismatches: ${failures.toArray.mkString("; ")}")
       println(s"[rehearsal] concurrent: ${mix.size} queries x $rounds rounds " +
         "across 8 threads all bit-identical to sequential baselines")
+    }
+
+    if (which("streamrecovery")) {
+      // ---- streaming checkpoint-recovery rehearsal (round 11) ----
+      // The metamorphic fuzz pinned streaming SEMANTICS (including real
+      // multi-batch state accumulation); this pins RECOVERY — the
+      // cluster-failure path. Three state shapes run twice each:
+      //   reference: one query lifetime over 6 time-ordered files
+      //     (maxFilesPerTrigger=1 -> 6 micro-batches);
+      //   recovery:  the same query sees only the first 3 files,
+      //     terminates (AvailableNow), the other 3 arrive, and it
+      //     RESTARTS from the same checkpoint — watermark, window
+      //     state, dedup digests, and mapGroupsWithState totals must
+      //     all carry across the restart, and the sink must equal the
+      //     reference exactly (no loss, no re-emission).
+      // A fourth run injects a TORN BATCH: foreachBatch writes half its
+      // rows and throws on the first attempt of batch 4, the query
+      // dies, and the restart must overwrite the torn directory via the
+      // idempotent batchId-keyed pattern (the production exactly-once
+      // recipe for update-mode sinks).
+      //
+      //   sbt "Test/runMain graft.tools.ScaleRehearsal streamrecovery"
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingClassify
+      val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_streamrecovery").toFile
+      work.deleteOnExit()
+      val events = spark.read.parquet(s"$sf/events.parquet")
+      val eventsSchema = events.schema
+
+      // 6 time-ordered single-file chunks with pinned names + mtimes so
+      // FileStreamSource (sorted by timestamp, then path) sees a
+      // deterministic file order in every run. Global window is fine in
+      // tooling at sf0.01 scale.
+      val chunks = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("ts", "event_id")
+        val idx = events.withColumn("_i", row_number().over(w) - lit(1))
+        val n = events.count()
+        val step = (n + 5) / 6
+        (0 until 6).map { i =>
+          val tmp = new java.io.File(work, s"_tmp$i")
+          idx.filter(col("_i") >= i * step && col("_i") < (i + 1) * step)
+            .drop("_i").coalesce(1)
+            .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          part
+        }
+      }
+      def stageDir(name: String, upTo: Int): java.io.File = {
+        val d = new java.io.File(work, name)
+        d.mkdirs()
+        chunks.take(upTo).zipWithIndex.foreach { case (src, i) =>
+          val dst = new java.io.File(d, f"part$i%02d.parquet")
+          if (!dst.exists()) {
+            java.nio.file.Files.copy(src.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + i * 60000L)
+            ()
+          }
+        }
+        d
+      }
+      // same normalization chain as the gate's event streams: physical
+      // encoding -> epoch-nanos contract -> second-precision TIMESTAMP
+      // event time (integral division; a double detour can't represent
+      // ~1.7e18 exactly)
+      def srcStream(dir: java.io.File): DataFrame =
+        graft.sources.EventTime.nanos(
+          spark.readStream.schema(eventsSchema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dir.getAbsolutePath))
+          .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+      def path(name: String) = new java.io.File(work, name).getAbsolutePath
+      def canonOut(dir: String): IndexedSeq[String] =
+        spark.read.parquet(dir).collect()
+          .map(_.mkString("")).sorted.toIndexedSeq
+
+      // -- append-mode variants through the exactly-once FILE sink
+      //    (reads go through the sink's _spark_metadata manifest)
+      var failed = List.empty[String]
+      def runAppend(name: String, tag: String, dir: java.io.File,
+          build: DataFrame => DataFrame): Unit = {
+        val q = build(srcStream(dir)).writeStream
+          .format("parquet")
+          .outputMode("append")
+          .option("path", path(s"$name-$tag-out"))
+          .option("checkpointLocation", path(s"$name-$tag-ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def runBoth(name: String, build: DataFrame => DataFrame): Unit =
+        timed(s"streamrecovery $name") {
+          runAppend(name, "ref", stageDir(s"$name-ref-in", 6), build)
+          val growDir = stageDir(s"$name-rec-in", 3)
+          runAppend(name, "rec", growDir, build) // 3 batches, clean stop
+          stageDir(s"$name-rec-in", 6)           // late files arrive
+          runAppend(name, "rec", growDir, build) // restart from checkpoint
+        }
+
+      // windowed agg: deterministic append emissions -> bit-equality
+      runBoth("window_agg", df => StreamingClassify.windowedEventStats(df))
+      locally {
+        val ref = canonOut(path("window_agg-ref-out"))
+        val rec = canonOut(path("window_agg-rec-out"))
+        val ok = ref == rec && ref.nonEmpty
+        if (!ok) failed ::= "window_agg"
+        println(s"[rehearsal] streamrecovery window_agg: refRows=${ref.size} " +
+          s"recRows=${rec.size} match=${ref == rec}" +
+          (if (ok) " PASS" else " FAIL"))
+      }
+
+      // dropDuplicatesWithinWatermark: bit-equality across restart is NOT
+      // the operator's contract and this rehearsal MEASURED why — the
+      // guarantee is one-sided (duplicates within the delay are dropped;
+      // beyond it they "may or may not" be), and physical state eviction
+      // timing differs across a restart (the recovery run's extra
+      // no-data batch evicts expired digests the single-lifetime run
+      // still holds, so re-arrivals start a new epoch: uniformly 3 kept
+      // rows per digest in the reference vs 4 after restart on this
+      // corpus). Both runs must instead satisfy the CONTRACT:
+      //   (i)  hard dedup guarantee: no two kept rows of one digest
+      //        within the 600 s delay of each other;
+      //   (ii) the globally first row of each digest is kept (state was
+      //        empty — emission is mandatory);
+      //   (iii) exactly-once sink: no event emitted twice, every kept
+      //        row is a real input row (payload intact through the
+      //        manifest-committed restart).
+      runBoth("dedup_content", df =>
+        StreamingClassify.dedupStreamByContent(df, "props", "ts", "10 minutes"))
+      locally {
+        val delaySec = 600L
+        val input = graft.sources.EventTime.nanos(
+          spark.read.parquet(stageDir("dedup_content-ref-in", 6).getAbsolutePath))
+          .select(col("event_id").cast("long"),
+            col("props"), expr("ts div 1000000000").as("tsec"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val firstPerDigest = input.groupBy(_._2).map { case (p, rows) =>
+          p -> rows.map(r => (r._3, r._1)).min // (ts, event_id) arrival order
+        }
+        val inputById = input.map(r => r._1 -> r).toMap
+        Seq("ref", "rec").foreach { tag =>
+          val kept = spark.read.parquet(path(s"dedup_content-$tag-out"))
+            .select(col("event_id").cast("long"), col("props"),
+              unix_seconds(col("ts")).as("tsec"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          val dupEmit = kept.groupBy(_._1).count(_._2.size > 1)
+          val notInput = kept.count(k => !inputById.get(k._1).contains(k))
+          val tooClose = kept.groupBy(_._2).valuesIterator.map { rows =>
+            val ts = rows.map(_._3).sorted
+            ts.zip(ts.drop(1)).count { case (a, b) => b - a < delaySec }
+          }.sum
+          val firstMissing = firstPerDigest.count { case (p, (_, eid)) =>
+            !kept.exists(k => k._1 == eid && k._2 == p)
+          }
+          val ok = kept.nonEmpty && dupEmit == 0 && notInput == 0 &&
+            tooClose == 0 && firstMissing == 0
+          if (!ok) failed ::= s"dedup_content-$tag"
+          println(s"[rehearsal] streamrecovery dedup_content-$tag: " +
+            s"kept=${kept.length} dupEmit=$dupEmit notInput=$notInput " +
+            s"withinDelayPairs=$tooClose firstMissing=$firstMissing" +
+            (if (ok) " PASS" else " FAIL"))
+        }
+      }
+
+      // -- update-mode mapGroupsWithState via idempotent foreachBatch
+      //    (batchId-keyed overwrite), with and without a torn batch
+      def runCents(tag: String, dir: java.io.File, torn: Boolean): Unit = {
+        val out = path(s"cents-$tag-out")
+        val q = StreamingClassify
+          .runningUserStatsCents(srcStream(dir)).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", path(s"cents-$tag-ckpt"))
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            if (torn && bid == 4 && tornOnce.compareAndSet(false, true)) {
+              // torn write: half the batch lands, then the query dies
+              df.limit(math.max(1, df.count().toInt / 2))
+                .write.mode("overwrite").parquet(s"$out/batch=$bid")
+              throw new RuntimeException("[injected] crash after torn batch write")
+            }
+            df.write.mode("overwrite").parquet(s"$out/batch=$bid")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def centsFinal(tag: String): IndexedSeq[String] = {
+        val all = spark.read.parquet(path(s"cents-$tag-out"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("batch").desc)
+        all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select("user_id", "events", "total_value")
+          .collect().map(_.mkString("")).sorted.toIndexedSeq
+      }
+      timed("streamrecovery cents (restart + torn batch)") {
+        runCents("ref", stageDir("cents-ref-in", 6), torn = false)
+        val grow = stageDir("cents-rec-in", 3)
+        runCents("rec", grow, torn = false)
+        stageDir("cents-rec-in", 6)
+        runCents("rec", grow, torn = false)
+        tornOnce.set(false)
+        val tornDir = stageDir("cents-torn-in", 6)
+        try {
+          runCents("torn", tornDir, torn = true)
+          failed ::= "cents-torn-no-crash"
+        } catch {
+          case e: Exception if String.valueOf(e.getMessage).contains("[injected]") ||
+            Option(e.getCause).exists(c =>
+              String.valueOf(c.getMessage).contains("[injected]")) =>
+        }
+        runCents("torn", tornDir, torn = false) // recover; batch 4 re-runs
+      }
+      val centsRef = centsFinal("ref")
+      Seq("rec", "torn").foreach { tag =>
+        val got = centsFinal(tag)
+        val ok = got == centsRef && got.nonEmpty
+        if (!ok) failed ::= s"cents-$tag"
+        println(s"[rehearsal] streamrecovery cents-$tag: rows=${got.size} " +
+          s"match=${got == centsRef}" + (if (ok) " PASS" else " FAIL"))
+      }
+      require(failed.isEmpty,
+        s"streamrecovery mismatches: ${failed.reverse.mkString(", ")}")
+      println("[rehearsal] streamrecovery: window + mapGroupsWithState state " +
+        "bit-identical across restart; dedup within its one-sided contract " +
+        "both lifetimes; torn foreachBatch healed idempotently")
     }
 
     if (which("dedupskew")) {
