@@ -142,9 +142,16 @@ object Bench {
     // 1983 chars — 17 from the driver's 2000-char tail cutoff. 10 ms
     // resolution is ample for round-over-round comparison; the full
     // 3-decimal map still lands in SPARK_GRAFT_BENCH_OUT.
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+    // JSON number formatting pinned to Locale.ROOT: the f-interpolator
+    // uses the JVM default locale, and a comma-decimal default (de_DE,
+    // fr_FR cluster drivers) would emit 2,52 — invalid JSON, losing the
+    // round's artifact (same defect class the advisor caught in the
+    // rehearsal tooling's --json path)
+    def num(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     // Per-query run spread ((max-min)/median) and a suite-level noise
     // index (median of spreads across multi-run queries): r9's official
@@ -157,16 +164,16 @@ object Bench {
       else Some((runs.max - runs.min) / med)
     val plan = results.map { case (k, med, runs, j, st, tk) =>
       val spread = spreadOf(runs, med)
-        .map(s => ",\"spread\":" + f"$s%.3f").getOrElse("")
+        .map(s => ",\"spread\":" + num(s, 3)).getOrElse("")
       "\"" + k + "\":{\"jobs\":" + j + ",\"stages\":" + st + ",\"tasks\":" + tk +
-        spread + ",\"runs\":[" + runs.map(t => f"$t%.3f").mkString(",") + "]}"
+        spread + ",\"runs\":[" + runs.map(t => num(t, 3)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val spreads = results.flatMap { case (_, med, runs, _, _, _) =>
       spreadOf(runs, med)
     }.sorted
     // upper median, same rationale as the per-query timing median
     val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
-    val noiseStr = f"$noise%.3f"
+    val noiseStr = num(noise, 3)
     val total = results.map(_._2).sum
     // The driver keeps only the LAST 2000 chars of stdout, so the compact
     // timings JSON must be the final line. The (larger) per-query
@@ -177,7 +184,7 @@ object Bench {
     // a file (SPARK_GRAFT_BENCH_OUT) for offline analysis.
     // total at 3 decimals: raw double interpolation prints ~17 chars and
     // the timings line must stay comfortably inside the 2000-char tail
-    val totalStr = f"$total%.3f"
+    val totalStr = num(total, 3)
     val sfTier = sfDir.split('/').lastOption.getOrElse(sfDir)
     val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"noise":$noiseStr,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
