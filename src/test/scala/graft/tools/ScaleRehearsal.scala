@@ -507,7 +507,7 @@ object ScaleRehearsal {
       }
 
       def canon(df: DataFrame): IndexedSeq[String] =
-        df.collect().map(_.mkString("")).sorted.toIndexedSeq
+        df.collect().map(_.mkString("\u0001")).sorted.toIndexedSeq
 
       val events = spark.read.parquet(s"$sf/events.parquet")
       val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -634,7 +634,7 @@ object ScaleRehearsal {
         "q50_tfidf", "q56_json", "q62_gapfill")
       def canonQ(name: String): IndexedSeq[String] =
         graft.SparkEntry.queries(name)(spark, sf)
-          .collect().map(_.mkString("")).sorted.toIndexedSeq
+          .collect().map(_.mkString("\u0001")).sorted.toIndexedSeq
       val baseline = timed("concurrent sequential baselines") {
         mix.map(n => n -> canonQ(n)).toMap
       }
@@ -746,7 +746,7 @@ object ScaleRehearsal {
       def path(name: String) = new java.io.File(work, name).getAbsolutePath
       def canonOut(dir: String): IndexedSeq[String] =
         spark.read.parquet(dir).collect()
-          .map(_.mkString("")).sorted.toIndexedSeq
+          .map(_.mkString("\u0001")).sorted.toIndexedSeq
 
       // -- append-mode variants through the exactly-once FILE sink
       //    (reads go through the sink's _spark_metadata manifest)
@@ -863,7 +863,7 @@ object ScaleRehearsal {
           .partitionBy("user_id").orderBy(col("batch").desc)
         all.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
           .select("user_id", "events", "total_value")
-          .collect().map(_.mkString("")).sorted.toIndexedSeq
+          .collect().map(_.mkString("\u0001")).sorted.toIndexedSeq
       }
       timed("streamrecovery cents (restart + torn batch)") {
         runCents("ref", stageDir("cents-ref-in", 6), torn = false)
