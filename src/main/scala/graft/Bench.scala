@@ -187,11 +187,16 @@ object Bench {
     val totalStr = num(total, 3)
     val sfTier = sfDir.split('/').lastOption.getOrElse(sfDir)
     val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"noise":$noiseStr,"sf":"$sfDir"}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Throwable => System.err.println(s"[bench] write $p failed: ${e.getMessage}") }
-    }
+    // The full JSON (exec map with scheduler counts, per-run spreads)
+    // also lands in a FILE by default — the driver's official artifact
+    // keeps only the last 2000 stdout chars, which truncates the exec
+    // map (BENCH_r10's was lost to exactly this), making cross-round
+    // plan-vs-tenancy attribution impossible from the artifact alone.
+    // SPARK_GRAFT_BENCH_OUT overrides the path; failures are non-fatal.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $fullOut failed: ${e.getMessage}") }
     // Cleanup BEFORE the JSON prints, under ERROR log level: unpersisting
     // localCheckpoints logs WARN lines, and anything the process emits
     // after the timings line eats its 2000-char tail window from the

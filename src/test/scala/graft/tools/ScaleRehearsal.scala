@@ -471,9 +471,13 @@ object ScaleRehearsal {
       import org.apache.spark.TaskContext
       val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-      /** Injecting wrapper: every first attempt of an even-indexed
-        * source partition throws — before any row (`failAfter=0`) or
-        * after emitting `failAfter` rows (partial-output discard path).
+      /** Injecting wrapper: first task attempts throw — before any row
+        * (`failAfter=0`, even-indexed partitions only, so some
+        * partitions stay untouched) or after emitting `failAfter` rows
+        * (partial-output discard path; applies to EVERY partition,
+        * because row placement across file splits is data-dependent —
+        * the 10x tier puts all 1.5M order rows in partition 1 of 4, and
+        * a parity-restricted mid injection went vacuous there).
         * `inject=false` builds the identical RDD-scan lineage without
         * the failure, so control and injected runs compare the same
         * plan shape.
@@ -482,8 +486,8 @@ object ScaleRehearsal {
         val schema = df.schema
         val rdd = df.rdd.mapPartitions { it =>
           val ctx = TaskContext.get()
-          val doFail = inject && ctx != null &&
-            ctx.attemptNumber() == 0 && ctx.partitionId() % 2 == 0
+          val doFail = inject && ctx != null && ctx.attemptNumber() == 0 &&
+            (failAfter > 0 || ctx.partitionId() % 2 == 0)
           if (!doFail) it
           else if (failAfter == 0) {
             injectedFailures.incrementAndGet()
