@@ -277,9 +277,13 @@ object Dedup {
 
   /** Duplicate CLUSTERS: connected components over the near-duplicate
     * pair graph, labeled by the smallest member id. Iterative min-label
-    * propagation (Pregel-style, converges in O(component diameter)
-    * rounds — near-dup clusters are shallow), with `localCheckpoint` per
-    * round so the lineage stays flat at scale.
+    * propagation (Pregel-style) with pointer-jumping label compression
+    * each round, so convergence is O(log component diameter) — a
+    * duplicate CHAIN (incremental edits of one document, diameter ~n)
+    * converges in ~log2(n) rounds where the plain edge-hop loop needed
+    * n and silently returned fragmented labels past `maxIterations`
+    * (now a loud IllegalStateException instead). `localCheckpoint` per
+    * round keeps the lineage flat at scale.
     *
     * Edge generation defaults to the LSH path ([[minhashLshPairs]] at
     * rowsPerBand=2: sum-of-bucket-squared candidate cost with
@@ -321,18 +325,42 @@ object Dedup {
       val neighborMin = und
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // localCheckpoint is eager: once `next` exists its blocks are
-      // materialized, so round N-1's labels can release immediately —
-      // without this every iteration leaks a block set into the session
-      val next = labels
+      val hop = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // Pointer-jumping compression: label := min(label, label(label)).
+      // Labels are always node ids, so one self-join per round resolves
+      // each node's label through its label's OWN current label — the
+      // edge hop alone moves the component minimum ONE step per round,
+      // which on a duplicate CHAIN of diameter d (incremental edits of
+      // one document) needs d rounds and silently exceeded
+      // maxIterations; with compression the path halves each round and
+      // convergence is O(log d) (60-chain: 40 wrong labels before, 1
+      // after, regression-pinned in DedupSpec).
+      // localCheckpoint is eager: once `next` exists its blocks are
+      // materialized, so round N-1's labels can release immediately —
+      // without this every iteration leaks a block set into the session
+      val next = hop
+        .join(hop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("old")).isEmpty
       graft.core.Materialize.releaseCheckpoint(labels)
       labels = next.select("id", "label")
       iter += 1
+    }
+    if (!converged) {
+      graft.core.Materialize.releaseCheckpoint(und)
+      graft.core.Materialize.releaseCheckpoint(labels)
+      // a partially-propagated labeling is silently WRONG (nodes far
+      // from their component's minimum keep interim labels) — fail loud
+      throw new IllegalStateException(
+        s"duplicateClusters: label propagation did not converge within " +
+          s"$maxIterations iterations (component diameter > ~2^$maxIterations " +
+          "after compression — raise maxIterations)")
     }
     // the edge set is loop-internal — the returned frame references only
     // the final labels checkpoint, so und's blocks release here

@@ -145,6 +145,26 @@ class DedupSpec extends SparkTestBase {
     assert(denser === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("duplicateClusters converges on a deep chain (diameter >> maxIterations)") {
+    import spark.implicits._
+    // 60-doc chain via stride-2 token windows: doc i and i+1 share
+    // exactly one 2-shingle (jaccard 1/5 = 0.2), non-adjacent pairs
+    // share none — ONE component of diameter 59, the incremental-edit
+    // shape a web corpus produces. The plain edge-hop loop moved the
+    // minimum one step per round and silently returned 40 fragmented
+    // labels at the 20-iteration cap; pointer-jumping compression
+    // converges in ~log2(59) rounds (the r11 fuzz program's 8th real
+    // engine bug).
+    val chain = (0 until 60).map { i =>
+      (i.toLong, (0 until 4).map(j => s"t${2 * i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val clustered = Dedup.duplicateClusters(chain, "doc_id", "text",
+      shingleSize = 2, threshold = 0.2, useLsh = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.size === 60)
+    assert(clustered.values.toSet === Set(0L), "every doc labels to the chain minimum")
+  }
+
   test("full-recall LSH pairs == brute-force pairs (sf0.001 documents)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
