@@ -145,6 +145,20 @@ class MetamorphicDedupSpec extends SparkTestBase {
         out += mkDoc(nid(), render(a, rng, false))
         out += mkDoc(nid(), render(b, rng, false))
     }
+    // duplicate CHAIN: sliding windows (length 6, stride 2) over a
+    // dedicated per-seed token namespace — adjacent jaccard 3/7 (~0.43,
+    // an edge at the gate's 0.3 threshold), skip pairs 1/9 (non-edge):
+    // ONE path component whose diameter (up to 22) exceeds what the
+    // pre-fix one-hop propagation loop could close within its 20-round
+    // cap (engine bug #8 returned fragmented labels on exactly this
+    // shape); the q27 union-find reference walks it exactly.
+    if (s % 3 == 2) {
+      val len = 8 + (s % 16)
+      val chainToks = Vector.tabulate(2 * len + 4)(k => s"ch${s}x$k")
+      (0 until len).foreach { i =>
+        out += mkDoc(nid(), render(chainToks.slice(2 * i, 2 * i + 6), rng, false))
+      }
+    }
     if (s % 5 == 0) out += mkDoc(nid(), null)
     if (s % 3 == 0) out += mkDoc(nid(), "")
     if (s % 3 == 1) out += mkDoc(nid(), "  \t  ")
@@ -357,7 +371,13 @@ class MetamorphicDedupSpec extends SparkTestBase {
       val even = embs.filter(_.vec_id % 2 == 0).map(_.embedding.toSeq).toSet
       embs.count(e => e.vec_id % 2 == 1 && even(e.embedding.toSeq))
     }
+    // deep-chain components: count docs in the dedicated chain token
+    // namespace and pin that at least one seed's chain has diameter > 20
+    // (the pre-fix propagation cap) — else the bug-#8 class goes unprobed
+    val chainDocs = docs.count(d => d.text != null && d.text.startsWith("ch"))
+    val deepChains = (0 until SEEDS).count(s => s % 3 == 2 && 8 + (s % 16) >= 22)
     val counts = Map("exact-dup groups" -> exactDupGroups,
+      "chain docs" -> chainDocs, "chains with diameter > 20" -> deepChains,
       "token-identical text-different pairs" -> tokIdentNotExact,
       "jaccard == 0.3" -> atThreshold, "jaccard in [0.25,0.3)" -> justBelow,
       "jaccard in [0.8,1)" -> highSim, "empty-token docs" -> emptyTok,
