@@ -204,6 +204,65 @@ class MetamorphicSpec extends SparkTestBase {
     assertRows("q47", got, brute)
   }
 
+  // ---- as-of VARIANTS: the gate (q47) covers backward/inclusive/
+  //      unbounded only; this pins the OTHER seven API combinations
+  //      (forward x strict x tolerance) against brute picks, including
+  //      the two non-obvious contracts: ties at identical (key, ts)
+  //      break by the (ts, event_id, value) payload struct — GREATEST
+  //      wins backward, SMALLEST forward — and tolerance is POST-pick
+  //      (the nearest match is NULLED when out of range, never replaced
+  //      by a farther within-range candidate). The corpus's planted
+  //      exact ties and 600 s gaps land on every boundary. ----
+  test("fuzz as-of variants: forward/strict/tolerance agree with brute picks") {
+    import graft.operators.AsofJoin
+    import org.apache.spark.sql.functions.col
+    val evDf = graft.sources.EventTime.nanos(
+      spark.read.parquet(s"$fuzzDir/events.parquet"))
+    val leftDf = evDf.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val rightDf = evDf.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = events.filter(_.event_type == "click")
+    val viewsByUser = events.filter(_.event_type == "view").groupBy(_.user_id)
+    val tol = 600L * 1000000000L
+    for {
+      forward <- Seq(false, true)
+      strict <- Seq(false, true)
+      tolOpt <- Seq(None: Option[Long], Some(tol))
+    } {
+      val name = s"${if (forward) "fwd" else "bwd"}/" +
+        s"${if (strict) "strict" else "incl"}/${tolOpt.fold("inf")(_ => "600s")}"
+      val gotDf =
+        if (forward) AsofJoin.asofForward(leftDf, rightDf, Seq("user_id"),
+          "ts", Seq("event_id", "value"), strict, tolOpt)
+        else AsofJoin.asofBackward(leftDf, rightDf, Seq("user_id"),
+          "ts", Seq("event_id", "value"), strict, tolOpt)
+      val got = gotDf.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      }.toSeq
+      val brute = clicks.map { c =>
+        val cand0 = viewsByUser.getOrElse(c.user_id, Vector.empty)
+        val cand = (forward, strict) match {
+          case (false, false) => cand0.filter(_.ts <= c.ts)
+          case (false, true) => cand0.filter(_.ts < c.ts)
+          case (true, false) => cand0.filter(_.ts >= c.ts)
+          case (true, true) => cand0.filter(_.ts > c.ts)
+        }
+        val pick = if (cand.isEmpty) None
+          else Some(if (forward) cand.minBy(v => (v.ts, v.event_id))
+            else cand.maxBy(v => (v.ts, v.event_id)))
+        val bounded = pick.filter { v =>
+          tolOpt.forall(t => (if (forward) v.ts - c.ts else c.ts - v.ts) <= t)
+        }
+        (c.event_id, c.user_id, c.ts, bounded.map(_.event_id),
+          bounded.flatMap(v => Option(v.value).map(_.doubleValue())))
+      }
+      assertRows(s"asof-$name", got, brute)
+    }
+  }
+
   // ---- q49: range join count (nanos BETWEEN +-600e9 inclusive) ----
   test("fuzz q49: range-join error counts agree with brute over 100 seeds") {
     val errors = events.filter(_.event_type == "error").groupBy(_.user_id)
