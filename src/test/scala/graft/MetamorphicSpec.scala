@@ -263,6 +263,41 @@ class MetamorphicSpec extends SparkTestBase {
     }
   }
 
+  // ---- range-pair window VARIANTS: q49 gates only the symmetric
+  //      +-600 s configuration; these pin the bucket-explode arithmetic
+  //      (width = upper - lower, floor-div alignment, fanout-2 probe)
+  //      for asymmetric, one-sided, and strictly-past windows against
+  //      brute pair enumeration. The planted 600 s gaps land exactly on
+  //      the inclusive window edges in every configuration. ----
+  test("fuzz range-pair windows: asymmetric/offset windows agree with brute") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.sql.functions.col
+    val evDf = graft.sources.EventTime.nanos(
+      spark.read.parquet(s"$fuzzDir/events.parquet"))
+    val leftDf = evDf.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val rightDf = evDf.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val clicks = events.filter(_.event_type == "click")
+    val errsByUser = events.filter(_.event_type == "error").groupBy(_.user_id)
+    val S = 1000000000L
+    for ((lo, hi) <- Seq((-600 * S, 600 * S), (0L, 600 * S), (-600 * S, 0L),
+      (-1800 * S, -600 * S), (300 * S, 900 * S))) {
+      // join-key columns lead the equi-join output: (user_id, event_id,
+      // ts, range_event_id) — reorder to (event_id, user_id, ...)
+      val got = RangeJoin.rangePairs(leftDf, rightDf, Seq("user_id"), "ts",
+        lo, hi, Seq("event_id"))
+        .collect().map(r =>
+          (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      val brute = clicks.flatMap { c =>
+        errsByUser.getOrElse(c.user_id, Vector.empty)
+          .filter(e => e.ts >= c.ts + lo && e.ts <= c.ts + hi)
+          .map(e => (c.event_id, c.user_id, c.ts, e.event_id))
+      }
+      assertRows(s"range[${lo / S}s,${hi / S}s]", got, brute)
+    }
+  }
+
   // ---- q49: range join count (nanos BETWEEN +-600e9 inclusive) ----
   test("fuzz q49: range-join error counts agree with brute over 100 seeds") {
     val errors = events.filter(_.event_type == "error").groupBy(_.user_id)
