@@ -193,10 +193,20 @@ object Bench {
     // map (BENCH_r10's was lost to exactly this), making cross-round
     // plan-vs-tenancy attribution impossible from the artifact alone.
     // SPARK_GRAFT_BENCH_OUT overrides the path; failures are non-fatal.
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] write $fullOut failed: ${e.getMessage}") }
+    // Default resolution: the repo root if the cwd looks like it
+    // (build.sbt present), else the system temp dir — a cluster driver
+    // with an ephemeral cwd must not litter it (or silently fail on a
+    // read-only one); stderr records where the file went either way.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val name = "BENCH_FULL_latest.json"
+      if (new java.io.File("build.sbt").isFile) name
+      else new java.io.File(System.getProperty("java.io.tmpdir"), name).getPath
+    })
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full artifact -> $fullOut")
+    } catch { case e: Throwable => System.err.println(s"[bench] write $fullOut failed: ${e.getMessage}") }
     // Cleanup BEFORE the JSON prints, under ERROR log level: unpersisting
     // localCheckpoints logs WARN lines, and anything the process emits
     // after the timings line eats its 2000-char tail window from the

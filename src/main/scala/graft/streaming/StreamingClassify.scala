@@ -101,8 +101,8 @@ object StreamingClassify {
     * bounded-state form — state for a key is reclaimed once the
     * watermark passes it, so this runs forever at 100 TB/day ingest,
     * unlike unbounded `dropDuplicates` whose state grows monotonically).
-    */
-  /** Restart caveat (measured by the `streamrecovery` rehearsal): the
+    *
+    * Restart caveat (measured by the `streamrecovery` rehearsal): the
     * dedup guarantee is ONE-SIDED — duplicates arriving within the
     * watermark delay of the kept row are always dropped, but arrivals
     * beyond the delay may or may not be, because physical state

@@ -374,7 +374,12 @@ class MetamorphicDedupSpec extends SparkTestBase {
     // deep-chain components: count docs in the dedicated chain token
     // namespace and pin that at least one seed's chain has diameter > 20
     // (the pre-fix propagation cap) — else the bug-#8 class goes unprobed
-    val chainDocs = docs.count(d => d.text != null && d.text.startsWith("ch"))
+    // dedicated chain namespace (ch<seed>x<k>), not just any "ch" prefix:
+    // the vocab contains words like "charlie", which would keep this
+    // count nonzero even if the chain branch silently stopped generating
+    val chainRe = java.util.regex.Pattern.compile("^ch\\d+x\\d+\\b")
+    val chainDocs = docs.count(d =>
+      d.text != null && chainRe.matcher(d.text).lookingAt())
     val deepChains = (0 until SEEDS).count(s => s % 3 == 2 && 8 + (s % 16) >= 22)
     val counts = Map("exact-dup groups" -> exactDupGroups,
       "chain docs" -> chainDocs, "chains with diameter > 20" -> deepChains,

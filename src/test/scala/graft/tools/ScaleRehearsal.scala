@@ -699,9 +699,12 @@ object ScaleRehearsal {
       import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.StreamingClassify
       val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      // removed recursively on SUCCESS at the end of the case (a plain
+      // deleteOnExit cannot delete non-empty trees, and each run stages
+      // multiple corpus copies — gigabytes at a larger GRAFT_SF_DIR);
+      // kept on failure for post-mortem
       val work = java.nio.file.Files
         .createTempDirectory("graft_streamrecovery").toFile
-      work.deleteOnExit()
       val events = spark.read.parquet(s"$sf/events.parquet")
       val eventsSchema = events.schema
 
@@ -812,8 +815,15 @@ object ScaleRehearsal {
           .select(col("event_id").cast("long"),
             col("props"), expr("ts div 1000000000").as("tsec"))
           .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        // earliest event-SECOND per digest: the stream's event time is
+        // second-precision, and arrival order among same-second rows
+        // after the state shuffle is not pinned — so the mandatory-first
+        // check asserts a kept row exists AT the earliest second (any
+        // id), not a specific event_id (a (tsec, event_id) min produced
+        // a data-dependent false FAIL when same-second ids inverted
+        // their sub-second order)
         val firstPerDigest = input.groupBy(_._2).map { case (p, rows) =>
-          p -> rows.map(r => (r._3, r._1)).min // (ts, event_id) arrival order
+          p -> rows.map(_._3).min
         }
         val inputById = input.map(r => r._1 -> r).toMap
         Seq("ref", "rec").foreach { tag =>
@@ -827,8 +837,8 @@ object ScaleRehearsal {
             val ts = rows.map(_._3).sorted
             ts.zip(ts.drop(1)).count { case (a, b) => b - a < delaySec }
           }.sum
-          val firstMissing = firstPerDigest.count { case (p, (_, eid)) =>
-            !kept.exists(k => k._1 == eid && k._2 == p)
+          val firstMissing = firstPerDigest.count { case (p, firstSec) =>
+            !kept.exists(k => k._2 == p && k._3 == firstSec)
           }
           val ok = kept.nonEmpty && dupEmit == 0 && notInput == 0 &&
             tooClose == 0 && firstMissing == 0
@@ -897,6 +907,12 @@ object ScaleRehearsal {
       }
       require(failed.isEmpty,
         s"streamrecovery mismatches: ${failed.reverse.mkString(", ")}")
+      locally { // success: reclaim the staged corpora/checkpoints
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(work.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
       println("[rehearsal] streamrecovery: window + mapGroupsWithState state " +
         "bit-identical across restart; dedup within its one-sided contract " +
         "both lifetimes; torn foreachBatch healed idempotently")

@@ -77,7 +77,9 @@ def main():
         print(f"[faultcheck] {case}: rc={r['rc']} pass={n_pass} "
               f"summaries={n_sum} fail={len(r['failed_probes'])} "
               f"wall={r['wall_sec']}s")
-    out = os.path.join(args.repo, f"FAULTCHECK_r{args.round:02d}.json")
+    # unpadded rN matches the sibling artifact convention
+    # (DATACHECK_r11.json, BENCH_r9.json, NOTES_r4.md)
+    out = os.path.join(args.repo, f"FAULTCHECK_r{args.round}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"[faultcheck] wrote {out}")
