@@ -323,9 +323,18 @@ object ScaleRehearsal {
       import graft.SparkEntry
       val t01dir = "/root/testdata/sf0.1"
       val tier100x = "/tmp/graft_tier100/sf0.1x100"
+      // q50/q79 extend the census to the text-pipeline scale path
+      // (token explode -> agg -> broadcast join-back; n-gram scan with
+      // a broadcast eval side) — both with LINEAR output. The near-dup
+      // pair families (q22/q24) stay excluded for a different reason
+      // than cost: the id-shift synth gives every row ~copyFactor exact
+      // duplicates, so their PAIR output is quadratic in the copy
+      // factor by construction and a wall-clock ratio would measure the
+      // synthetic duplication, not operator scaling (SCALECHECK verifies
+      // them at 10x, where the 45-pairs-per-group shape is tractable).
       val queries = Seq("q1_filter_project", "q2_join", "q42_sessionize",
         "q57_daily", "q47_asof_join", "q49_range_join", "q14_dedup_exact",
-        "q19_fingerprint")
+        "q19_fingerprint", "q50_tfidf", "q79_decontaminate")
       val needed = Set("region", "nation", "customer", "orders", "lineitem",
         "events", "documents")
       val tier10x = {
@@ -364,8 +373,14 @@ object ScaleRehearsal {
         val t10 = best2(tier10x)
         val (t100, plan) = run1(q, tier100x) // JIT warmed by the smaller tiers
         val (kinds, bnlj, cart) = finalJoinShape(plan)
-        assert(bnlj == 0 && cart == 0,
-          s"$q grew a BNLJ/cartesian at 100x (joins=$kinds)")
+        // q50 attaches the corpus doc COUNT via crossJoin(broadcast(agg))
+        // — a 1-row build side, the standard scalar-attach idiom: it
+        // plans as BroadcastNestedLoopJoin but costs one broadcast of
+        // one row regardless of scale. Allow exactly that one; any
+        // OTHER BNLJ/cartesian is a real pair explosion.
+        val allowedBnlj = Map("q50_tfidf" -> 1).getOrElse(q, 0)
+        assert(bnlj <= allowedBnlj && cart == 0,
+          s"$q grew a BNLJ/cartesian at 100x (joins=$kinds bnlj=$bnlj)")
         println(f"[tier100] $q%-18s t01=$t01%6.2f t10=$t10%6.2f t100=$t100%7.2f " +
           f"r10=${t10 / t01}%5.1fx r100=${t100 / t10}%5.1fx " +
           s"joins100=${if (kinds.isEmpty) "-" else kinds}")
