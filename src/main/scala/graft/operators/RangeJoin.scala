@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   * needed).
   *
   * `tsCol` must be integral (e.g. epoch nanos; the events table's
-  * TIMESTAMP(NANOS) arrives as long under `nanosAsLong`) and
-  * non-negative after adding `lower` — integral `div` keeps bucket
-  * arithmetic exact where a double division would lose whole seconds at
-  * 1e18 nanos.
+  * TIMESTAMP(NANOS) arrives as long under `nanosAsLong`) — integral
+  * arithmetic keeps buckets exact where a double division would lose
+  * whole seconds at 1e18 nanos. Bucket ids use FLOOR division
+  * (`(x - pmod(x, w)) div w`) rather than bare `div` (truncation
+  * toward zero). Correctness holds under either (both are monotone and
+  * the probe explodes every bucket id in its window's range — signed
+  * timestamps, e.g. pre-1970 placeholders, were never dropped:
+  * regression-pinned against a brute scan in RangeJoinSpec), but
+  * truncation makes bucket 0 twice as wide as every other, so windows
+  * straddling zero exploded to three bucket ids and bucket 0 collected
+  * double load; floor keeps the width uniform and the probe fanout
+  * exactly <= 2 everywhere.
   */
 object RangeJoin {
 
@@ -37,12 +45,15 @@ object RangeJoin {
     require(upper > lower, "empty range window")
     require(keyCols.nonEmpty, "range join needs at least one key column")
     val width = upper - lower
+    // floor division: uniform bucket width and fanout <= 2 across the
+    // sign boundary (see scaladoc; truncation was correct but uneven)
+    def floorDiv(x: String): String = s"(($x) - pmod(($x), ${width}L)) div ${width}L"
     val l = left.withColumn("_bucket",
       explode(sequence(
-        expr(s"(`$tsCol` + ${lower}L) div ${width}L"),
-        expr(s"(`$tsCol` + ${upper}L) div ${width}L"))))
+        expr(floorDiv(s"`$tsCol` + ${lower}L")),
+        expr(floorDiv(s"`$tsCol` + ${upper}L")))))
     val r = right.select(
-      keyCols.map(col) ++ Seq(expr(s"`$tsCol` div ${width}L").as("_bucket"),
+      keyCols.map(col) ++ Seq(expr(floorDiv(s"`$tsCol`")).as("_bucket"),
         col(tsCol).as("_rts")) ++
         rightValueCols.map(c => col(c).as(s"range_$c")): _*)
     l.join(r, keyCols :+ "_bucket")

@@ -31,6 +31,37 @@ class RangeJoinSpec extends SparkTestBase {
     assert(cnt === 3)
   }
 
+  test("rangePairs: negative and zero-straddling timestamps bucket correctly") {
+    // pre-1970 placeholder dates are routine in dirty corpora; this
+    // pins that signed and zero-straddling timestamps agree with a
+    // brute scan (they did under the old truncating div too — division
+    // stays monotone and the probe explodes the full bucket range — but
+    // the floor-div form's uniform buckets and <=2 fanout deserve the
+    // same generative evidence, and any future bucket-arithmetic change
+    // must keep passing this)
+    val rng = new scala.util.Random(0xFD00D)
+    val ts = Vector.tabulate(200)(_ => rng.between(-5000L, 5000L))
+    val left = ts.zipWithIndex.map { case (t, i) => (i.toLong, "k", t) }
+      .toDF("event_id", "key", "ts")
+    val right = ts.zipWithIndex.map { case (t, i) =>
+      (1000L + i, "k", t + rng.between(-300L, 300L))
+    }.toDF("event_id", "key", "ts")
+    val lRows = left.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val rRows = right.collect().map(r => (r.getLong(0), r.getLong(2)))
+    for ((lo, hi) <- Seq((-100L, 100L), (-250L, -50L), (50L, 250L))) {
+      val got = RangeJoin.rangePairs(left, right, Seq("key"), "ts",
+        lo, hi, Seq("event_id"))
+        .select(col("event_id"), col("range_event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (lid, lts) <- lRows
+        (rid, rts) <- rRows
+        if rts >= lts + lo && rts <= lts + hi
+      } yield (lid, rid)).toSet
+      assert(got === want, s"window [$lo,$hi] disagreed with brute on signed ts")
+    }
+  }
+
   test("rangePairs matches a brute-force nested scan on the events table") {
     val ev = graft.sources.EventTime.nanos(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
