@@ -32,6 +32,11 @@ object Evaluation {
 
   /** Per-class precision/recall/F1 + support (beyond the reference's
     * single accuracy number; standard multiclass evaluation).
+    * Zero-denominator classes (never predicted, or absent from truth)
+    * report 0.0 for the undefined ratios. NULL labels do not merge
+    * across the two sides (full-outer equi-join null semantics: a null
+    * predicted class and a null truth class each get their own row) —
+    * filter null labels upstream for a clean report.
     */
   def perClassMetrics(joined: DataFrame, pred: Column, truth: Column): DataFrame = {
     val base = joined.select(pred.cast("double").as("p"), truth.cast("double").as("t"))
@@ -40,15 +45,24 @@ object Evaluation {
         sum(when(col("p") === col("t"), 1L).otherwise(0L)).as("tp"))
     val byPred = base.groupBy(col("p").as("label"))
       .agg(count(lit(1)).as("predicted"))
+    // F1's harmonic-mean denominator is ZERO whenever a class has no
+    // true positives (tp=0 with both denominators present — routine in
+    // any real confusion), and under Spark 4's default ANSI mode a bare
+    // 0/0 THROWS DIVIDE_BY_ZERO instead of yielding null: one
+    // never-correct class killed the whole evaluation job. The division
+    // now runs only under a positive-denominator guard (CaseWhen
+    // evaluates the matched branch only); a null or zero denominator
+    // falls through to the 0.0 the coalesce always intended.
+    val prec0 = col("tp") / col("predicted")
+    val rec0 = col("tp") / col("support")
     byTruth.join(byPred, Seq("label"), "full_outer")
       .select(
         col("label"),
         coalesce(col("support"), lit(0L)).as("support"),
-        round(coalesce(col("tp") / col("predicted"), lit(0.0)), 6).as("precision"),
-        round(coalesce(col("tp") / col("support"), lit(0.0)), 6).as("recall"),
+        round(coalesce(prec0, lit(0.0)), 6).as("precision"),
+        round(coalesce(rec0, lit(0.0)), 6).as("recall"),
         round(coalesce(
-          lit(2.0) * (col("tp") / col("predicted")) * (col("tp") / col("support")) /
-            ((col("tp") / col("predicted")) + (col("tp") / col("support"))),
+          when(prec0 + rec0 > 0, lit(2.0) * prec0 * rec0 / (prec0 + rec0)),
           lit(0.0)), 6).as("f1"))
   }
 }

@@ -33,6 +33,51 @@ class EvaluationSpec extends SparkTestBase {
     assert(m(2.0)._2 === 1.0) // recall of class 2: 1/1
   }
 
+  test("perClassMetrics: fuzz vs brute over random confusions") {
+    // random confusions with planted pred-only classes (+100 offset) so
+    // truth-absent and never-predicted classes exercise every
+    // zero-denominator coalesce; rounding matches Spark's HALF_UP
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(7)
+    (0 until 30).foreach { s =>
+      val classes = (0 to rnd.nextInt(5)).map(_.toDouble)
+      val n = 1 + rnd.nextInt(60)
+      val pairs = Seq.fill(n) {
+        val p = classes(rnd.nextInt(classes.size)) +
+          (if (rnd.nextInt(10) == 0) 100 else 0)
+        (p, classes(rnd.nextInt(classes.size)))
+      }
+      val got = Evaluation.perClassMetrics(pairs.toDF("p", "t"), col("p"), col("t"))
+        .collect().map(r => r.getDouble(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val want = pairs.flatMap(x => Seq(x._1, x._2)).distinct.map { l =>
+        val support = pairs.count(_._2 == l).toLong
+        val predicted = pairs.count(_._1 == l).toLong
+        val tp = pairs.count(x => x._1 == l && x._2 == l).toLong
+        val prec = if (predicted == 0) 0.0 else tp.toDouble / predicted
+        val rec = if (support == 0) 0.0 else tp.toDouble / support
+        val f1 = if (predicted == 0 || support == 0 || tp == 0) 0.0
+          else 2 * prec * rec / (prec + rec)
+        l -> ((support, r6(prec), r6(rec), r6(f1)))
+      }.toMap
+      assert(got == want, s"seed $s: $got vs $want")
+    }
+  }
+
+  test("perClassMetrics: null labels do NOT merge across sides") {
+    // full-outer equi-join semantics: a null predicted class and a null
+    // truth class each produce their own row (nulls never equi-join) —
+    // loud rather than silently merged; filter null labels upstream for
+    // a clean report
+    val df = Seq(
+      (None: Option[Double], Some(1.0)),
+      (Some(1.0), None: Option[Double]),
+      (Some(1.0), Some(1.0))).toDF("p", "t")
+    val rows = Evaluation.perClassMetrics(df, col("p"), col("t")).collect()
+    assert(rows.count(_.isNullAt(0)) === 2)
+  }
+
   test("TopKAggregator: partial/merge == global sort.take(k)") {
     val rnd = new scala.util.Random(42)
     val data = Seq.fill(500)((rnd.nextDouble() * 100, rnd.nextInt(5).toDouble))
