@@ -35,11 +35,27 @@ object GapFill {
     * impossible by construction here since the grid sits inside the
     * span).
     */
+  /** @param maxGridPerKey upper bound on grid instants per key. A
+    *                      single dirty timestamp (a 1970 placeholder in
+    *                      2024 data) otherwise inflates one key's span
+    *                      to billions of ticks: `sequence` either dies
+    *                      with an opaque size error naming no key, or —
+    *                      just under its 2^31 limit — allocates a
+    *                      multi-GB array in ONE row. Exceeding the
+    *                      budget raises a clear error naming the key
+    *                      and its span (`skipOversizedKeys = true`
+    *                      drops such keys instead — explicit opt-in,
+    *                      because silent row loss is worse than a loud
+    *                      stop).
+    */
   def resampleLinear(
       points: DataFrame, keyCols: Seq[String], tsCol: String,
-      valueCol: String, step: Long): DataFrame = {
+      valueCol: String, step: Long,
+      maxGridPerKey: Long = 10000000L,
+      skipOversizedKeys: Boolean = false): DataFrame = {
     require(step > 0, "step must be positive")
     require(keyCols.nonEmpty, "resample needs at least one key column")
+    require(maxGridPerKey > 0, "maxGridPerKey must be positive")
     val pts = points
       .groupBy((keyCols :+ tsCol).map(col): _*)
       .agg(round(avg(col(valueCol)), 6).as("_v"))
@@ -51,13 +67,33 @@ object GapFill {
     // SQL floor-division (`//`) oracles
     val gridStart = expr(s"(_tmin + ${step - 1}) - pmod(_tmin + ${step - 1}, $step)")
     val gridEnd = expr(s"_tmax - pmod(_tmax, $step)")
-    val grid = pts
+    val spans = pts
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(tsCol)).as("_tmin"), max(col(tsCol)).as("_tmax"))
       .withColumn("_g0", gridStart).withColumn("_g1", gridEnd)
       // a span narrower than one step holds no grid instant: emit no
       // rows for that key (sequence would throw on start > stop)
       .filter(col("_g0") <= col("_g1"))
+      // grid cardinality, exact in long arithmetic (both ends are step
+      // multiples, so the difference divides exactly)
+      .withColumn("_n", expr(s"(_g1 - _g0) div ${step}L + 1L"))
+    val bounded =
+      if (skipOversizedKeys) spans.filter(col("_n") <= maxGridPerKey)
+      else spans.withColumn("_g0",
+        // assert_true rides INSIDE the grid-start expression so column
+        // pruning cannot drop it: null (+0) when the budget holds, a
+        // clear key-naming error instead of sequence's opaque size
+        // failure when it doesn't
+        col("_g0") + coalesce(
+          assert_true(col("_n") <= maxGridPerKey, format_string(
+            s"resampleLinear: key (%s) spans %d grid instants at step $step " +
+              s"(ts range [%d, %d]) exceeding maxGridPerKey=$maxGridPerKey — " +
+              "a dirty timestamp usually causes this; clean the span, raise " +
+              "the budget, or pass skipOversizedKeys=true",
+            concat_ws(",", keyCols.map(col): _*), col("_n"),
+            col("_tmin"), col("_tmax"))).cast("long"),
+          lit(0L)))
+    val grid = bounded
       .select(keyCols.map(col) :+
         explode(sequence(col("_g0"), col("_g1"), lit(step))).as(tsCol): _*)
     val prev = AsofJoin.asofBackward(grid, pts, keyCols, tsCol, Seq(tsCol, "_v"))

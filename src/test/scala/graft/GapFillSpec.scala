@@ -66,4 +66,36 @@ class GapFillSpec extends SparkTestBase {
     assert(outside === 0)
     assert(out.filter(col("value").isNull).count() === 0) // grid inside span
   }
+
+  test("grid budget: a dirty-span key raises a clear key-naming error") {
+    // one 1970-placeholder sample inflates key b's span to ~1e9 ticks;
+    // sequence would fail with an opaque size error (or allocate GBs in
+    // one row just under its limit) — the budget must name the key
+    val pts = Seq(
+      ("a", 1000L, 1.0), ("a", 1030L, 2.0),
+      ("b", 0L, 5.0), ("b", 10000000000L, 6.0)).toDF("key", "ts", "value")
+    val e = intercept[Exception] {
+      GapFill.resampleLinear(pts, Seq("key"), "ts", "value", step = 10L,
+        maxGridPerKey = 1000L).count()
+    }
+    val msg = String.valueOf(e.getMessage) +
+      Option(e.getCause).map(c => String.valueOf(c.getMessage)).getOrElse("")
+    assert(msg.contains("resampleLinear") && msg.contains("(b)") &&
+      msg.contains("maxGridPerKey"), s"unhelpful error: $msg")
+  }
+
+  test("grid budget: skipOversizedKeys drops the dirty key, keeps the rest") {
+    val pts = Seq(
+      ("a", 1000L, 1.0), ("a", 1030L, 2.0),
+      ("b", 0L, 5.0), ("b", 10000000000L, 6.0)).toDF("key", "ts", "value")
+    val got = GapFill.resampleLinear(pts, Seq("key"), "ts", "value",
+      step = 10L, maxGridPerKey = 1000L, skipOversizedKeys = true)
+      .select("key").distinct().collect().map(_.getString(0)).toSet
+    assert(got === Set("a"))
+    // exactly AT the budget is allowed: key a spans 4 grid instants
+    val atCap = GapFill.resampleLinear(
+      Seq(("a", 1000L, 1.0), ("a", 1030L, 2.0)).toDF("key", "ts", "value"),
+      Seq("key"), "ts", "value", step = 10L, maxGridPerKey = 4L)
+    assert(atCap.count() === 4)
+  }
 }
