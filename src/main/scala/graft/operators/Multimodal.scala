@@ -481,12 +481,42 @@ object Multimodal {
   /** Frame sampling plan for video payloads: emits (id, frame_idx) rows at
     * `everyMs` intervals from the metadata duration — the row-explosion
     * shape of real frame extraction with the decode stubbed.
+    *
+    * `duration_ms` is UNTRUSTED metadata: one dirty row (a year-long or
+    * Long.MaxValue "duration") would otherwise make `sequence` build a
+    * multi-hundred-million-element array in one row or die with an
+    * opaque size error naming no id. `maxFramesPerItem` (default 100k ~
+    * an hour of video at 25 ms sampling) bounds it: exceeding the
+    * budget raises a clear id-naming error; `skipOversizedItems = true`
+    * drops such rows instead (explicit opt-in — silent loss is worse
+    * than a loud stop). Same contract as GapFill's grid budget.
     */
-  def sampleFrames(df: DataFrame, idCol: String, metaCol: String, everyMs: Long): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(sequence(lit(0L),
-        greatest(coalesce(col(s"$metaCol.duration_ms"), lit(0L)) - 1, lit(0L)),
+  def sampleFrames(df: DataFrame, idCol: String, metaCol: String, everyMs: Long,
+      maxFramesPerItem: Long = 100000L,
+      skipOversizedItems: Boolean = false): DataFrame = {
+    require(everyMs > 0, "everyMs must be positive")
+    require(maxFramesPerItem > 0, "maxFramesPerItem must be positive")
+    val durMs = greatest(coalesce(col(s"$metaCol.duration_ms"), lit(0L)), lit(0L))
+    val base = df.select(col(idCol).as("id"), durMs.as("_dur"))
+      // ceil(dur / every) in exact long arithmetic (Column `/` is
+      // double division and would fuzz the count at extreme durations)
+      .withColumn("_n", expr(s"(_dur + ${everyMs - 1}L) div ${everyMs}L"))
+    val bounded =
+      if (skipOversizedItems) base.filter(col("_n") <= maxFramesPerItem)
+      else base.withColumn("_dur",
+        // assert_true rides inside the bound so pruning cannot drop it
+        col("_dur") + coalesce(
+          assert_true(col("_n") <= maxFramesPerItem, format_string(
+            s"sampleFrames: item %s declares %d ms of video = %d frames at " +
+              s"every ${everyMs} ms, exceeding maxFramesPerItem=$maxFramesPerItem " +
+              "— dirty metadata usually causes this; clean the duration, raise " +
+              "the budget, or pass skipOversizedItems=true",
+            col("id"), col("_dur"), col("_n"))).cast("long"),
+          lit(0L)))
+    bounded.select(col("id"),
+      explode(sequence(lit(0L), greatest(col("_dur") - 1, lit(0L)),
         lit(everyMs))).as("frame_ms"))
+  }
 
   /** Synthesize a REAL-image multimodal table over the documents corpus:
     * the container ships no media files, but the JDK ships an encoder —

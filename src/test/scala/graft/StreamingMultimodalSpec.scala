@@ -246,6 +246,29 @@ class StreamingMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("sampleFrames: dirty metadata duration hits the frame budget loudly") {
+    import spark.implicits._
+    // a year-long "video" among sane rows: the budget must name the id
+    // instead of sequence dying opaquely (or allocating a ~3e7-element
+    // array in one row)
+    val meta = Seq(
+      (1L, 5000L), (2L, 365L * 86400000L)).toDF("doc_id", "duration_ms")
+      .select(col("doc_id"), struct(col("duration_ms")).as("meta"))
+    val e = intercept[Exception] {
+      Multimodal.sampleFrames(meta, "doc_id", "meta", 1000L,
+        maxFramesPerItem = 100L).count()
+    }
+    val msg = String.valueOf(e.getMessage) +
+      Option(e.getCause).map(c => String.valueOf(c.getMessage)).getOrElse("")
+    assert(msg.contains("sampleFrames") && msg.contains("2") &&
+      msg.contains("maxFramesPerItem"), s"unhelpful error: $msg")
+    // explicit opt-in drops the dirty row, keeps the sane one intact
+    val kept = Multimodal.sampleFrames(meta, "doc_id", "meta", 1000L,
+      maxFramesPerItem = 100L, skipOversizedItems = true)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(1L -> 5L))
+  }
+
   test("resize, for real: image payloads re-encode at the target size") {
     val png = Multimodal.pngFor(5L, 16, 16, 32)
     val small = Multimodal.resizeImageBytes(png, 8, 8)
