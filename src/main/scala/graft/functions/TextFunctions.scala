@@ -124,8 +124,19 @@ object TextFunctions {
     * addresses, NANP-style phone numbers. Kept to syntax BOTH Java
     * regex and RE2-family engines support (no backrefs, no lookaround)
     * so the redaction replays verbatim in external SQL oracles.
+    *
+    * The email quantifiers are BOUNDED to the RFC 5321 limits (64-char
+    * local part, 255-char domain), not `+`: with unbounded greedy
+    * classes, java.util.regex's find() rescans O(n) per start offset
+    * inside a long class-char run — measured 133 s on a 200 KB
+    * adversarial document (quadratic; a crafted multi-MB doc pins a
+    * task for HOURS — the ReDoS straggler class). Bounds cap the work
+    * per offset at the RFC constants, restoring linear scanning; only
+    * RFC-invalid over-long runs change behavior (partial instead of
+    * full-run redaction). Same pattern string feeds the SQL oracles, so
+    * both engines shift together.
     */
-  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val emailRe = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
   val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 

@@ -108,6 +108,27 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(out(3) === "mixed <EMAIL> <IP> <PHONE>")
   }
 
+  test("redactPii: RFC-bounded email quantifiers stay linear on adversaries") {
+    // pins the bounded-quantifier contract: an RFC-over-long local part
+    // (>64 chars) still redacts (the trailing 64 chars + domain match;
+    // the excess prefix survives), and the ReDoS adversary that took
+    // 133 s under unbounded `+` (200 KB of class chars with no valid
+    // tail) completes in interactive time. The wall bound is deliberately
+    // loose (50x headroom) — it exists to catch a quadratic regression,
+    // not to benchmark.
+    val overlong = "a" * 100 + "@x.example.com"
+    val got = Seq(overlong).toDF("text")
+      .select(TF.redactPii($"text").as("r")).head().getString(0)
+    assert(got === "a" * 36 + "<EMAIL>")
+    val adversary = "a" * 100000 + "@" + "a" * 100000 // no TLD: zero matches
+    val t0 = System.nanoTime()
+    val n = Seq(adversary).toDF("text")
+      .select(TF.piiHits($"text", TF.emailRe).as("n")).head().getInt(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n === 0)
+    assert(sec < 10.0, f"adversarial scan took $sec%.1f s — quadratic regression?")
+  }
+
   test("piiHits counts pattern occurrences") {
     val df = Seq("a@b.co c@d.net 1.2.3.4").toDF("text").select(
       TF.piiHits($"text", TF.emailRe).as("e"),
