@@ -353,6 +353,21 @@ object Dedup {
       iter += 1
     }
     if (!converged) {
+      // Convergence above is only OBSERVED by a full no-change round, so
+      // a labeling that reaches its fixed point exactly on the final
+      // permitted iteration (or a trivially-converged input under
+      // maxIterations = 0) arrives here correct. One verification pass
+      // checks the fixed-point property directly — no node has a
+      // neighbor with a smaller label — before declaring failure, so
+      // only genuinely unconverged labelings throw.
+      val neighborMin = und
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      converged = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "inner")
+        .filter(col("nmin") < col("label")).isEmpty
+    }
+    if (!converged) {
       graft.core.Materialize.releaseCheckpoint(und)
       graft.core.Materialize.releaseCheckpoint(labels)
       // a partially-propagated labeling is silently WRONG (nodes far

@@ -45,16 +45,22 @@ object Evaluation {
         sum(when(col("p") === col("t"), 1L).otherwise(0L)).as("tp"))
     val byPred = base.groupBy(col("p").as("label"))
       .agg(count(lit(1)).as("predicted"))
-    // F1's harmonic-mean denominator is ZERO whenever a class has no
-    // true positives (tp=0 with both denominators present — routine in
-    // any real confusion), and under Spark 4's default ANSI mode a bare
-    // 0/0 THROWS DIVIDE_BY_ZERO instead of yielding null: one
-    // never-correct class killed the whole evaluation job. The division
-    // now runs only under a positive-denominator guard (CaseWhen
-    // evaluates the matched branch only); a null or zero denominator
-    // falls through to the 0.0 the coalesce always intended.
-    val prec0 = col("tp") / col("predicted")
-    val rec0 = col("tp") / col("support")
+    // Under Spark 4's default ANSI mode a 0/0 THROWS DIVIDE_BY_ZERO
+    // instead of yielding null, so every division here runs only under
+    // a guard whose CONDITION involves no division (CaseWhen evaluates
+    // the matched branch only). The guards test the denominators
+    // directly: `predicted`/`support` come from count aggregates (>= 1
+    // or NULL after the outer join) today, but a zero-valued guard
+    // expression would itself throw if this ever fed pre-aggregated
+    // input with explicit zeros. tp > 0 implies both denominators
+    // positive here, and then prec0, rec0 > 0 so the harmonic-mean
+    // denominator is positive too; any zero/null denominator or tp = 0
+    // (a never-correct class — routine in any real confusion) falls
+    // through to the 0.0 the coalesce always intended.
+    val prec0 = when(coalesce(col("predicted"), lit(0L)) > 0,
+      col("tp") / col("predicted"))
+    val rec0 = when(coalesce(col("support"), lit(0L)) > 0,
+      col("tp") / col("support"))
     byTruth.join(byPred, Seq("label"), "full_outer")
       .select(
         col("label"),
@@ -62,7 +68,8 @@ object Evaluation {
         round(coalesce(prec0, lit(0.0)), 6).as("precision"),
         round(coalesce(rec0, lit(0.0)), 6).as("recall"),
         round(coalesce(
-          when(prec0 + rec0 > 0, lit(2.0) * prec0 * rec0 / (prec0 + rec0)),
+          when(coalesce(col("tp"), lit(0L)) > 0,
+            lit(2.0) * prec0 * rec0 / (prec0 + rec0)),
           lit(0.0)), 6).as("f1"))
   }
 }

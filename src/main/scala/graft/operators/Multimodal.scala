@@ -499,8 +499,14 @@ object Multimodal {
     val durMs = greatest(coalesce(col(s"$metaCol.duration_ms"), lit(0L)), lit(0L))
     val base = df.select(col(idCol).as("id"), durMs.as("_dur"))
       // ceil(dur / every) in exact long arithmetic (Column `/` is
-      // double division and would fuzz the count at extreme durations)
-      .withColumn("_n", expr(s"(_dur + ${everyMs - 1}L) div ${everyMs}L"))
+      // double division and would fuzz the count at extreme durations).
+      // Floored at 1: the generator below always emits the frame_ms=0
+      // frame, even for a 0/null/negative duration (sequence(0, 0) is
+      // one element), so the budget must count the actual emitted
+      // cardinality — otherwise a degenerate row undercounts by one and
+      // skipOversizedItems keeps a row the count says is empty.
+      .withColumn("_n",
+        expr(s"greatest((_dur + ${everyMs - 1}L) div ${everyMs}L, 1L)"))
     val bounded =
       if (skipOversizedItems) base.filter(col("_n") <= maxFramesPerItem)
       else base.withColumn("_dur",

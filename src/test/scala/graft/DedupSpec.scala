@@ -165,6 +165,38 @@ class DedupSpec extends SparkTestBase {
     assert(clustered.values.toSet === Set(0L), "every doc labels to the chain minimum")
   }
 
+  test("duplicateClusters: fixed point reached on the FINAL permitted round passes") {
+    import spark.implicits._
+    // Convergence used to require a full observed no-change round, so a
+    // labeling done exactly on iteration == maxIterations threw a
+    // false-positive non-convergence. The verification pass checks the
+    // fixed-point property directly before declaring failure.
+    val pair = Seq((10L, "alpha beta gamma"), (11L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    // the duplicate pair converges IN round 1 (11 adopts 10); with
+    // maxIterations = 1 no zero-change round is ever observed
+    val tight = Dedup.duplicateClusters(pair, "doc_id", "text",
+      shingleSize = 1, threshold = 0.5, useLsh = false, maxIterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tight === Map(10L -> 10L, 11L -> 10L))
+    // edge-free input is trivially converged even at maxIterations = 0
+    val singles = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val zero = Dedup.duplicateClusters(singles, "doc_id", "text",
+      shingleSize = 1, threshold = 0.5, useLsh = false, maxIterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero === Map(1L -> 1L, 2L -> 2L))
+    // a genuinely unconverged labeling still fails loud: a 60-chain
+    // cannot finish label propagation in one round
+    val chain = (0 until 60).map { i =>
+      (i.toLong, (0 until 4).map(j => s"t${2 * i + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, "doc_id", "text",
+        shingleSize = 2, threshold = 0.2, useLsh = false, maxIterations = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("full-recall LSH pairs == brute-force pairs (sf0.001 documents)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",

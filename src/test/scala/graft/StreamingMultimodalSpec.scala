@@ -269,6 +269,38 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(kept === Map(1L -> 5L))
   }
 
+  test("sampleFrames: degenerate durations emit ONE frame and the budget counts it") {
+    import spark.implicits._
+    // Contract pin: a 0/null/negative duration still emits the
+    // frame_ms=0 frame (sequence(0, 0) is one element), and the budget
+    // counts that actual emitted cardinality — ceil(dur/every) alone
+    // said 0 frames for these rows, so skipOversizedItems kept rows the
+    // count claimed were empty and the loud path under-reported by one.
+    val meta = Seq(
+      (1L, Some(0L)), (2L, None), (3L, Some(-7L)), (4L, Some(1500L)))
+      .toDF("doc_id", "duration_ms")
+      .select(col("doc_id"), struct(col("duration_ms")).as("meta"))
+    // maxFramesPerItem = 1: every degenerate row fits exactly (counted
+    // as 1, not 0); the 2-frame row is the only violation and names
+    // itself in the error
+    val e = intercept[Exception] {
+      Multimodal.sampleFrames(meta, "doc_id", "meta", 1000L,
+        maxFramesPerItem = 1L).count()
+    }
+    val msg = String.valueOf(e.getMessage) +
+      Option(e.getCause).map(c => String.valueOf(c.getMessage)).getOrElse("")
+    assert(msg.contains("sampleFrames") && msg.contains("4"), s"unhelpful error: $msg")
+    val kept = Multimodal.sampleFrames(meta, "doc_id", "meta", 1000L,
+      maxFramesPerItem = 1L, skipOversizedItems = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(kept.sorted.toSeq === Seq(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      "each degenerate row emits exactly one frame at frame_ms=0")
+    // and without a budget squeeze the sane row still explodes normally
+    val full = Multimodal.sampleFrames(meta, "doc_id", "meta", 1000L)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("resize, for real: image payloads re-encode at the target size") {
     val png = Multimodal.pngFor(5L, 16, 16, 32)
     val small = Multimodal.resizeImageBytes(png, 8, 8)

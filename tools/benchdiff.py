@@ -47,11 +47,23 @@ def main():
     qa, qb = a["queries"], b["queries"]
     noise = max(float(a.get("noise", 0.0)), float(b.get("noise", 0.0)))
     if noise <= 0.0:
-        # single-run artifacts carry no spread info; fall back to the
-        # band measured across rounds 9..11 rather than flagging every
-        # wiggle
+        # Single-run artifacts carry no spread info. The historical
+        # fallback band (rounds 9..11) keeps advisory mode useful, but
+        # it lets a genuine regression of up to ~45% relative (or any
+        # size under 0.15 s absolute) pass silently -- that is a
+        # measurement gap, not a verdict, so --strict refuses to gate on
+        # it rather than exiting 0 with false confidence.
+        if strict:
+            sys.exit(
+                "refusing to gate (--strict): neither artifact has a "
+                "noise field, so there is no measured spread to judge "
+                "deltas against -- re-measure with SPARK_GRAFT_RUNS>=3 "
+                "(median-of-N emits noise) or drop --strict for an "
+                "advisory diff under the historical 0.45 band")
         noise = 0.45
-        print(f"note: no noise field in either artifact, using {noise}")
+        print(f"note: no noise field in either artifact, using the "
+              f"historical fallback band {noise} -- deltas below 45% "
+              f"relative or 0.15 s absolute are NOT ruled out")
 
     only_a = sorted(set(qa) - set(qb))
     only_b = sorted(set(qb) - set(qa))
