@@ -25,8 +25,45 @@ DATACHECK_r{M}.json (M < N):
 Usage: python3 tools/datacheck.py --round N
          [--testdata /root/testdata] [--repo /root/repo]
 """
-import argparse, glob, json, os, re, sys
+import argparse, glob, json, os, re, subprocess, sys
 import pyarrow.parquet as pq
+
+
+def env_versions():
+    """Pin the ORACLE-SIDE environment alongside the data contract.
+
+    The data contract is only half of what the gate compares against: a
+    silent duckdb upgrade can flip comparator/interpolation semantics
+    (same environment-drift class as the r10 NANOS->MICROS flip, but in
+    the oracle binary instead of the data). Snapshot every version the
+    oracle path depends on so the round-over-round diff surfaces drift
+    BEFORE a hash mismatch gets misread as an engine bug.
+    """
+    env = {}
+    try:
+        import duckdb
+        env["duckdb"] = duckdb.__version__
+    except Exception as e:  # noqa: BLE001 - record, don't crash preflight
+        env["duckdb"] = f"UNAVAILABLE: {e}"
+    import pyarrow
+    env["pyarrow"] = pyarrow.__version__
+    env["python"] = sys.version.split()[0]
+    try:
+        jv = subprocess.run(["java", "-version"], capture_output=True,
+                            text=True, timeout=30)
+        env["jvm"] = (jv.stderr or jv.stdout).strip().splitlines()[0]
+    except Exception as e:  # noqa: BLE001
+        env["jvm"] = f"UNAVAILABLE: {e}"
+    # Spark + scala come from the unmanaged jar names (the only Spark
+    # this repo can run against), e.g. spark-sql_2.13-4.1.2.jar
+    jars = glob.glob("/opt/spark/jars/spark-sql_*.jar")
+    if jars:
+        m = re.search(r"spark-sql_(\d+\.\d+)-(.+)\.jar",
+                      os.path.basename(sorted(jars)[0]))
+        if m:
+            env["scala_binary"] = m.group(1)
+            env["spark"] = m.group(2)
+    return env
 
 
 def snapshot_file(path):
@@ -121,7 +158,8 @@ def main():
               f"{args.testdata} *** — testdata missing/empty or the "
               "--testdata path is wrong; refusing to write a snapshot.")
         sys.exit(1)
-    out = {"round": args.round, "testdata": args.testdata, "tables": tables}
+    out = {"round": args.round, "testdata": args.testdata,
+           "env": env_versions(), "tables": tables}
 
     prior_round, prior = -1, None
     for f in glob.glob(os.path.join(args.repo, "DATACHECK_r*.json")):
@@ -138,8 +176,20 @@ def main():
               f"({len(tables)} tables) -> {out_path}")
         sys.exit(0)
 
-    prev = json.load(open(prior))["tables"]
+    prior_doc = json.load(open(prior))
+    prev = prior_doc["tables"]
     contract, warns = diff(prev, tables)
+    # Oracle-environment drift: warn loudly (an upgrade may be benign,
+    # but a hash mismatch in the SAME round should be read against it).
+    prev_env = prior_doc.get("env")
+    if prev_env is not None:
+        for k in sorted(set(prev_env) | set(out["env"])):
+            pv, cv = prev_env.get(k), out["env"].get(k)
+            if pv != cv:
+                warns.append(f"ENV {k}: {pv!r} -> {cv!r} — oracle-side "
+                             "semantics (comparators, interpolation, "
+                             "casts) may have shifted; if this round's "
+                             "gate hash-mismatches, suspect this FIRST")
     out["diff_against"] = os.path.basename(prior)
     out["contract_changes"] = contract
     out["warnings"] = warns
