@@ -1351,27 +1351,16 @@ object SparkEntry {
     "q74_csv_source" -> ((s, dir) => {
       val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       val stage = graft.core.TempDirs.scratch("graft_csv")
-      // natural partitioning: the CSV source reads a directory (each
-      // part-file carries its own header); a coalesce(1) staging write
-      // would serialize to one task — the wrong shape at any scale
-      // nullValue \N (MySQL convention): the default null token is the
-      // bare empty string, which the reader ALSO produces by unquoting
-      // a written empty `""` — conflating empty-vs-null on read (found
-      // by the source-format fuzz; a literal data value `\N` remains
-      // the one documented ambiguity of any marker scheme)
-      n.write.mode("overwrite").option("header", "true")
-        .option("nullValue", "\\N")
-        .csv(stage.toString)
-      // multiLine: the writer quotes embedded newlines, but the default
-      // reader splits records on raw newlines BEFORE parsing quotes —
-      // any field containing \n silently shears into malformed rows
-      // (nulled under PERMISSIVE; found by the source-format fuzz).
-      // Cost at scale: multiLine parses each FILE whole, so intra-file
-      // split parallelism is lost — parallelism comes from the many
-      // part files the natural (un-coalesced) staging write produces.
-      s.read.option("header", "true").option("multiLine", "true")
-        .option("nullValue", "\\N")
-        .schema(n.schema).csv(stage.toString)
+      // CsvSource carries the two source-format-fuzz fixes (multiLine
+      // quote-safe record splitting, \N null marker for empty-vs-null)
+      // and documents the per-FILE parse cost of the safe mode plus the
+      // `splittable` opt-in for newline-free single-huge-file corpora
+      // (CsvSourceSpec pins both modes). Natural partitioning: the CSV
+      // source reads a directory (each part-file carries its own
+      // header); a coalesce(1) staging write would serialize to one
+      // task — the wrong shape at any scale.
+      graft.sources.CsvSource.write(n, stage.toString)
+      graft.sources.CsvSource.read(s, stage.toString, n.schema)
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
         .orderBy("n_regionkey")
