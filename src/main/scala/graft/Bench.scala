@@ -24,6 +24,19 @@ private[graft] final class BenchListener extends SparkListener {
   * prints one JSON line. Each query is forced through a `noop` write so
   * the FULL plan executes (a bare `count()` would let Catalyst prune the
   * computed columns away and under-report).
+  *
+  * Tenancy self-defense (the measurement protocol, not the engine):
+  * median-of-N per query, then a deferred re-measurement pass that gives
+  * extra isolated samples to any query whose run spread exceeds the
+  * cross-round comparison band (rel > 0.45 && abs > 0.15 s — the same
+  * rule tools/benchdiff.py flags moves with), with medians recomputed
+  * over all samples. The artifact carries per-query `min`/`spread`/`rm`
+  * in the exec map and suite-level `value_min`/`remeasured`/`noise` on
+  * the timings line, so a reader can separate neighbor load from engine
+  * movement without re-running anything. Knobs:
+  * SPARK_GRAFT_RUNS (3), SPARK_GRAFT_REMEASURE_RUNS (4; 0 disables, and
+  * SPARK_GRAFT_RUNS=1 disables implicitly), SPARK_GRAFT_REMEASURE_SPREAD
+  * (0.45), SPARK_GRAFT_REMEASURE_BUDGET (150 s of extra measured time).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -90,21 +103,21 @@ object Bench {
     // the count rides the timings line ("single_run") so the artifact
     // declares its own confidence even if stderr is lost
     var singleRunCount = 0
-    val results = selected.map { case (name, fn) =>
-      // repeats must re-measure what the query COMPUTES, not a memo of
-      // run 1's result (q26's prediction table, q28's centroid fit) —
-      // but memos that pre-date this query keep their suite semantics
-      // (q31 scores the table q26 produced, once per suite by design)
-      val memoBase = SparkEntry.derivedMemoKeys(spark)
-      val runsThisQuery =
-        if (measuredSec > repeatBudgetSec) {
-          System.err.println(f"[bench] $name: repeat budget exhausted " +
-            f"($measuredSec%.0f s > $repeatBudgetSec%.0f s), single run")
-          if (runsPerQuery > 1) singleRunCount += 1
-          1
-        } else runsPerQuery
-      val times = (1 to runsThisQuery).map { i =>
-        if (i > 1) SparkEntry.dropDerivedMemosExcept(spark, memoBase)
+    // One query measurement = n timed runs against a fixed memo base.
+    // Repeats must re-measure what the query COMPUTES, not a memo of a
+    // prior run's result (q26's prediction table, q28's centroid fit) —
+    // but memos that pre-date this query keep their suite semantics (q31
+    // scores the table q26 produced, once per suite by design). The
+    // re-measurement pass passes dropBeforeFirst=true with the query's
+    // FIRST-pass memo base: by then the query's own first-pass memo
+    // exists, and reusing it would time a cache hit instead of the query.
+    def timedRuns(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        nRuns: Int, memoBase: Set[Any],
+        dropBeforeFirst: Boolean): Seq[Double] =
+      (1 to nRuns).map { i =>
+        if (i > 1 || dropBeforeFirst)
+          SparkEntry.dropDerivedMemosExcept(spark, memoBase)
         // drain the async listener bus so the previous run's tail events
         // can't leak into this run's counters (reset races otherwise)
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
@@ -129,14 +142,81 @@ object Bench {
         measuredSec += dt
         dt
       }
-      val (j, st, tk) = (listener.jobs.get(), listener.stages.get(), listener.tasks.get())
+    // mutable runs/remeasured: the tenancy pass below may append samples
+    final case class QResult(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        memoBase: Set[Any], var runs: Seq[Double],
+        jobs: Long, stages: Long, tasks: Long, var remeasured: Int = 0) {
       // median: middle element for odd N; UPPER median for even N — the
       // lower median at N=2 would be the minimum, i.e. a silently
       // optimistic best-of-2 headline
-      val med = times.sorted.apply(times.size / 2)
-      System.err.println(f"[jobs] $name jobs=$j stages=$st tasks=$tk median=$med%.2f runs=" +
+      def median: Double = runs.sorted.apply(runs.size / 2)
+      def min: Double = runs.min
+      def spread: Option[Double] =
+        if (runs.size < 2 || median <= 0) None
+        else Some((runs.max - runs.min) / median)
+    }
+    val results = selected.map { case (name, fn) =>
+      val memoBase = SparkEntry.derivedMemoKeys(spark)
+      val runsThisQuery =
+        if (measuredSec > repeatBudgetSec) {
+          System.err.println(f"[bench] $name: repeat budget exhausted " +
+            f"($measuredSec%.0f s > $repeatBudgetSec%.0f s), single run")
+          if (runsPerQuery > 1) singleRunCount += 1
+          1
+        } else runsPerQuery
+      val times = timedRuns(name, fn, runsThisQuery, memoBase,
+        dropBeforeFirst = false)
+      val (j, st, tk) = (listener.jobs.get(), listener.stages.get(), listener.tasks.get())
+      val q = QResult(name, fn, memoBase, times, j, st, tk)
+      System.err.println(f"[jobs] $name jobs=$j stages=$st tasks=$tk median=${q.median}%.2f runs=" +
         times.map(t => f"$t%.2f").mkString(","))
-      (name, med, times, j, st, tk)
+      q
+    }
+    // --- Tenancy self-defense: deferred isolated re-measurement -------
+    // Host co-tenancy (invisible to guest ps) has inflated individual
+    // queries 2-15x in the r5-r11 official artifacts, and a median-of-3
+    // whose whole window is noisy still misstates the query (r11's q74:
+    // official 0.64 s vs [0.80, 0.32, 0.32] on the same code). A spread
+    // wider than the cross-round band benchdiff flags deltas against
+    // means the query's own measurement is less trustworthy than the
+    // regression it would be used to detect — so those queries are
+    // re-measured here, one at a time AFTER the suite (a different
+    // tenancy window, no interleaved suite churn; a fresh JVM per
+    // suspect would add ~40 s spin-up each and measure cold parquet
+    // footers — a different quantity). Extra samples APPEND to the
+    // query's runs and the headline median recomputes over all of them:
+    // if the first window was the noisy one the quiet samples carry the
+    // median, if the re-measure window is noisy too the median says so.
+    // The thresholds mirror tools/benchdiff.py's move rule (rel > 0.45
+    // historical band, abs > 0.15 s scheduler-quantization floor).
+    val rmRuns = sys.env.get("SPARK_GRAFT_REMEASURE_RUNS")
+      .flatMap(_.toIntOption).getOrElse(if (runsPerQuery >= 2) 4 else 0)
+    val rmSpreadThresh = sys.env.get("SPARK_GRAFT_REMEASURE_SPREAD")
+      .flatMap(_.toDoubleOption).getOrElse(0.45)
+    val rmBudgetSec = sys.env.get("SPARK_GRAFT_REMEASURE_BUDGET")
+      .flatMap(_.toDoubleOption).getOrElse(150.0)
+    var rmSpent = 0.0
+    if (rmRuns > 0) {
+      val suspects = results
+        .filter(q => q.spread.exists(_ > rmSpreadThresh) &&
+          q.runs.max - q.runs.min > 0.15)
+        .sortBy(q => -q.spread.getOrElse(0.0)) // worst spread first
+      suspects.foreach { q =>
+        if (rmSpent <= rmBudgetSec) {
+          val firstPassSpread = q.spread.getOrElse(0.0)
+          val extra = timedRuns(q.name, q.fn, rmRuns, q.memoBase,
+            dropBeforeFirst = true)
+          rmSpent += extra.sum
+          q.runs ++= extra
+          q.remeasured = extra.size
+          System.err.println(f"[bench] remeasure ${q.name}: first-pass " +
+            f"spread $firstPassSpread%.2f, +${extra.size} runs -> " +
+            f"median=${q.median}%.2f extra=" + extra.map(t => f"$t%.2f").mkString(","))
+        } else
+          System.err.println(f"[bench] remeasure ${q.name} skipped: budget " +
+            f"exhausted ($rmSpent%.0f s > $rmBudgetSec%.0f s)")
+      }
     }
     // 2 decimals per query: at 78 queries the 3-decimal line measured
     // 1983 chars — 17 from the driver's 2000-char tail cutoff. 10 ms
@@ -149,9 +229,9 @@ object Bench {
     // rehearsal tooling's --json path)
     def num(v: Double, prec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, 2) }
+    val qs = results.map(q => "\"" + q.name + "\":" + num(q.median, 2))
       .mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, 3) }
+    val qsFull = results.map(q => "\"" + q.name + "\":" + num(q.median, 3))
       .mkString("{", ",", "}")
     // Per-query run spread ((max-min)/median) and a suite-level noise
     // index (median of spreads across multi-run queries): r9's official
@@ -159,22 +239,27 @@ object Bench {
     // of BENCH_rN alone couldn't see that — now the artifact itself says
     // how trustworthy its own medians are. High noise + flat plan diff
     // = tenancy; low noise + a moved median = the engine moved.
-    def spreadOf(runs: Seq[Double], med: Double): Option[Double] =
-      if (runs.size < 2 || med <= 0) None
-      else Some((runs.max - runs.min) / med)
-    val plan = results.map { case (k, med, runs, j, st, tk) =>
-      val spread = spreadOf(runs, med)
-        .map(s => ",\"spread\":" + num(s, 3)).getOrElse("")
-      "\"" + k + "\":{\"jobs\":" + j + ",\"stages\":" + st + ",\"tasks\":" + tk +
-        spread + ",\"runs\":[" + runs.map(t => num(t, 3)).mkString(",") + "]}"
+    // "min" per query: the floor across ALL samples — the number least
+    // contaminated by co-tenant load (an engine cannot run faster than
+    // its plan; it can only be slowed). "rm" marks how many samples came
+    // from the deferred re-measurement window.
+    val plan = results.map { q =>
+      val spread = q.spread.map(s => ",\"spread\":" + num(s, 3)).getOrElse("")
+      val rm = if (q.remeasured > 0) ",\"rm\":" + q.remeasured else ""
+      "\"" + q.name + "\":{\"jobs\":" + q.jobs + ",\"stages\":" + q.stages +
+        ",\"tasks\":" + q.tasks + spread + ",\"min\":" + num(q.min, 3) + rm +
+        ",\"runs\":[" + q.runs.map(t => num(t, 3)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
-    val spreads = results.flatMap { case (_, med, runs, _, _, _) =>
-      spreadOf(runs, med)
-    }.sorted
+    val spreads = results.flatMap(_.spread).sorted
     // upper median, same rationale as the per-query timing median
     val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
     val noiseStr = num(noise, 3)
-    val total = results.map(_._2).sum
+    val total = results.map(_.median).sum
+    // sum of per-query minima: the suite's tenancy-floor companion to
+    // the median headline — two same-code runs whose medians disagree
+    // but whose value_min agree are measuring neighbor load, not code
+    val totalMin = results.map(_.min).sum
+    val remeasuredCount = results.count(_.remeasured > 0)
     // The driver keeps only the LAST 2000 chars of stdout, so the compact
     // timings JSON must be the final line. The (larger) per-query
     // job/stage/task instrumentation goes on its own PRIOR line — in r6 it
@@ -186,7 +271,13 @@ object Bench {
     // the timings line must stay comfortably inside the 2000-char tail
     val totalStr = num(total, 3)
     val sfTier = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"noise":$noiseStr,"sf":"$sfDir"}"""
+    // Final-line length budget: the r11 line measured 1930 of the
+    // driver's 2000-char tail. value_min is ~20 chars; single_run and
+    // remeasured print only when nonzero (their zero is the common case
+    // and the full artifact always carries the per-query detail).
+    val condensed = (if (singleRunCount > 0) s""","single_run":$singleRunCount""" else "") +
+      (if (remeasuredCount > 0) s""","remeasured":$remeasuredCount""" else "")
+    val full = s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"remeasured":$remeasuredCount,"noise":$noiseStr,"sf":"$sfDir"}"""
     // The full JSON (exec map with scheduler counts, per-run spreads)
     // also lands in a FILE by default — the driver's official artifact
     // keeps only the last 2000 stdout chars, which truncates the exec
@@ -221,6 +312,6 @@ object Bench {
       System.err.println(s"[bench] post-run cleanup failed: ${e.getMessage}")
     }
     println(s"""{"metric":"exec","exec":$plan}""")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"single_run":$singleRunCount,"noise":$noiseStr,"sf":"$sfTier"}""")
+    println(s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qs$condensed,"noise":$noiseStr,"sf":"$sfTier"}""")
   }
 }
