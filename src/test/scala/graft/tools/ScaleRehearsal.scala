@@ -1211,6 +1211,160 @@ object ScaleRehearsal {
       val kept = spark.table(qname).count()
       println(s"[rehearsal] stream dedup: kept=$kept of 1,000,000 input rows")
     }
+
+    if (which("streamstate")) {
+      // ---- streaming STATE-GROWTH rehearsal (round 12) ----
+      // The bounded-state claims for dedupStream / windowedEventStats /
+      // intervalJoin ("state cannot grow monotonically; runs forever at
+      // 100 TB/day", StreamingClassify scaladoc) were argued by
+      // construction — watermark horizon bounds what the store holds —
+      // but never MEASURED. This case drives 24 real micro-batches with
+      // a strictly advancing event-time clock through each operator and
+      // asserts the state-store metrics (numRowsTotal per batch, from
+      // each batch's StreamingQueryProgress) PLATEAU instead of growing
+      // with input. A fourth run drives the same feed through UNBOUNDED
+      // dropDuplicates as a control: its state MUST grow linearly, or
+      // the plateau probe is vacuous.
+      //
+      //   sbt "Test/runMain graft.tools.ScaleRehearsal streamstate"
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingClassify
+      val nBatches = 24
+      val rowsPerBatch = 400
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_streamstate").toFile
+      // Batch b spans event-time [b*5min, (b+1)*5min): 300 unique
+      // event_ids plus 100 same-batch duplicates (the within-horizon
+      // dedup work), 50 cycling users, 4 event types. Event ids never
+      // recur across batches, so bounded dedup state is exactly the
+      // keys inside the watermark horizon — the population the store
+      // should hold steady at — while unbounded state is every key ever.
+      def stageFeed(name: String): java.io.File = {
+        val d = new java.io.File(work, name)
+        d.mkdirs()
+        (0 until nBatches).foreach { b =>
+          val rows = spark.range(rowsPerBatch).select(
+            when(col("id") < 300, col("id") + lit(b * 1000L))
+              .otherwise(col("id") - 300 + lit(b * 1000L)).as("event_id"),
+            (col("id") % 50).as("user_id"),
+            timestamp_seconds(lit(b * 300L) + (col("id") % 300)).as("ts"),
+            concat(lit("type_"), col("id") % 4).as("event_type"),
+            (col("id") * 0.25).as("value"))
+          val tmp = new java.io.File(work, s"_tmp_$name$b")
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(d, f"batch$b%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + b * 60000L)
+        }
+        d
+      }
+      val feedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      def srcStream(dir: java.io.File): DataFrame =
+        spark.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir.getAbsolutePath)
+      // run one op to completion; return (batchesWithInput, per-batch
+      // series of (stateRows, stateBytes) ordered by batchId — no-data
+      // batches included, they're where eviction lands)
+      def runOp(name: String, build: () => DataFrame): (Int, Seq[(Long, Long)]) = {
+        val q = build().writeStream.format("noop")
+          .outputMode("append")
+          .option("checkpointLocation",
+            new java.io.File(work, s"$name-ckpt").getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val progs = q.recentProgress.sortBy(_.batchId)
+        val withInput = progs.count(_.numInputRows > 0)
+        val series = progs.toSeq.map(p =>
+          (p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum))
+        (withInput, series)
+      }
+      // plateau: the last third of the run holds no more state than the
+      // middle third (x1.5 jitter allowance) AND final state is a small
+      // fraction of everything ingested. 1.5x is deliberate slack for
+      // horizon wobble; a leak that survives it is growing with input,
+      // not jitter.
+      var failed = List.empty[String]
+      def assertPlateau(name: String, batches: Int,
+          series: Seq[(Long, Long)], totalIn: Long): Unit = {
+        val rows = series.map(_._1)
+        val third = series.size / 3
+        val maxMid = rows.slice(third, 2 * third).max
+        val maxTail = rows.drop(2 * third).max
+        val ok = batches >= 20 && maxTail <= maxMid * 3 / 2 &&
+          rows.last < totalIn / 2
+        if (!ok) failed ::= name
+        println(f"[rehearsal] streamstate $name: batches=$batches " +
+          f"maxMid=$maxMid maxTail=$maxTail finalRows=${rows.last} " +
+          f"finalBytes=${series.last._2} totalIn=$totalIn " +
+          (if (ok) "PLATEAU" else "*** GREW ***"))
+      }
+      val totalIn = (nBatches * rowsPerBatch).toLong
+      timed("streamstate dedup bounded") {
+        val feed = stageFeed("dedup-in")
+        val (b, s) = runOp("dedup", () =>
+          StreamingClassify.dedupStream(srcStream(feed),
+            Seq("event_id"), "ts", "10 minutes"))
+        assertPlateau("dedupStream", b, s, totalIn)
+      }
+      timed("streamstate windowed agg") {
+        val feed = stageFeed("win-in")
+        val (b, s) = runOp("win", () =>
+          StreamingClassify.windowedEventStats(srcStream(feed)))
+        assertPlateau("windowedEventStats", b, s, totalIn)
+      }
+      timed("streamstate interval join") {
+        val left = stageFeed("ij-left-in")
+        val right = stageFeed("ij-right-in")
+        val (b, s) = runOp("ij", () =>
+          StreamingClassify.intervalJoin(
+            srcStream(left).withColumnRenamed("ts", "lts"), "lts",
+            srcStream(right).select(col("user_id"),
+              col("ts").as("rts"), col("value").as("rvalue")), "rts",
+            "user_id", "5 minutes", "2 minutes"))
+        assertPlateau("intervalJoin", b, s, totalIn * 2)
+      }
+      // control: UNBOUNDED dropDuplicates on the same feed must show the
+      // growth the bounded operators avoid — otherwise the probe can't
+      // see growth at all and every plateau above is vacuous
+      timed("streamstate unbounded control") {
+        val feed = stageFeed("ctl-in")
+        val (b, s) = runOp("ctl", () =>
+          srcStream(feed).dropDuplicates("event_id"))
+        val rows = s.map(_._1)
+        val third = s.size / 3
+        val grew = b >= 20 && rows.last >= rows(third) * 2 &&
+          rows.last >= nBatches * 300L // every unique key ever seen
+        if (!grew) failed ::= "unbounded-control"
+        println(s"[rehearsal] streamstate unbounded control: batches=$b " +
+          s"rowsAtThird=${rows(third)} finalRows=${rows.last} " +
+          (if (grew) "GREW (probe is sensitive)" else "*** DID NOT GROW ***"))
+      }
+      require(failed.isEmpty,
+        s"streamstate failures: ${failed.reverse.mkString(", ")}")
+      // cleanup on success only (post-mortem on failure)
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(work)
+      println("[rehearsal] streamstate: all three bounded operators " +
+        "plateau under 24 advancing-watermark micro-batches; the " +
+        "unbounded control grows — state is horizon-bound, not input-bound")
+    }
     spark.stop()
   }
 }
