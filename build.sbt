@@ -49,3 +49,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // match so path-bearing unicode is actually exercisable in tests.
 Test / envVars += "LC_ALL" -> "C.utf8"
 run / envVars += "LC_ALL" -> "C.utf8"
+// local-cluster mode (the specfaults rehearsal) spawns executor JVMs
+// through the SPARK_HOME launcher, whose getScalaVersion() probes
+// source-build directories ("Cannot find any build directories") unless
+// the env pins it — /opt/spark is a dist layout, not a source checkout.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"

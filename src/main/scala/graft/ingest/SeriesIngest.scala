@@ -52,6 +52,15 @@ object SeriesIngest {
     * implementation zips with index per partition and adds per-partition
     * offsets (the classic `zipWithIndex` scheme): two narrow passes, no
     * shuffle, parallelism preserved.
+    *
+    * Determinism contract (same as RDD.zipWithIndex): ids are always
+    * EXACTLY the permutation 1..N, but which row gets which id follows
+    * the input's within-partition row order — deterministic for file
+    * scans (stable row order per split), NOT for inputs downstream of a
+    * shuffle on a multi-executor cluster, where reduce-side fetch
+    * ARRIVAL order varies run to run (measured in the specfaults
+    * rehearsal: local-mode fetches are deterministic, two-JVM fetches
+    * are not). Need stable ids after a shuffle? Sort on a key first.
     */
   def withRowId(df: DataFrame, out: String = "row_id"): DataFrame = {
     val spark = df.sparkSession

@@ -96,19 +96,144 @@ object ScaleRehearsal {
     offending.foreach(o => println(s"[rehearsal]   OFFENDING build side: $o"))
   }
 
+  /** The operator probe matrix shared by the `faults` (task-retry) and
+    * `specfaults` (speculative duplicate-attempt) rehearsals: each entry
+    * builds a gate operator's frame with an injecting wrapper applied to
+    * the lineage the case targets. The wrapper decides WHAT to inject
+    * (a thrown first attempt, a slowed first attempt, or nothing for
+    * the control run of identical lineage shape).
+    */
+  private def faultChecks(spark: SparkSession, sf: String)
+      : Seq[(String, (DataFrame => DataFrame) => DataFrame)] = {
+    import graft.ingest.SeriesIngest
+    import graft.operators.{AsofJoin, Partitioning}
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val embQ = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def embC(w: DataFrame => DataFrame) = w(emb)
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val L = 32
+    def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
+      spark.range(n).select(
+        (col("id") + offset).as(idCol),
+        pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+        call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
+
+    // Each check: injector -> result frame. The injector is applied to
+    // the frame whose recompute path the check targets.
+    Seq(
+      // rows neither lost nor duplicated across a retried scan
+      "scan_identity" -> (w => w(events)),
+      // hash-agg with partial (map-side) aggregation under retry
+      "groupby_agg" -> (w => w(events).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"))),
+      // retry DOWNSTREAM of a shuffle: the injected task is a consumer
+      // of the agg's shuffle output and re-reads it on its 2nd attempt
+      "agg_then_retry" -> (w => w(events.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s")))),
+      // order-sensitive id scheme: (partitionIdx, position) offsets
+      "rowid_scan" -> (w => SeriesIngest.withRowId(w(docs))),
+      // ids AFTER a round-robin shuffle (the sortBeforeRepartition path)
+      "rowid_roundrobin" -> (w => SeriesIngest.withRowId(w(docs).repartition(7))),
+      // keep-first exact dedup (min_by aggregate)
+      "dedup_keepfirst" -> (w => graft.operators.Dedup
+        .dropExactDuplicates(w(docs), "doc_id", "text")),
+      // MID-based salt assignment feeding a replicated join
+      "salted_join" -> (w => Partitioning.saltedJoin(w(orders), customer,
+        "custkey", salt = 4)),
+      // full-window as-of pick over a retried union
+      "asof_backward" -> { w =>
+        val ev = w(events)
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "event_id")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        AsofJoin.asofBackward(views, purchases, Seq("user_id"), "ts", Seq("value"))
+      },
+      // bounded-heap top-k (TypedImperativeAggregate partials) with a
+      // broadcast corpus whose build job itself gets retried
+      "ann_brute_topk" -> (w => graft.operators.SimilaritySearch
+        .bruteForceTopK(embQ, embC(w), k = 5)),
+      // flagship KNN vote chain: distances -> heap -> majority vote
+      "knn_vote" -> { w =>
+        val train = w(synth(600, 0, "train_id", "train_series"))
+        val test = synth(100, 1000000, "test_id", "test_series")
+          .select(col("test_id"), col("test_series"))
+        Knn.classify(train, test, KnnParams(k = 5, distance = "euclidean"))
+      })  }
+
   def main(args: Array[String]): Unit = {
     // The `faults` case needs task RETRIES enabled (local mode defaults
     // to maxFailures=1, where the first injected failure is fatal);
-    // local[16, 4] = 16 threads, 4 attempts per task. Every other case
-    // keeps the standard local[32] bench-shaped master.
-    val master = if (args.contains("faults")) "local[16, 4]" else "local[32]"
-    val spark = SparkSession.builder().master(master)
-      .config("spark.sql.shuffle.partitions", 32)
+    // local[16, 4] = 16 threads, 4 attempts per task. The `specfaults`
+    // case needs a REAL multi-executor cluster with DISTINCT worker
+    // hostnames: TaskSchedulerImpl guards the speculation checker with
+    // !isLocal (local mode never duplicates an attempt), and
+    // local-cluster registers both workers under ONE hostname, which
+    // dequeueSpeculativeTask's hasAttemptOnHost filter then rejects —
+    // measured here first: 10/10 probes VACUOUS-NO-SPECULATION under
+    // local-cluster[2,2,1024] despite 3 s stragglers. GraftMiniCluster
+    // starts the same in-process master + 2 executor JVMs (2 cores,
+    // 1 GiB each) but under the container's two loopback aliases, so a
+    // duplicate attempt has a legal host. Every other case keeps the
+    // standard local[32] bench-shaped master.
+    val isSpec = args.contains("specfaults")
+    val master = if (args.contains("faults")) "local[16, 4]"
+      else if (isSpec)
+        org.apache.spark.deploy.GraftMiniCluster.start(
+          new org.apache.spark.SparkConf(), Seq("runsc", "vm"),
+          cores = 2, memoryMb = 1024)
+      else "local[32]"
+    val base = SparkSession.builder().master(master)
+      .config("spark.sql.shuffle.partitions", if (isSpec) 8 else 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder = if (!isSpec) base else {
+      // Executor JVMs are spawned by the in-process Worker through
+      // SPARK_HOME's launcher: they get Spark's jars from SPARK_HOME
+      // but NOT this build's classes or the JDK17 module opens — both
+      // must ride the executor conf explicitly (sbt forks this JVM
+      // with a full -classpath, so java.class.path carries everything
+      // the executors need).
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      base
+        .config("spark.speculation", "true")
+        // quantile 0.5 of an 8-task stage: the checker activates once 4
+        // tasks finish — the 6 fast tasks always clear it while the 2
+        // slowed ones straggle (the default 0.75 would too, but with no
+        // slack for scheduling order on 4 total cores)
+        .config("spark.speculation.quantile", "0.5")
+        .config("spark.speculation.interval", "100ms")
+        // a speculative copy's ONLY legal host is the non-local one
+        // (hasAttemptOnHost excludes the original's), and the default
+        // 3 s locality wait is as long as the injected straggle — the
+        // copy would intermittently never launch before the original
+        // woke up (measured: 4/10 probes vacuous without this)
+        .config("spark.locality.wait", "0")
+        .config("spark.executor.memory", "1024m")
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          addOpens + " -Dfile.encoding=UTF-8")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val which = if (args.isEmpty) Set("har", "dedup", "stream", "ann") else args.toSet
@@ -396,6 +521,97 @@ object ScaleRehearsal {
       }
       println(s"[tier100] all ${report.size} queries completed 100x " +
         "within the linearity bound (t100 <= 40 * max(t10, 0.5s))")
+
+      // ---- DTW cascade decades (round-12 directive #4) ----
+      // The census above covers the relational/text shuffle-scale
+      // paths; the flagship prune cascade (the q25/q26 family — the
+      // engine's core scale claim vs the reference) previously had only
+      // the 10x SCALECHECK point. The cascade's cost is pairs =
+      // train x test, and the 100 TB shape is an INFERENCE firehose
+      // against a curated train set — so the decades scale the TEST
+      // side at the published train size (7352 x 561). Scaling both
+      // sides multiplies pairs quadratically by construction; that
+      // shape's full-size point is the standing `har` case. Plan
+      // census: the designed pair generation IS a broadcast
+      // nested-loop with the TRAIN side as build — so the assertion is
+      // not "no BNLJ" but "no cartesian, and no build side ever
+      // carries test_* columns" (broadcasting the side that scales is
+      // the failure mode).
+      locally {
+        import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+        val L = 561
+        def synthT(n: Int, offset: Int, idCol: String, seriesCol: String) =
+          spark.range(n).select(
+            (col("id") + offset).as(idCol),
+            pmod(col("id") + offset, lit(6)).cast("double").as("label"),
+            call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
+        val train = synthT(7352, 0, "train_id", "train_series").localCheckpoint()
+        train.count()
+        val p25 = KnnParams(k = 5, distance = "dtw", band = 8,
+          lbPruning = true, candidateFactor = 8)
+        def runCascade(nTest: Int): (Double, Long,
+            org.apache.spark.sql.execution.SparkPlan) = {
+          val test = synthT(nTest, 1000000, "test_id", "test_series")
+            .select(col("test_id"), col("test_series")).localCheckpoint()
+          test.count()
+          val qe = Knn.classify(train, test, p25).queryExecution
+          val t0 = System.nanoTime()
+          val rows = spark.sparkContext.runJob(qe.toRdd,
+            (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+              var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+            }).sum
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Materialize.releaseCheckpoint(test)
+          (dt, rows, qe.executedPlan)
+        }
+        def assertShape(tag: String,
+            plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          var cart = 0
+          val badBuilds = scala.collection.mutable.ArrayBuffer.empty[String]
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec => walk(q.plan)
+            case other =>
+              val build = other match {
+                case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+                  Some(if (j.buildSide == BuildLeft) j.left else j.right)
+                case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+                  Some(if (j.buildSide == BuildLeft) j.left else j.right)
+                case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+                  cart += 1; None
+                case _ => None
+              }
+              build.foreach { b =>
+                val names = b.output.map(_.name)
+                if (names.exists(_.startsWith("test_")))
+                  badBuilds += names.mkString(",")
+              }
+              other.children.foreach(walk)
+          }
+          walk(plan)
+          assert(cart == 0 && badBuilds.isEmpty,
+            s"dtw cascade $tag: cartesian=$cart testSideBroadcasts=$badBuilds")
+        }
+        val decades = Seq(("t01", 2947), ("t10", 29470), ("t100", 294700))
+        // warm JIT/codegen on the smallest tier before timing
+        runCascade(500)
+        val dtw = decades.map { case (tag, n) =>
+          val (dt, rows, plan) = runCascade(n)
+          assertShape(tag, plan)
+          assert(rows == n.toLong,
+            s"dtw cascade $tag: expected $n predictions, got $rows")
+          println(f"[tier100] dtw_cascade $tag%-5s test=$n%7d wall=$dt%7.2f s")
+          (tag, dt)
+        }
+        val r10 = dtw(1)._2 / math.max(dtw(0)._2, 0.1)
+        val r100 = dtw(2)._2 / math.max(dtw(1)._2, 0.1)
+        println(f"[tier100] dtw_cascade per-decade ratios: r10=$r10%5.1fx r100=$r100%5.1fx")
+        // same generous linear-plus-log bound as the relational census
+        assert(dtw(2)._2 <= 40 * math.max(dtw(1)._2, 0.5),
+          s"dtw cascade superlinear blowup: t10=${dtw(1)._2} t100=${dtw(2)._2}")
+        graft.core.Materialize.releaseCheckpoint(train)
+      }
     }
 
     if (which("memlimit")) {
@@ -528,67 +744,7 @@ object ScaleRehearsal {
       def canon(df: DataFrame): IndexedSeq[String] =
         df.collect().map(_.mkString("\u0001")).sorted.toIndexedSeq
 
-      val events = spark.read.parquet(s"$sf/events.parquet")
-      val docs = spark.read.parquet(s"$sf/documents.parquet")
-      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      val orders = spark.read.parquet(s"$sf/orders.parquet")
-        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
-          col("o_totalprice"))
-      val customer = spark.read.parquet(s"$sf/customer.parquet")
-        .select(col("c_custkey").as("custkey"), col("c_name"))
-      val embQ = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      def embC(w: DataFrame => DataFrame) = w(emb)
-        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-      val L = 32
-      def synth(n: Int, offset: Int, idCol: String, seriesCol: String) =
-        spark.range(n).select(
-          (col("id") + offset).as(idCol),
-          pmod(col("id") + offset, lit(6)).cast("double").as("label"),
-          call_function("graft_har_series", col("id") + offset, lit(L)).as(seriesCol))
-
-      // Each check: injector -> result frame. The injector is applied to
-      // the frame whose recompute path the check targets.
-      val checks: Seq[(String, (DataFrame => DataFrame) => DataFrame)] = Seq(
-        // rows neither lost nor duplicated across a retried scan
-        "scan_identity" -> (w => w(events)),
-        // hash-agg with partial (map-side) aggregation under retry
-        "groupby_agg" -> (w => w(events).groupBy("event_type")
-          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"))),
-        // retry DOWNSTREAM of a shuffle: the injected task is a consumer
-        // of the agg's shuffle output and re-reads it on its 2nd attempt
-        "agg_then_retry" -> (w => w(events.groupBy("user_id")
-          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s")))),
-        // order-sensitive id scheme: (partitionIdx, position) offsets
-        "rowid_scan" -> (w => SeriesIngest.withRowId(w(docs))),
-        // ids AFTER a round-robin shuffle (the sortBeforeRepartition path)
-        "rowid_roundrobin" -> (w => SeriesIngest.withRowId(w(docs).repartition(7))),
-        // keep-first exact dedup (min_by aggregate)
-        "dedup_keepfirst" -> (w => graft.operators.Dedup
-          .dropExactDuplicates(w(docs), "doc_id", "text")),
-        // MID-based salt assignment feeding a replicated join
-        "salted_join" -> (w => Partitioning.saltedJoin(w(orders), customer,
-          "custkey", salt = 4)),
-        // full-window as-of pick over a retried union
-        "asof_backward" -> { w =>
-          val ev = w(events)
-          val views = ev.filter(col("event_type") === "view")
-            .select("user_id", "ts", "event_id")
-          val purchases = ev.filter(col("event_type") === "purchase")
-            .select("user_id", "ts", "value")
-          AsofJoin.asofBackward(views, purchases, Seq("user_id"), "ts", Seq("value"))
-        },
-        // bounded-heap top-k (TypedImperativeAggregate partials) with a
-        // broadcast corpus whose build job itself gets retried
-        "ann_brute_topk" -> (w => graft.operators.SimilaritySearch
-          .bruteForceTopK(embQ, embC(w), k = 5)),
-        // flagship KNN vote chain: distances -> heap -> majority vote
-        "knn_vote" -> { w =>
-          val train = w(synth(600, 0, "train_id", "train_series"))
-          val test = synth(100, 1000000, "test_id", "test_series")
-            .select(col("test_id"), col("test_series"))
-          Knn.classify(train, test, KnnParams(k = 5, distance = "euclidean"))
-        })
+      val checks = faultChecks(spark, sf)
 
       var failed = List.empty[String]
       checks.foreach { case (name, build) =>
@@ -610,13 +766,114 @@ object ScaleRehearsal {
       require(failed.isEmpty, s"fault-injection mismatches: ${failed.reverse.mkString(", ")}")
       println(s"[rehearsal] faults: all ${checks.size} operators retry-invariant " +
         "(eager + mid-stream injection)")
-      // Speculative execution cannot be rehearsed in-process:
+      // Speculative execution cannot be rehearsed in LOCAL mode:
       // TaskSchedulerImpl.start() guards the speculation thread with
       // `!isLocal`, so local mode never launches duplicate attempts.
-      // The covering argument is the output-commit protocol (exactly one
-      // attempt's output is committed per task) plus the determinism
-      // pinned above: racing attempts compute identical rows, so EITHER
-      // winner commits the same bytes.
+      // The `specfaults` case covers it under local-cluster[2,2,1024].
+    }
+
+    if (which("specfaults")) {
+      // ---- speculative-execution rehearsal (round 12) ----
+      // The `faults` case pins retry-invariance (failed attempt ->
+      // rerun); this pins DUPLICATE-ATTEMPT invariance: with
+      // spark.speculation on, a straggling task gets a racing second
+      // attempt on another executor while the original is STILL
+      // RUNNING, and exactly one attempt's result may win — any
+      // operator whose output depends on which attempt commits (or that
+      // double-counts a speculated shuffle-map/result task) corrupts
+      // silently at cluster scale. Same probe matrix as `faults`, with
+      // the first attempt of 2-of-8 partitions SLOWED (not failed) so
+      // the speculation checker provably fires, under a real 2-executor
+      // local-cluster (separate JVMs — which is also why the injection
+      // marker is the driver-side listener's speculative-task count,
+      // not the faults case's in-JVM counter).
+      //
+      //   sbt "Test/runMain graft.tools.ScaleRehearsal specfaults"
+      require(spark.sparkContext.master.startsWith("spark://"),
+        s"specfaults needs the two-host mini cluster, got ${spark.sparkContext.master}")
+      require(spark.conf.get("spark.speculation").toBoolean,
+        "specfaults needs spark.speculation=true")
+      import org.apache.spark.TaskContext
+      val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      val specLaunched = new java.util.concurrent.atomic.AtomicLong(0)
+      val specWon = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          if (e.taskInfo.speculative) specLaunched.incrementAndGet()
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo.speculative && e.taskInfo.successful)
+            specWon.incrementAndGet()
+      })
+      /** Slow-first-attempt wrapper: repartition(8) gives the injected
+        * stage enough tasks for the quantile trigger (a 1-2 task scan
+        * stage can never reach the done-quantile with its only straggler
+        * outstanding), then first attempts of partitions 0 and 4 sleep
+        * 3 s — ~15x the fast tasks, far past the multiplier threshold.
+        * The speculative copy has attemptNumber 1 and runs at full
+        * speed. inject=false builds identical lineage for the control.
+        */
+      def slowWrap(df: DataFrame, inject: Boolean): DataFrame = {
+        val schema = df.schema
+        val rdd = df.repartition(8).rdd.mapPartitions { it =>
+          val ctx = TaskContext.get()
+          if (inject && ctx != null && ctx.attemptNumber() == 0 &&
+              ctx.partitionId() % 4 == 0)
+            Thread.sleep(3000)
+          it
+        }
+        spark.createDataFrame(rdd, schema)
+      }
+      def canon(df: DataFrame): IndexedSeq[String] =
+        df.collect().map(_.mkString("\u0001")).sorted.toIndexedSeq
+      /** The rowid probes get an order-free canon on a REAL cluster:
+        * withRowId assigns ids by within-partition row order, and after
+        * a shuffle that order is reduce-side fetch ARRIVAL order —
+        * nondeterministic across executor JVMs (Spark's own
+        * zipWithIndex contract; local-mode fetches happen to be
+        * deterministic, which is why the `faults` case can pin the
+        * exact pairing and this case measurably cannot — control vs
+        * injected differed here with ZERO speculative tasks). The
+        * invariant a duplicate attempt must preserve is: ids are
+        * EXACTLY the permutation 1..N (a speculated counting-job or
+        * id-job attempt must not double-count a partition or shift an
+        * offset) over an unchanged row multiset.
+        */
+      def canonRowidFree(df: DataFrame): IndexedSeq[String] = {
+        val idIdx = df.columns.indexOf("row_id")
+        val rows = df.collect()
+        val ids = rows.map(_.getLong(idIdx)).sorted.toIndexedSeq
+        require(ids == (1L to rows.length.toLong),
+          s"row ids must be exactly 1..${rows.length}")
+        rows.map(_.toSeq.patch(idIdx, Nil, 1).mkString("\u0001"))
+          .sorted.toIndexedSeq
+      }
+      val checks = faultChecks(spark, sf)
+      var failed = List.empty[String]
+      checks.foreach { case (name, build) =>
+        val cf: DataFrame => IndexedSeq[String] =
+          if (name.startsWith("rowid")) canonRowidFree else canon
+        val control = cf(build(df => slowWrap(df, inject = false)))
+        val before = specLaunched.get()
+        val got = timed(s"specfaults $name") {
+          cf(build(df => slowWrap(df, inject = true)))
+        }
+        // listener bus is async: flush before reading the counters
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        val nSpec = specLaunched.get() - before
+        val ok = got == control && nSpec > 0
+        if (!ok) failed ::= name
+        println(s"[rehearsal] specfaults $name: rows=${got.size} " +
+          s"speculative=$nSpec match=${got == control}" +
+          (if (nSpec == 0) " VACUOUS-NO-SPECULATION" else "") +
+          (if (ok) " PASS" else " FAIL"))
+      }
+      require(failed.isEmpty,
+        s"speculation mismatches: ${failed.reverse.mkString(", ")}")
+      println(s"[rehearsal] specfaults: all ${checks.size} operators " +
+        s"bit-identical under speculative duplicate attempts " +
+        s"(launched=${specLaunched.get()}, won=${specWon.get()})")
     }
 
     if (which("concurrent")) {
@@ -1366,5 +1623,7 @@ object ScaleRehearsal {
         "unbounded control grows — state is horizon-bound, not input-bound")
     }
     spark.stop()
+    // after app deregistration, so workers reap executor children first
+    org.apache.spark.deploy.GraftMiniCluster.stop()
   }
 }

@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Standing failure-mode gate: run the three ScaleRehearsal
-failure-mode cases (faults, concurrent, streamrecovery) and record a
+failure-mode cases (faults, concurrent, streamrecovery, specfaults,
+streamstate) and record a
 per-probe artifact FAULTCHECK_rN.json.
 
 Each case is its own sbt/JVM invocation (the faults case needs a
@@ -37,10 +38,20 @@ def run_case(repo, case, timeout_sec):
     probes = []
     for line in out.splitlines():
         m = re.search(r"\[rehearsal\] (.*?) (PASS|FAIL)\s*$", line)
+        # streamstate probes end in their own verdict vocabulary
+        m2 = re.search(
+            r"\[rehearsal\] (streamstate .*?) "
+            r"(PLATEAU|\*\*\* GREW \*\*\*|"
+            r"GREW \(probe is sensitive\)|\*\*\* DID NOT GROW \*\*\*)\s*$", line)
         if m:
             probes.append({"probe": m.group(1), "result": m.group(2)})
+        elif m2:
+            good = m2.group(2) in ("PLATEAU", "GREW (probe is sensitive)")
+            probes.append({"probe": m2.group(1) + " " + m2.group(2),
+                           "result": "PASS" if good else "FAIL"})
         elif "[rehearsal]" in line and ("bit-identical" in line or
                                         "retry-invariant" in line or
+                                        "horizon-bound" in line or
                                         "contract" in line):
             probes.append({"probe": line.split("[rehearsal]", 1)[1].strip(),
                            "result": "SUMMARY"})
@@ -60,7 +71,7 @@ def main():
                     help="per-case wall-clock cap in seconds")
     args = ap.parse_args()
 
-    cases = ["faults", "concurrent", "streamrecovery"]
+    cases = ["faults", "concurrent", "streamrecovery", "specfaults", "streamstate"]
     result = {"round": args.round, "cases": {}}
     bad = False
     for case in cases:
