@@ -347,7 +347,16 @@ object Knn {
     val withDist =
       if (bcastTrain)
         perTest
-          .join(testSel, "test_id")
+          // merge hint, NOT an unhinted equi join: both sides are
+          // O(|test|) (the candidate-id frame and the test payload), so
+          // at inference scale neither may broadcast — but the payload's
+          // LogicalRDD estimate lies post-checkpoint and Catalyst
+          // build-broadcast a measured-132 MB test_series side at the
+          // tier100 census's 10x decade (the r12 build-side audit's
+          // catch; the oversize-train branch below already pinned its
+          // twin join for the same reason). Sort-merge exchanges each
+          // side once and replicates nothing.
+          .join(testSel.hint("merge"), "test_id")
           .repartition(spark0.sparkContext.defaultParallelism)
           .select(col("test_id"), col("test_series"),
             explode(col("cand_ids")).as("train_id"))

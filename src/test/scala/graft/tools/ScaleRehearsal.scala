@@ -564,7 +564,16 @@ object ScaleRehearsal {
           graft.core.Materialize.releaseCheckpoint(test)
           (dt, rows, qe.executedPlan)
         }
-        def assertShape(tag: String,
+        // The failure mode at scale is broadcasting the PAYLOAD of the
+        // side that grows: test_series is 561 doubles/row, so a
+        // test-payload broadcast at t10 (~132 MB) or t100 (~1.3 GB)
+        // would be the wrong plan. At t01 (2947 rows ~ 13 MB) the
+        // measured-size strategy legitimately broadcasts the smaller
+        // TEST side (train streams) — allowed there. Slim build sides
+        // ((test_id, tau) — the per-test-point threshold join-back;
+        // (test_id, ...) candidate id sets) are the scalar-attach
+        // idiom: bytes per row are bounded, fine at any decade.
+        def assertShape(tag: String, allowTestPayload: Boolean,
             plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
           import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
           var cart = 0
@@ -584,21 +593,21 @@ object ScaleRehearsal {
               }
               build.foreach { b =>
                 val names = b.output.map(_.name)
-                if (names.exists(_.startsWith("test_")))
+                if (!allowTestPayload && names.contains("test_series"))
                   badBuilds += names.mkString(",")
               }
               other.children.foreach(walk)
           }
           walk(plan)
           assert(cart == 0 && badBuilds.isEmpty,
-            s"dtw cascade $tag: cartesian=$cart testSideBroadcasts=$badBuilds")
+            s"dtw cascade $tag: cartesian=$cart testPayloadBroadcasts=$badBuilds")
         }
         val decades = Seq(("t01", 2947), ("t10", 29470), ("t100", 294700))
         // warm JIT/codegen on the smallest tier before timing
         runCascade(500)
         val dtw = decades.map { case (tag, n) =>
           val (dt, rows, plan) = runCascade(n)
-          assertShape(tag, plan)
+          assertShape(tag, allowTestPayload = tag == "t01", plan)
           assert(rows == n.toLong,
             s"dtw cascade $tag: expected $n predictions, got $rows")
           println(f"[tier100] dtw_cascade $tag%-5s test=$n%7d wall=$dt%7.2f s")
