@@ -89,7 +89,7 @@ class MetamorphicDedupSpec extends SparkTestBase {
   }
 
   private def genDocsSeed(s: Int): Vector[MetaDoc] = {
-    val rng = new scala.util.Random(0xDEDB10CL + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xDEDB10CL + s)
     var idx = 0
     def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
     val out = Vector.newBuilder[MetaDoc]
@@ -166,7 +166,7 @@ class MetamorphicDedupSpec extends SparkTestBase {
   }
 
   private def genEmbSeed(s: Int): Vector[MetaEmb] = {
-    val rng = new scala.util.Random(0xE3BEDL + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xE3BEDL + s)
     var idx = 0
     def nid(): Long = { val i = s.toLong * 100 + idx; idx += 1; i }
     def lbl(): Int = rng.nextInt(5)
@@ -243,7 +243,7 @@ class MetamorphicDedupSpec extends SparkTestBase {
 
   private lazy val fuzzDir: String = stage(docs, embs)
   private lazy val permDir: String = {
-    val rng = new scala.util.Random(20260814L)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 20260814L)
     stage(rng.shuffle(docs), rng.shuffle(embs))
   }
 

@@ -66,7 +66,7 @@ class MetamorphicMultimodalSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("corrupt payloads: decode is total, bounded, and deterministic") {
     (0 until SEEDS).foreach { s =>
-      val rng = new scala.util.Random(0xBADB17E5L + s)
+      val rng = new scala.util.Random(FuzzStage.seedOffset + 0xBADB17E5L + s)
       val payload = corrupt(rng, valid(rng))
       val f1 = Multimodal.decodeBytes(payload, DIM)
       val f2 = Multimodal.decodeBytes(payload, DIM)

@@ -90,7 +90,7 @@ class MetamorphicRelationalSpec extends SparkTestBase {
   }
 
   private def genEvents(s: Int): Vector[FzEv] = {
-    val rng = new scala.util.Random(0x4E1A70L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0x4E1A70L + s)
     var idx = 0
     def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
     def ts(): Long = math.abs(rng.nextLong() % 1000000L) * 1000000L
@@ -142,7 +142,7 @@ class MetamorphicRelationalSpec extends SparkTestBase {
   }
 
   private def genLineitem(s: Int): Vector[FzLi] = {
-    val rng = new scala.util.Random(0x11E17E3L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0x11E17E3L + s)
     var idx = 0
     def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
     val out = Vector.newBuilder[FzLi]
@@ -163,7 +163,7 @@ class MetamorphicRelationalSpec extends SparkTestBase {
   }
 
   private def genCustomers(s: Int): Vector[FzCu] = {
-    val rng = new scala.util.Random(0xC0570AE2L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xC0570AE2L + s)
     val out = Vector.newBuilder[FzCu]
     def ji(x: Int): java.lang.Integer = java.lang.Integer.valueOf(x)
     (0 until 6 + rng.nextInt(4)).foreach { i =>
@@ -182,7 +182,7 @@ class MetamorphicRelationalSpec extends SparkTestBase {
   }
 
   private def genOrders(s: Int): Vector[FzOr] = {
-    val rng = new scala.util.Random(0x02DE25L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0x02DE25L + s)
     var idx = 0
     def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
     val out = Vector.newBuilder[FzOr]
@@ -227,7 +227,7 @@ class MetamorphicRelationalSpec extends SparkTestBase {
 
   private lazy val fuzzDir: String = stage(events, lineitem, customers, orders)
   private lazy val permDir: String = {
-    val rng = new scala.util.Random(20260814L)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 20260814L)
     stage(rng.shuffle(events), rng.shuffle(lineitem), rng.shuffle(customers),
       rng.shuffle(orders))
   }

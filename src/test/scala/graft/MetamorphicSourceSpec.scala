@@ -59,7 +59,7 @@ class MetamorphicSourceSpec extends SparkTestBase {
     "sp ace", "dot.seg", "co:lon", "uni日本", "UPPER", "tilde~x", null)
 
   private def genNation(s: Int): Vector[FzNation] = {
-    val rng = new scala.util.Random(0xCA7510L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xCA7510L + s)
     def ji(x: Int): java.lang.Integer = java.lang.Integer.valueOf(x)
     val out = Vector.newBuilder[FzNation]
     (0 until 4 + rng.nextInt(3)).foreach { i =>
@@ -76,7 +76,7 @@ class MetamorphicSourceSpec extends SparkTestBase {
   }
 
   private def genDocs(s: Int): Vector[FzDoc2] = {
-    val rng = new scala.util.Random(0xD0C2L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xD0C2L + s)
     val out = Vector.newBuilder[FzDoc2]
     val langs = Vector("en", "de", "uni日本", "l\"q", null)
     (0 until 4 + rng.nextInt(3)).foreach { i =>
@@ -95,7 +95,7 @@ class MetamorphicSourceSpec extends SparkTestBase {
   }
 
   private def genEvents(s: Int): Vector[FzEv2] = {
-    val rng = new scala.util.Random(0xE7EA72L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xE7EA72L + s)
     val out = Vector.newBuilder[FzEv2]
     (0 until 6 + rng.nextInt(4)).foreach { i =>
       out += FzEv2(s * 1000L + i, math.abs(rng.nextLong() % 1000000L) * 1000000L,

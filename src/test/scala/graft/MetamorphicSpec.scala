@@ -55,7 +55,7 @@ class MetamorphicSpec extends SparkTestBase {
     * both engines must agree on.
     */
   private def genSeed(seed: Int): Vector[Ev] = {
-    val rng = new scala.util.Random(0xC0FFEEL + seed)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xC0FFEEL + seed)
     val nUsers = 1 + rng.nextInt(3)
     val users = (0 until nUsers).map(u => seed.toLong * 10 + u)
     val n = 20 + rng.nextInt(41)
@@ -112,7 +112,7 @@ class MetamorphicSpec extends SparkTestBase {
 
   private lazy val fuzzDir: String = stageEvents(events)
   private lazy val permDir: String =
-    stageEvents(new scala.util.Random(20260814L).shuffle(events))
+    stageEvents(new scala.util.Random(FuzzStage.seedOffset + 20260814L).shuffle(events))
 
   private def run(name: String, dir: String = null): Array[Row] =
     SparkEntry.queries(name)(spark, if (dir == null) fuzzDir else dir).collect()
@@ -505,7 +505,7 @@ class MetamorphicSpec extends SparkTestBase {
   // ---- direct GapFill micro-fuzz: negative spans, sub-step spans,
   //      on-grid singles, duplicate-ts collapse (q62b's edge family) ----
   test("fuzz gapfill-direct: resampleLinear agrees with brute on adversarial micro sets") {
-    val rng = new scala.util.Random(0xBEEF)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0xBEEF)
     val pts = (0 until SEEDS).flatMap { seed =>
       val n = 1 + rng.nextInt(6)
       (0 until n).map { _ =>

@@ -93,7 +93,7 @@ class MetamorphicTextSpec extends SparkTestBase {
   private val glob8 = Vector.tabulate(8)(i => s"globphrase$i")
 
   private def genSeed(s: Int): Vector[TxtDoc] = {
-    val rng = new scala.util.Random(0x7E47F077L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0x7E47F077L + s)
     var idx = 0
     def nid(): Long = { val i = s.toLong * 1000 + idx; idx += 1; i }
     def pick(v: Vector[String]): String = v(rng.nextInt(v.size))
@@ -213,7 +213,7 @@ class MetamorphicTextSpec extends SparkTestBase {
 
   private lazy val fuzzDir: String = stage(docs)
   private lazy val permDir: String =
-    stage(new scala.util.Random(20260814L).shuffle(docs))
+    stage(new scala.util.Random(FuzzStage.seedOffset + 20260814L).shuffle(docs))
 
   private def run(name: String, dir: String = null): Array[Row] =
     SparkEntry.queries(name)(spark, if (dir == null) fuzzDir else dir).collect()

@@ -43,7 +43,7 @@ class MetamorphicVectorSpec extends SparkTestBase {
   private val FOLDS = 5
 
   private def genSeed(s: Int): Vector[FzVec] = {
-    val rng = new scala.util.Random(0x7EC70A5L + s)
+    val rng = new scala.util.Random(FuzzStage.seedOffset + 0x7EC70A5L + s)
     var idx = 0
     def nid(): Long = { val i = s.toLong * 100 + idx; idx += 1; i }
     def lbl(): Int = rng.nextInt(4)
@@ -92,7 +92,7 @@ class MetamorphicVectorSpec extends SparkTestBase {
 
   private lazy val fuzzDir: String = stage(vecs)
   private lazy val permDir: String =
-    stage(new scala.util.Random(20260814L).shuffle(vecs))
+    stage(new scala.util.Random(FuzzStage.seedOffset + 20260814L).shuffle(vecs))
 
   private def run(name: String, dir: String = null): Array[Row] =
     SparkEntry.queries(name)(spark, if (dir == null) fuzzDir else dir).collect()
