@@ -138,8 +138,16 @@ class MetamorphicDedupSpec extends SparkTestBase {
     }
     // jaccard threshold boundary constructions (bigram shingles):
     //   (P-1)/((P-1)+Ta+Tb):  3/10 = 0.3 exactly (included: >= edge),
-    //   5/17 ~ 0.294118 (excluded), 5/16 = 0.3125 (included)
-    Seq(("eq", 4, 4, 3), ("lo", 6, 6, 6), ("hi", 6, 6, 5)).foreach {
+    //   5/17 ~ 0.294118 (excluded), 5/16 = 0.3125 (included).
+    // The [0.8,1) LSH high-recall band is PLANTED too (16/20 = 0.8
+    // exactly — the q22 recall bound's own edge — and 27/30 = 0.9):
+    // before round 12 that band was only covered by incidental random
+    // vocab overlaps, and a re-rolled corpus (SPARK_GRAFT_FUZZ_OFFSET=
+    // 2468) produced ZERO such pairs — tripping the vacuity guard and
+    // leaving the q22 recall assertion empty. Planting makes the band
+    // offset-proof.
+    Seq(("eq", 4, 4, 3), ("lo", 6, 6, 6), ("hi", 6, 6, 5),
+      ("v8", 17, 2, 2), ("v9", 28, 2, 1)).foreach {
       case (tag, p, ta, tb) =>
         val (a, b) = prefixPair(s, tag, p, ta, tb)
         out += mkDoc(nid(), render(a, rng, false))
