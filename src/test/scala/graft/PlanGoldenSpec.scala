@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec, SortExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
@@ -95,6 +95,16 @@ class PlanGoldenSpec extends SparkTestBase {
     val wins = nodes.count(_.isInstanceOf[WindowExec])
     val rdds = nodes.count(_.isInstanceOf[RDDScanExec])
     val mems = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+    // codegen SPAN count: an operator or custom Expression silently
+    // falling out of whole-stage codegen splits a span — a hot-path perf
+    // regression no value gate can see (r11 proved interpreted==codegen
+    // PARITY; this pins that codegen is actually IN USE). Under AQE the
+    // collapse runs per query stage at materialization, so the initial
+    // plan carries no spans — apply the collapse rule here, compile-time
+    // deterministic, no execution.
+    val wsc = plans.map(p =>
+      org.apache.spark.sql.execution.CollapseCodegenStages()(p)
+        .collect { case w: WholeStageCodegenExec => w }.size).sum
     val scans = nodes.collect { case s: FileSourceScanExec =>
       val pushed = s.metadata.get("PushedFilters").exists(_ != "[]")
       val parts = s.partitionFilters.exists(
@@ -105,7 +115,8 @@ class PlanGoldenSpec extends SparkTestBase {
         s":${s.requiredSchema.size}"
     }.sorted
     s"joins=[${joins.mkString(",")}];xchg=$xchg;bcast=$bcast;" +
-      s"sort=$sorts;win=$wins;rdd=$rdds;mem=$mems;scans=[${scans.mkString(",")}]"
+      s"sort=$sorts;win=$wins;rdd=$rdds;mem=$mems;wsc=$wsc;" +
+      s"scans=[${scans.mkString(",")}]"
   }
 
   private val batchQueries =
