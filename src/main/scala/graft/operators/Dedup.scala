@@ -132,18 +132,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-duplicate pairs within a Hamming radius. Banding on
-    * 4 x 16-bit chunks guarantees every pair with hamming <= 3 shares at
-    * least one exact chunk (pigeonhole) — exact recall for radius <= 3.
+  /** Band a `(id, sig)` frame into `nChunks` chunks of `chunkBits` bits
+    * each, join candidates that agree on at least one exact chunk, and
+    * verify to `hamming <= maxHamming`. Pigeonhole: any pair with
+    * hamming <= nChunks - 1 differs in at most nChunks - 1 chunks, so it
+    * MUST share one — exact recall at radius nChunks - 1 as long as the
+    * chunks cover the signature. Shared by the 64-bit and portable
+    * 59-bit variants; DedupSpec pins the guarantee with planted
+    * signatures (a hamming-3 pair spread one-bit-per-chunk is only
+    * reachable through a specific single chunk's band).
     */
-  def simhashPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      SeriesFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+  private[graft] def simhashBandPairs(
+      docs: DataFrame, nChunks: Int, chunkBits: Int,
+      maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunked = docs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))
+      posexplode(array((0 until nChunks).map { c =>
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk_idx", "chunk")))
     val a = chunked.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -155,6 +160,18 @@ object Dedup {
         SeriesFunctions.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** SimHash near-duplicate pairs within a Hamming radius. Banding on
+    * 4 x 16-bit chunks guarantees every pair with hamming <= 3 shares at
+    * least one exact chunk (pigeonhole) — exact recall for radius <= 3.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      SeriesFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    simhashBandPairs(docs, nChunks = 4, chunkBits = 16, maxHamming)
   }
 
   /** [[simhashPairs]] with the PORTABLE 59-bit signature
@@ -169,20 +186,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       SeriesFunctions.simhash59(TextFunctions.tokens(col(textCol))).as("sig"))
-    val chunked = docs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("sig"), c * 15).bitwiseAND(lit(0x7fffL))
-      }: _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        SeriesFunctions.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    simhashBandPairs(docs, nChunks = 4, chunkBits = 15, maxHamming)
   }
 
   /** Brute-force n-gram Jaccard similarity pairs (the exact oracle the

@@ -112,6 +112,30 @@ class DedupSpec extends SparkTestBase {
     assert(sigs.distinct.length >= 4)
   }
 
+  test("simhash banding pigeonhole at the radius edge: planted signatures") {
+    // Planted 64-bit signatures, 4 chunks x 16 bits:
+    //  id 1: all-zero.
+    //  id 2: bits {0,16,32} set — differs from id 1 in chunks 0,1,2 and
+    //        shares ONLY chunk 3 (hamming 3, the radius edge spread one
+    //        bit per chunk: the exact pair a dropped/narrowed band loses).
+    //  id 4: bits {17,33,49} set — differs from id 1 in chunks 1,2,3 and
+    //        shares ONLY chunk 0 (the mirror: lost if chunk 0 is skipped).
+    //  id 3: bits {1,17,33,49} — one bit in EVERY chunk vs id 1: no
+    //        shared chunk, so (1,3) must NOT surface even at
+    //        maxHamming = 4 (the banding is doing the pruning, not an
+    //        all-pairs scan); vs id 4 it differs only in bit 1
+    //        (hamming 1, chunks 1-3 agree) and must surface.
+    val sigs = Seq(
+      (1L, 0L),
+      (2L, 1L | (1L << 16) | (1L << 32)),
+      (3L, (1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)),
+      (4L, (1L << 17) | (1L << 33) | (1L << 49))
+    ).toDF("id", "sig")
+    val got = Dedup.simhashBandPairs(sigs, nChunks = 4, chunkBits = 16, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 4L), (3L, 4L)))
+  }
+
   test("duplicateClusters: components labeled by smallest member; singletons kept") {
     val clustered = Dedup.duplicateClusters(docs, "doc_id", "text",
       shingleSize = 2, threshold = 0.5)

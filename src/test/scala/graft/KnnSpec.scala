@@ -62,6 +62,28 @@ class KnnSpec extends SparkTestBase {
     assert(engine(k, distance, "broadcast") === expected)
   }
 
+  test("majority-vote tie: equal votes resolved by BEST (lowest) rank, not label") {
+    // Planted distances 1..4 from the origin -> ranks are exactly 1..4.
+    // k=4 gives a 2-2 vote split; label 1.0 holds rank 1, label 0.0 holds
+    // rank 2. The winner must be 1.0: a label-ascending fallback OR an
+    // inverted (descending) best_rank comparison would both pick 0.0.
+    val train = Seq(
+      (1L, Array(1.0, 0.0), 1.0),
+      (2L, Array(2.0, 0.0), 0.0),
+      (3L, Array(3.0, 0.0), 0.0),
+      (4L, Array(4.0, 0.0), 1.0)
+    ).toDF("train_id", "train_series", "label")
+    val test = Seq((100L, Array(0.0, 0.0))).toDF("test_id", "test_series")
+    val p = KnnParams(k = 4, distance = "euclidean", strategy = "broadcast")
+    val got = Knn.classify(train, test, p).head()
+    assert(got.getDouble(1) === 1.0)
+    // Same planted ties through the one-pass k sweep: k=2 is a 1-1 split
+    // (rank 1 vs rank 2), k=4 the 2-2 split above — rank wins in both.
+    val sw = Knn.sweepClassify(train, test, p, Seq(2, 4))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(sw === Map(2 -> 1.0, 4 -> 1.0))
+  }
+
   test("broadcast and cartesian strategies agree") {
     val b = engine(5, "euclidean", "broadcast")
     val c = engine(5, "euclidean", "cartesian")
