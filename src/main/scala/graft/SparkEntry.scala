@@ -937,7 +937,10 @@ object SparkEntry {
       val corpus = e.filter(col("vec_id") % 10 =!= 0)
         .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       val centers = SimilaritySearch.fitOrGetCentroids(corpus, numCells = 16)
-      stashQ28Fit(s, dir, centers)
+      // an empty-corpus fit has no centroid literals to replay — leave
+      // the stash alone so the oracle entry degrades to rows-only
+      // instead of emitting a zero-row `ctr` CTE (malformed VALUES)
+      if (centers.nonEmpty) stashQ28Fit(s, dir, centers)
       SimilaritySearch.ivfTopKWithCentroids(queries, corpus, 5, centers, probes = 4)
         .select(col("query_id"), col("rank"), col("item_id"))
         .orderBy("query_id", "rank")
@@ -1375,11 +1378,14 @@ object SparkEntry {
     // filter+aggregate on the original table.
     "q76_partitioned_prune" -> ((s, dir) => {
       val stage = graft.core.TempDirs.scratch("graft_part")
+      val src = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("value"), col("event_type"))
       graft.operators.Partitioning.writePartitioned(
-        t(s, dir, "events").select(col("event_id"), col("user_id"),
-          col("value"), col("event_type")),
-        stage.toString, Seq("event_type"))
-      s.read.parquet(stage.toString)
+        src, stage.toString, Seq("event_type"))
+      // schema-explicit read-back: inference dies on a zero-partition
+      // tree (empty source), and the reader of a partitioned dataset
+      // knows its schema anyway
+      graft.operators.Partitioning.readPartitioned(s, stage.toString, src.schema)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),

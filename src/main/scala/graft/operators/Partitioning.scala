@@ -56,6 +56,21 @@ object Partitioning {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Read a hive-layout tree written by [[writePartitioned]] with the
+    * writer's schema declared EXPLICITLY. Inference needs at least one
+    * partition directory + footer to exist; a tree whose source was
+    * empty (or whose partitions were all dropped by retention) has
+    * neither and fails `UNABLE_TO_INFER_SCHEMA` — a production reader of
+    * a partitioned dataset knows its schema and must not depend on data
+    * presence to learn it. Declared fields matching partition directory
+    * names are parsed from the path as the declared type, exactly as
+    * inference would; on a non-empty tree the result is identical.
+    */
+  def readPartitioned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
   /** Z-order (Morton) interleave of two pre-quantized codes: bit i of
     * `x` lands at output bit 2i, bit i of `y` at 2i+1. Locality-
     * preserving multi-dimensional clustering for data LAYOUT at scale —

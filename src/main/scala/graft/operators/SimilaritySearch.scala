@@ -167,7 +167,12 @@ object SimilaritySearch {
       val sample = fitSet.select(col("item_id").cast("long"), col("cv")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Double](1).toArray)
-      fitCentroids(sample, numCells, seed)
+      // an EMPTY corpus fits zero centroids rather than crashing the
+      // fit: downstream [[ivfTopKWithCentroids]] maps zero cells to the
+      // empty result, so "ANN over a corpus a filter emptied out" is a
+      // well-defined no-rows answer, same as the brute-force baseline
+      if (sample.isEmpty) Array.empty
+      else fitCentroids(sample, numCells, seed)
     }
     if (refit) { val f = fit(); centroidCache.put(key, f); f }
     else {
@@ -246,6 +251,17 @@ object SimilaritySearch {
       centers: Array[Array[Double]], probes: Int = 4): DataFrame = {
     val c = corpus.select(col("item_id"), col("item_vec").cast("array<double>").as("cv"))
     val q = queries.select(col("query_id"), col("query_vec").cast("array<double>").as("qv"))
+    // zero centroids (an empty-corpus fit): zero cells to probe, so the
+    // result is empty BY THE OPERATOR'S OWN SEMANTICS — build it through
+    // the same scoring+heap pipeline (false-condition join) so schema,
+    // id-type preservation, and nullability match the non-empty path
+    // exactly instead of hand-assembling an empty frame
+    if (centers.isEmpty)
+      return heapTopK(
+        q.join(c, lit(false))
+          .select(col("query_id"), col("item_id"),
+            SeriesFunctions.cosine(col("qv"), col("cv")).as("cos")),
+        k)
     def centerLit(ctr: Array[Double]) = array(ctr.map(lit).toIndexedSeq: _*)
     // corpus side: argmin cell (array_min over (dist, idx) structs)
     def cellOf(vec: org.apache.spark.sql.Column) =
