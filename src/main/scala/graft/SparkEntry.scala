@@ -528,6 +528,10 @@ object SparkEntry {
       val assembled = new VectorAssembler()
         .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .setOutputCol("features")
+        // a row missing a measure has no meaningful vector: skip it
+        // rather than crash the job (default "error") or NaN-poison
+        // downstream distances ("keep")
+        .setHandleInvalid("skip")
         .transform(li)
       // norm via the codegen dot kernel: `aggregate` (a higher-order
       // function) is interpreted per element, measurably slower at 600k

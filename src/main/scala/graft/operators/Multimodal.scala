@@ -380,7 +380,9 @@ object Multimodal {
       StructField("meta", mediaMetaType)))
     val enc = ExpressionEncoder(outSchema)
     val f = frames; val s = side
-    docs.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { rows =>
+    // null-id rows synthesize nothing (see syntheticPngTable)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .where(col("doc_id").isNotNull).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, aviFor(id, f, s, s), Row("video/avi", s, s, f * 100L))
@@ -542,7 +544,10 @@ object Multimodal {
       StructField("meta", mediaMetaType)))
     val enc = ExpressionEncoder(outSchema)
     val s = side; val b = blocks
-    docs.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { rows =>
+    // a null id carries no identity to derive pixels from, and the output
+    // schema declares doc_id non-nullable: such rows synthesize nothing
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .where(col("doc_id").isNotNull).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, pngFor(id, s, s, b), Row("image/png", s, s, null))
@@ -631,7 +636,9 @@ object Multimodal {
       StructField("meta", mediaMetaType)))
     val enc = ExpressionEncoder(outSchema)
     val n = samples; val b = blocks
-    docs.select(col(idCol).cast(LongType).as("doc_id")).mapPartitions { rows =>
+    // null-id rows synthesize nothing (see syntheticPngTable)
+    docs.select(col(idCol).cast(LongType).as("doc_id"))
+      .where(col("doc_id").isNotNull).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         // 8 kHz mono: duration_ms = samples / 8

@@ -40,8 +40,28 @@ class DegenerateCorpusSpec extends SparkTestBase with BeforeAndAfterAll {
     dir
   }
 
+  /** Rows present, every value null: two rows per table, each column a
+    * typed null. Distinct from the empty variant — operators that guard
+    * "no rows" can still assume "a row implies its fields"; this is the
+    * shape a permissive upstream schema (every column nullable, a feed
+    * that went dark mid-record) actually delivers at ingest scale.
+    */
+  private def allNullVariant(): String = {
+    import org.apache.spark.sql.functions.lit
+    val dir = graft.core.TempDirs.scratch("graft_degen_allnull").toString
+    for (t <- tables) {
+      val src = spark.read.parquet(s"$sf001/$t.parquet")
+      val nulls = src.schema.fields.toIndexedSeq
+        .map(f => lit(null).cast(f.dataType).as(f.name))
+      src.limit(2).select(nulls: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
   private lazy val emptyDir = variant("empty", 0)
   private lazy val oneDir = variant("onerow", 1)
+  private lazy val nullDir = allNullVariant()
 
   // reference column sets from the real corpus, computed lazily per
   // query the first time either variant test asks for it (schema-only:
@@ -67,6 +87,12 @@ class DegenerateCorpusSpec extends SparkTestBase with BeforeAndAfterAll {
     test(s"$name completes on a ONE-ROW corpus with the same schema") {
       val ref = columnsOn(name)
       val df = fn(spark, oneDir)
+      assert(df.columns.toSeq === ref)
+      df.collect()
+    }
+    test(s"$name completes on an ALL-NULL corpus with the same schema") {
+      val ref = columnsOn(name)
+      val df = fn(spark, nullDir)
       assert(df.columns.toSeq === ref)
       df.collect()
     }
