@@ -2180,11 +2180,20 @@ object SparkEntry {
       """SELECT COUNT(*) AS n FROM embeddings a JOIN embeddings b
          ON a.embedding::DOUBLE[] = b.embedding::DOUBLE[]""",
 
+    // The WHERE mirrors VectorAssembler's handleInvalid="skip": a row
+    // with ANY null measure is dropped by the Spark side, so the oracle
+    // must drop it too — without this predicate the two sides agree only
+    // on corpora that happen to carry no nulls in the four measures
+    // (TPC-H lineitem does not; a planted-null variant is hash-pinned in
+    // DegenerateCorpusSpec).
     "q37_vector_assembler" ->
       """SELECT l_orderkey, l_linenumber,
                 ROUND(SQRT(0.0 + l_quantity*l_quantity + l_extendedprice*l_extendedprice
                            + l_discount*l_discount + l_tax*l_tax), 6) AS norm
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q14_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

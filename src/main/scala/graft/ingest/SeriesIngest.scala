@@ -63,6 +63,38 @@ object SeriesIngest {
     * are not). Need stable ids after a shuffle? Sort on a key first.
     */
   def withRowId(df: DataFrame, out: String = "row_id"): DataFrame = {
+    // Misuse guard: downstream of an Exchange the within-partition row
+    // order follows reduce-side fetch ARRIVAL order on a multi-executor
+    // cluster (measured nondeterministic in the specfaults rehearsal),
+    // so the id-to-row assignment is not stable run to run. Warn once
+    // per JVM and point at the safe form; detection is plan-shape only
+    // (no extra execution — the plan is compiled here regardless).
+    val shuffled =
+      try {
+        // under AQE the executed plan is an AdaptiveSparkPlanExec LEAF;
+        // its pre-adaptive tree (exchanges included) is inputPlan
+        val phys = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case p => p
+        }
+        phys.find(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]).isDefined
+      } catch { case _: Throwable => false }
+    if (shuffled && exchangeWarned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "withRowId input plan contains an Exchange: id assignment follows " +
+          "shuffle fetch-arrival order and is NOT deterministic across " +
+          "multi-executor runs; use withRowIdSorted(df, uniqueKeyCols) " +
+          "for run-stable ids (warned once per JVM)")
+    withRowIdUnchecked(df, out)
+  }
+
+  /** [[withRowId]] minus the Exchange misuse warning — for callers that
+    * have already established an order ([[withRowIdSorted]]'s global
+    * sort IS an Exchange, but a deterministic one).
+    */
+  private def withRowIdUnchecked(df: DataFrame, out: String): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
     val rdd = df.rdd
@@ -78,6 +110,32 @@ object SeriesIngest {
     }
     spark.createDataFrame(withId,
       schema.add(out, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  // one warning per JVM: withRowId sits inside per-row pipelines and a
+  // per-call warning would flood executor-side driver logs
+  private val exchangeWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** test hook: lets the spec assert the warn-once actually fires */
+  private[graft] def resetExchangeWarning(): Boolean =
+    exchangeWarned.getAndSet(false)
+
+  /** [[withRowId]] with its determinism precondition made EXPLICIT: the
+    * input is globally sorted on `sortCols` first, so the 1..N ids are a
+    * pure function of the data rather than of within-partition arrival
+    * order — the safe form for inputs downstream of any shuffle (join,
+    * aggregate, repartition), where plain [[withRowId]]'s ids follow
+    * fetch-arrival order across executor JVMs.
+    *
+    * Determinism contract: ids are run-stable iff `sortCols` is a total
+    * order, i.e. a UNIQUE key — rows tying on every sort column still
+    * land in arrival order within the tie. The sort costs one range
+    * exchange; parallelism is preserved (no 1-partition window).
+    */
+  def withRowIdSorted(df: DataFrame, sortCols: Seq[String],
+      out: String = "row_id"): DataFrame = {
+    require(sortCols.nonEmpty, "withRowIdSorted needs at least one sort column")
+    withRowIdUnchecked(df.sort(sortCols.map(col): _*), out)
   }
 
   /** Positional zip of two equally-ordered frames (the reference's

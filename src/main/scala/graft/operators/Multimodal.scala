@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Multimodal column handling for training-data pipelines: image/audio/
   * video as opaque `binary` columns with typed metadata, decoded /
@@ -33,6 +33,34 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
+
+  /** The one id contract every Multimodal entry point shares: project
+    * `idCol` to a non-null BIGINT `as`, where a genuinely NULL id drops
+    * the row (no identity to decode or synthesize against — and the
+    * declared output schemas are non-nullable), while a non-null id the
+    * Long cast nulls out (non-numeric string, overflowing decimal)
+    * fails LOUDLY. The loud half matches the DuckDB oracles' ANSI
+    * `CAST(doc_id AS BIGINT)`, which throws on such values — silently
+    * dropping them here would diverge from the oracle corpus-by-corpus.
+    * Under Spark's default ANSI mode the cast itself already throws
+    * (CAST_INVALID_INPUT); the raise_error branch is the safety net for
+    * sessions running with spark.sql.ansi.enabled=false, where the cast
+    * nulls out instead. Callers apply [[idIsNotNull]] (the pre-cast
+    * filter) first so only cast FAILURES reach the error branch.
+    */
+  private def idAs(idCol: String, as: String): Column = {
+    val casted = col(idCol).cast(LongType)
+    when(casted.isNull && col(idCol).isNotNull,
+      raise_error(concat(
+        lit(s"Multimodal: id column '$idCol' value '"),
+        col(idCol).cast(StringType),
+        lit("' is not castable to BIGINT"))).cast(LongType))
+      .otherwise(casted).as(as)
+  }
+
+  /** Pre-cast null filter paired with [[idAs]]. */
+  private def idIsNotNull(df: DataFrame, idCol: String): DataFrame =
+    df.where(col(idCol).isNotNull)
 
   /** Decode a media payload into a fixed-length feature vector in
     * [0,1]^dim: real JDK codec when the payload is recognizable media
@@ -290,7 +318,10 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = ExpressionEncoder(outSchema)
     val n = everyN; val d = dim
-    df.select(col(idCol).cast(LongType).as("id"), col(binCol).as("content"))
+    // null ids drop, uncastable ids throw (idAs contract) — previously a
+    // null id here NPE'd at getLong despite the non-nullable out schema
+    idIsNotNull(df, idCol)
+      .select(idAs(idCol, "id"), col(binCol).as("content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
@@ -381,8 +412,8 @@ object Multimodal {
     val enc = ExpressionEncoder(outSchema)
     val f = frames; val s = side
     // null-id rows synthesize nothing (see syntheticPngTable)
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
-      .where(col("doc_id").isNotNull).mapPartitions { rows =>
+    idIsNotNull(docs, idCol).select(idAs(idCol, "doc_id"))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, aviFor(id, f, s, s), Row("video/avi", s, s, f * 100L))
@@ -421,7 +452,9 @@ object Multimodal {
       StructField("id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val enc = ExpressionEncoder(outSchema)
-    val src = df.select(col(idCol).cast(LongType).as("id"), col(binCol).as("content"))
+    // null ids drop, uncastable ids throw (idAs contract)
+    val src = idIsNotNull(df, idCol)
+      .select(idAs(idCol, "id"), col(binCol).as("content"))
     src.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
@@ -545,9 +578,10 @@ object Multimodal {
     val enc = ExpressionEncoder(outSchema)
     val s = side; val b = blocks
     // a null id carries no identity to derive pixels from, and the output
-    // schema declares doc_id non-nullable: such rows synthesize nothing
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
-      .where(col("doc_id").isNotNull).mapPartitions { rows =>
+    // schema declares doc_id non-nullable: such rows synthesize nothing;
+    // an uncastable id throws (idAs contract)
+    idIsNotNull(docs, idCol).select(idAs(idCol, "doc_id"))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, pngFor(id, s, s, b), Row("image/png", s, s, null))
@@ -637,8 +671,8 @@ object Multimodal {
     val enc = ExpressionEncoder(outSchema)
     val n = samples; val b = blocks
     // null-id rows synthesize nothing (see syntheticPngTable)
-    docs.select(col(idCol).cast(LongType).as("doc_id"))
-      .where(col("doc_id").isNotNull).mapPartitions { rows =>
+    idIsNotNull(docs, idCol).select(idAs(idCol, "doc_id"))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         // 8 kHz mono: duration_ms = samples / 8

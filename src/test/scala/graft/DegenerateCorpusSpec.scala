@@ -3,9 +3,12 @@ package graft
 import org.scalatest.BeforeAndAfterAll
 
 /** Degenerate-corpus gate: every declared query must COMPLETE (no crash)
-  * on an EMPTY corpus — all ten tables zero rows, schemas intact — and on
-  * a ONE-ROW corpus (each table truncated to its first row, so most
-  * derived splits/joins are empty on one side or both).
+  * on three first-class corpus shapes — an EMPTY corpus (all ten tables
+  * zero rows, schemas intact), a ONE-ROW corpus (each table truncated to
+  * its first row, so most derived splits/joins are empty on one side or
+  * both), and an ALL-NULL corpus (rows present, every column a typed
+  * null — "a row does not imply its fields"). A fourth, targeted shape
+  * pins q37's PLANTED-NULL measure semantics against its oracle SQL.
   *
   * Why this is a first-class scale contract and not an edge case: at
   * 100 TB the engine's operators routinely run against filter chains,
@@ -96,6 +99,46 @@ class DegenerateCorpusSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(df.columns.toSeq === ref)
       df.collect()
     }
+  }
+
+  // q37's handleInvalid="skip" drops any row with a null measure; its
+  // oracle SQL carries the matching four-way NOT NULL predicate. The sf
+  // corpora have no nulls in those columns, so the driver's hash gate
+  // alone can't tell "aligned semantics" from "corpus luck" — this test
+  // plants partial nulls (non-null keys, one null measure) and asserts
+  // the Spark result equals the oracle predicate's semantics exactly.
+  test("q37_vector_assembler: handleInvalid=skip matches the oracle's " +
+      "NOT-NULL predicate on a PLANTED-NULL corpus") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = graft.core.TempDirs.scratch("graft_degen_q37nulls").toString
+    val w = Window.orderBy("l_orderkey", "l_linenumber")
+    val planted = spark.read.parquet(s"$sf001/lineitem.parquet").limit(40)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("l_quantity",
+        when(col("rn") % 5 === 0, lit(null)).otherwise(col("l_quantity")))
+      .withColumn("l_extendedprice",
+        when(col("rn") % 5 === 1, lit(null)).otherwise(col("l_extendedprice")))
+      .withColumn("l_discount",
+        when(col("rn") % 5 === 2, lit(null)).otherwise(col("l_discount")))
+      .withColumn("l_tax",
+        when(col("rn") % 7 === 3, lit(null)).otherwise(col("l_tax")))
+      .drop("rn")
+    planted.coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q37_vector_assembler")(spark, dir).collect()
+    // independent expectation: the oracle SQL's semantics, computed
+    // WITHOUT VectorAssembler (same arithmetic as the DuckDB text)
+    val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => col(c).cast("double"))
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(m.map(_.isNotNull).reduce(_ && _))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(m.map(c => c * c).reduce(_ + _)), 6).as("norm"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect()
+    assert(want.length < 40, "the plant must actually drop rows")
+    assert(got.toSeq === want.toSeq,
+      "skip semantics must equal the oracle's NOT-NULL predicate")
   }
 
   override def afterAll(): Unit = {

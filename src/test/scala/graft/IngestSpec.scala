@@ -75,6 +75,47 @@ class IngestSpec extends SparkTestBase {
     assert(rows.sortBy(_._2).map(_._1).toSeq === (0L until 1000L))
   }
 
+  test("withRowIdSorted: ids are a pure function of the sort key, even " +
+      "downstream of a shuffle") {
+    // a groupBy puts an Exchange under the input, so plain withRowId's
+    // assignment would follow fetch-arrival order; the sorted form must
+    // assign 1..N strictly in key order regardless
+    val shuffled = spark.range(0, 500, 1, 8).toDF("v")
+      .groupBy($"v" % 97).agg(max($"v").as("key"))
+    val got = SeriesIngest.withRowIdSorted(shuffled, Seq("key"))
+      .select("row_id", "key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (1L to got.length))
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq,
+      "row_id order must equal sort-key order")
+    val rerun = SeriesIngest.withRowIdSorted(shuffled, Seq("key"))
+      .select("row_id", "key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rerun.toSeq === got.toSeq,
+      "re-running must reproduce the exact id assignment")
+    intercept[IllegalArgumentException] {
+      SeriesIngest.withRowIdSorted(shuffled, Seq.empty)
+    }
+  }
+
+  test("withRowId warns once (per JVM) when its input plan contains an " +
+      "Exchange, and not on scan-shaped inputs") {
+    SeriesIngest.resetExchangeWarning()
+    // scan-shaped input: no Exchange, flag must stay clear
+    SeriesIngest.withRowId(spark.range(0, 10, 1, 2).toDF("v")).collect()
+    assert(!SeriesIngest.resetExchangeWarning(),
+      "no warning expected for a non-shuffled input")
+    val shuffled = spark.range(0, 100, 1, 4).toDF("v").repartition(8)
+    SeriesIngest.withRowId(shuffled).collect()
+    assert(SeriesIngest.resetExchangeWarning(),
+      "an Exchange under withRowId must set the warn-once flag")
+    // the sorted form routes around the guard: its own range exchange is
+    // deterministic by construction and must NOT re-arm the warning
+    SeriesIngest.withRowIdSorted(shuffled, Seq("v")).collect()
+    assert(!SeriesIngest.resetExchangeWarning(),
+      "withRowIdSorted must not trip the misuse warning")
+  }
+
   test("zipByPosition joins two equally-ordered frames positionally (W1/J1)") {
     val feats = Seq("a", "b", "c").toDF("f")
     val labels = Seq(1.0, 2.0, 3.0).toDF("l")

@@ -97,6 +97,45 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("multimodal id contract: null ids DROP everywhere, uncastable ids " +
+      "throw loudly (ANSI-cast parity with the DuckDB oracles)") {
+    import spark.implicits._
+    // string-typed ids: "7"/"9" castable, null drops, no uncastable yet.
+    // AVI payload so the frame sampler emits rows too (the generators
+    // and extractFeatures accept any bytes).
+    val aviBytes = Multimodal.aviFor(7L, 2, 16, 16)
+    val withNull = Seq(("7", aviBytes), (null: String, aviBytes),
+      ("9", aviBytes)).toDF("doc_id", "content")
+    val gens = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => Multimodal.syntheticPngTable(d),
+      d => Multimodal.syntheticWavTable(d),
+      d => Multimodal.syntheticAviTable(d, frames = 2),
+      d => Multimodal.extractFeatures(d, "doc_id", "content", dim = 8),
+      d => Multimodal.sampleFrameFeatures(d, "doc_id", "content", everyN = 1, dim = 8))
+    for (g <- gens) {
+      val ids = g(withNull).select(col(g(withNull).columns.head))
+        .collect().map(_.getLong(0)).distinct.sorted
+      assert(ids.toSeq === Seq(7L, 9L),
+        "a genuinely-null id must drop the row, nothing else")
+    }
+    // an id the BIGINT cast nulls out must FAIL the job (DuckDB's
+    // CAST(doc_id AS BIGINT) throws on it; silent drop would diverge)
+    val uncastable = Seq(("7", aviBytes), ("not-a-number", aviBytes))
+      .toDF("doc_id", "content")
+    for (g <- gens) {
+      val e = intercept[Exception] { g(uncastable).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      // ANSI sessions (Spark 4 default): the cast itself throws
+      // CAST_INVALID_INPUT; non-ANSI sessions: idAs's raise_error branch
+      // fires. Either way the failure is LOUD, never a silent drop.
+      assert(msgs(e).exists(m => m.contains("not castable to BIGINT") ||
+          m.contains("CAST_INVALID_INPUT")),
+        s"expected a loud id-cast failure, got: ${e.getMessage}")
+    }
+  }
+
   test("stream-stream interval join: matches within bound, drops outside") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
