@@ -27,18 +27,83 @@ private[graft] final class BenchListener extends SparkListener {
   *
   * Tenancy self-defense (the measurement protocol, not the engine):
   * median-of-N per query, then a deferred re-measurement pass that gives
-  * extra isolated samples to any query whose run spread exceeds the
-  * cross-round comparison band (rel > 0.45 && abs > 0.15 s — the same
-  * rule tools/benchdiff.py flags moves with), with medians recomputed
-  * over all samples. The artifact carries per-query `min`/`spread`/`rm`
-  * in the exec map and suite-level `value_min`/`remeasured`/`noise` on
-  * the timings line, so a reader can separate neighbor load from engine
-  * movement without re-running anything. Knobs:
+  * extra isolated samples to any query that is SUSPECT on either of two
+  * triggers:
+  *   (1) intra-window spread wider than the comparison band (the rule
+  *       tools/benchdiff.py flags moves with), or
+  *   (2) cross-round movement: the first-pass median differs from the
+  *       PRIOR round's official artifact (auto-discovered as the
+  *       highest-numbered BENCH_r*.json in the cwd, or
+  *       SPARK_GRAFT_PRIOR_BENCH; empty value disables) by more than
+  *       that same band.
+  * Trigger 2 exists because trigger 1 alone published BENCH_r12's q37
+  * at 6.69 s (judge-isolated truth 2.04 s): a UNIFORMLY slow window has
+  * low spread, and nothing compared the median against r11's 1.83 s
+  * during the run. The band is benchdiff's: rel delta > max(prior
+  * noise, this window's first-pass noise; fallback 0.45 when neither
+  * exists) AND abs delta > 0.15 s.
+  *
+  * For a re-measured query the OFFICIAL median is the median of the
+  * isolated samples alone (a different tenancy window, measured one
+  * query at a time); the suite-window median stays in the exec map as
+  * `sm`, the prior-round comparison point as `prev`, so the artifact
+  * itself shows what was adjudicated and from what. `min` spans all
+  * samples. Knobs:
   * SPARK_GRAFT_RUNS (3), SPARK_GRAFT_REMEASURE_RUNS (4; 0 disables, and
   * SPARK_GRAFT_RUNS=1 disables implicitly), SPARK_GRAFT_REMEASURE_SPREAD
-  * (0.45), SPARK_GRAFT_REMEASURE_BUDGET (150 s of extra measured time).
+  * (0.45), SPARK_GRAFT_REMEASURE_BUDGET (150 s of extra measured time),
+  * SPARK_GRAFT_PRIOR_BENCH (path to the prior official artifact).
   */
 object Bench {
+
+  /** Extract (query -> median, noise) from a bench artifact: either the
+    * engine's own one-line JSON or the driver's {"tail":..., "parsed":
+    * {...}} wrapper. Deliberately not a JSON parser: both formats are
+    * producer-controlled here, the queries map is flat name->number, and
+    * the first LITERAL `"queries"` key in the file is the right one (the
+    * wrapper's stdout tail holds only \"-escaped copies, which never
+    * match the literal). Returns empty on any malformation — a prior
+    * artifact must never be able to take the current round's bench down.
+    */
+  private[graft] def loadPriorBench(path: String): (Map[String, Double], Double) = {
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val key = text.indexOf("\"queries\"")
+      if (key < 0) return (Map.empty, 0.0)
+      val open = text.indexOf('{', key)
+      if (open < 0) return (Map.empty, 0.0)
+      // flat map: values are numbers, so the first '}' closes it
+      val close = text.indexOf('}', open)
+      if (close < 0) return (Map.empty, 0.0)
+      val pair = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+      val qs = pair.findAllMatchIn(text.substring(open + 1, close))
+        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      val noise = """"noise"\s*:\s*([0-9][0-9.eE+-]*)""".r
+        .findFirstMatchIn(text).flatMap(_.group(1).toDoubleOption).getOrElse(0.0)
+      (qs, noise)
+    } catch { case _: Throwable => (Map.empty, 0.0) }
+  }
+
+  /** The prior round's official artifact: SPARK_GRAFT_PRIOR_BENCH if set
+    * (empty string disables), else the highest-numbered BENCH_r*.json in
+    * the cwd (the driver runs Bench from the repo root, where every
+    * round's artifact is committed).
+    */
+  private[graft] def priorBenchPath(): Option[String] =
+    sys.env.get("SPARK_GRAFT_PRIOR_BENCH") match {
+      case Some("") => None
+      case Some(p) => Some(p)
+      case None =>
+        val re = """BENCH_r(\d+)\.json""".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f.getPath))
+            case _ => None
+          }).sortBy(_._1).lastOption.map(_._2)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,19 +207,30 @@ object Bench {
         measuredSec += dt
         dt
       }
-    // mutable runs/remeasured: the tenancy pass below may append samples
+    // mutable iso/prior: the tenancy pass below may append samples
     final case class QResult(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        memoBase: Set[Any], var runs: Seq[Double],
-        jobs: Long, stages: Long, tasks: Long, var remeasured: Int = 0) {
+        memoBase: Set[Any], runs: Seq[Double],
+        jobs: Long, stages: Long, tasks: Long,
+        var iso: Seq[Double] = Seq.empty,
+        var prior: Option[Double] = None) {
       // median: middle element for odd N; UPPER median for even N — the
       // lower median at N=2 would be the minimum, i.e. a silently
       // optimistic best-of-2 headline
-      def median: Double = runs.sorted.apply(runs.size / 2)
-      def min: Double = runs.min
+      private def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      /** suite-window median (first measurement pass only) */
+      def suiteMedian: Double = med(runs)
+      /** the OFFICIAL number: the isolated re-measurement window's
+        * median when one ran (one query at a time, a different tenancy
+        * window — the protocol the judge's own adjudications use), else
+        * the suite-window median */
+      def median: Double = if (iso.nonEmpty) med(iso) else suiteMedian
+      def all: Seq[Double] = runs ++ iso
+      def min: Double = all.min
+      def remeasured: Int = iso.size
       def spread: Option[Double] =
-        if (runs.size < 2 || median <= 0) None
-        else Some((runs.max - runs.min) / median)
+        if (runs.size < 2 || suiteMedian <= 0) None
+        else Some((runs.max - runs.min) / suiteMedian)
     }
     val results = selected.map { case (name, fn) =>
       val memoBase = SparkEntry.derivedMemoKeys(spark)
@@ -198,21 +274,56 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(150.0)
     var rmSpent = 0.0
     if (rmRuns > 0) {
-      val suspects = results
+      // Trigger 2 inputs: the prior round's official medians, and the
+      // comparison band (benchdiff's rule — the wider of the two
+      // windows' measured noise, floored at the historical 0.45 only
+      // when neither window carries spread info).
+      val (priorQ, priorNoise) = priorBenchPath()
+        .map { p =>
+          val r = loadPriorBench(p)
+          System.err.println(s"[bench] prior artifact for cross-round " +
+            s"trigger: $p (${r._1.size} queries, noise ${r._2})")
+          r
+        }.getOrElse((Map.empty[String, Double], 0.0))
+      val firstSpreads = results.flatMap(_.spread).sorted
+      val noiseNow =
+        if (firstSpreads.isEmpty) 0.0 else firstSpreads(firstSpreads.size / 2)
+      val band = {
+        val measured = math.max(priorNoise, noiseNow)
+        if (measured > 0) measured else rmSpreadThresh
+      }
+      val bySpread = results
         .filter(q => q.spread.exists(_ > rmSpreadThresh) &&
           q.runs.max - q.runs.min > 0.15)
-        .sortBy(q => -q.spread.getOrElse(0.0)) // worst spread first
+      val byPrior = results.filter { q =>
+        priorQ.get(q.name).exists { prev =>
+          val delta = math.abs(q.suiteMedian - prev)
+          q.prior = Some(prev)
+          delta / math.max(prev, 1e-9) > band && delta > 0.15
+        }
+      }
+      // worst intra-window spread first (the least trustworthy medians),
+      // then cross-round movers not already queued, largest move first
+      val suspects = (bySpread.sortBy(q => -q.spread.getOrElse(0.0)) ++
+        byPrior.sortBy(q => -math.abs(q.suiteMedian - q.prior.getOrElse(0.0))))
+        .distinct
+      if (byPrior.nonEmpty)
+        System.err.println("[bench] cross-round movers vs prior (band " +
+          f"$band%.2f): " + byPrior.map(q =>
+            f"${q.name} ${q.prior.getOrElse(0.0)}%.2f->${q.suiteMedian}%.2f")
+          .mkString(", "))
       suspects.foreach { q =>
         if (rmSpent <= rmBudgetSec) {
           val firstPassSpread = q.spread.getOrElse(0.0)
           val extra = timedRuns(q.name, q.fn, rmRuns, q.memoBase,
             dropBeforeFirst = true)
           rmSpent += extra.sum
-          q.runs ++= extra
-          q.remeasured = extra.size
+          q.iso = extra
           System.err.println(f"[bench] remeasure ${q.name}: first-pass " +
-            f"spread $firstPassSpread%.2f, +${extra.size} runs -> " +
-            f"median=${q.median}%.2f extra=" + extra.map(t => f"$t%.2f").mkString(","))
+            f"spread $firstPassSpread%.2f suite-median ${q.suiteMedian}%.2f" +
+            q.prior.map(p => f" prior $p%.2f").getOrElse("") +
+            f" -> official=${q.median}%.2f iso=" +
+            extra.map(t => f"$t%.2f").mkString(","))
         } else
           System.err.println(f"[bench] remeasure ${q.name} skipped: budget " +
             f"exhausted ($rmSpent%.0f s > $rmBudgetSec%.0f s)")
@@ -242,13 +353,21 @@ object Bench {
     // "min" per query: the floor across ALL samples — the number least
     // contaminated by co-tenant load (an engine cannot run faster than
     // its plan; it can only be slowed). "rm" marks how many samples came
-    // from the deferred re-measurement window.
+    // from the deferred re-measurement window; for those queries the
+    // headline median IS the isolated window's, so "sm" keeps the
+    // suite-window median and "prev" the prior-round comparison point
+    // (when the cross-round trigger fired) — the full adjudication is
+    // readable from the artifact alone.
     val plan = results.map { q =>
       val spread = q.spread.map(s => ",\"spread\":" + num(s, 3)).getOrElse("")
-      val rm = if (q.remeasured > 0) ",\"rm\":" + q.remeasured else ""
+      val rm =
+        if (q.remeasured > 0)
+          ",\"rm\":" + q.remeasured + ",\"sm\":" + num(q.suiteMedian, 3) +
+            q.prior.map(p => ",\"prev\":" + num(p, 3)).getOrElse("")
+        else ""
       "\"" + q.name + "\":{\"jobs\":" + q.jobs + ",\"stages\":" + q.stages +
         ",\"tasks\":" + q.tasks + spread + ",\"min\":" + num(q.min, 3) + rm +
-        ",\"runs\":[" + q.runs.map(t => num(t, 3)).mkString(",") + "]}"
+        ",\"runs\":[" + q.all.map(t => num(t, 3)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val spreads = results.flatMap(_.spread).sorted
     // upper median, same rationale as the per-query timing median
