@@ -11,10 +11,22 @@ import org.apache.spark.sql.SparkSession
   * distance as args, a JSON result line per (distance, k).
   *
   * Usage: runMain graft.KSweep [sfDir] [distance[,distance...]] [k,k,...]
+  *
+  * `har:<sfDir>` runs the sweep on the published HAR-shaped workload
+  * instead of the embeddings table ([[SparkEntry.harWorkload]]; at
+  * sf0.1 that is the reference's full 7352 train x 2947 test x 561,
+  * with the q25/q26 cascade parameters — exact banded DTW, Sakoe-Chiba
+  * 10%, PAA candidate ranking), so
+  *   runMain graft.KSweep har:/root/testdata/sf0.1 dtw 5,10,20,50,70
+  * reproduces the reference's Tables I/II sweep row-for-row: one pair
+  * pass for all five k (Knn.sweepClassify ranks once at k=max), one
+  * saveAsTable + re-read evaluation per k (the reference's lifecycle).
   */
 object KSweep {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val rawDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val harMode = rawDir.startsWith("har:")
+    val sfDir = if (harMode) rawDir.stripPrefix("har:") else rawDir
     val distances = args.lift(1).getOrElse("euclidean,dtw").split(",").toSeq
     val ks = args.lift(2).getOrElse("1,5,10,20").split(",").map(_.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -28,16 +40,24 @@ object KSweep {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val train = e.filter(col("vec_id") % 2 === 0).select(
-      col("vec_id").as("train_id"),
-      col("embedding").cast("array<double>").as("train_series"), col("label"))
-    val test = e.filter(col("vec_id") % 2 === 1).select(
-      col("vec_id").as("test_id"),
-      col("embedding").cast("array<double>").as("test_series"))
-    val truth = e.filter(col("vec_id") % 2 === 1).select(
-      col("vec_id").as("test_id"), col("label"))
-    train.cache().count(); test.cache().count()
+    val (train, test, truth) =
+      if (harMode) {
+        // localCheckpoint-backed frames; re-caching would double the
+        // block footprint for no reuse win
+        SparkEntry.harWorkload(spark, sfDir)
+      } else {
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val tr = e.filter(col("vec_id") % 2 === 0).select(
+          col("vec_id").as("train_id"),
+          col("embedding").cast("array<double>").as("train_series"), col("label"))
+        val te = e.filter(col("vec_id") % 2 === 1).select(
+          col("vec_id").as("test_id"),
+          col("embedding").cast("array<double>").as("test_series"))
+        val th = e.filter(col("vec_id") % 2 === 1).select(
+          col("vec_id").as("test_id"), col("label"))
+        tr.cache().count(); te.cache().count()
+        (tr, te, th)
+      }
 
     for (d <- distances) {
       // one-pass sweep: the pair matrix is scored once per distance, every
@@ -46,7 +66,14 @@ object KSweep {
       // saveAsTable then re-read for evaluation) — are sliced from one
       // materialized sweep frame (tiny: |test| x |ks| rows)
       val t0 = System.nanoTime()
-      val sweep = Knn.sweepClassify(train, test, KnnParams(distance = d), ks)
+      // har mode: the q25/q26 cascade parameters (exact banded DTW,
+      // Sakoe-Chiba 10% = band 56 at L=561, PAA-Manhattan candidate
+      // ranking, 16x margin) — the published workload's scale path
+      val params =
+        if (harMode) KnnParams(distance = d, band = 56, lbPruning = true,
+          candidateFactor = 16, coarsenFactor = 8)
+        else KnnParams(distance = d)
+      val sweep = Knn.sweepClassify(train, test, params, ks)
         .localCheckpoint()
       val sweepSec = (System.nanoTime() - t0) / 1e9
       for (k <- ks) {

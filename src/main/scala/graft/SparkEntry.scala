@@ -105,6 +105,17 @@ object SparkEntry {
     harSynth(s, sfDir)
   }
 
+  /** The HAR-shaped published workload (q25/q26/q31's inputs: train,
+    * test, truth — sf0.1 = the reference's full 7352x2947x561) for
+    * external drivers; [[KSweep]] uses it to run the reference's
+    * published five-k sweep (`Team11-Project.py:237-322`) on the exact
+    * Model-2 corpus rather than the embeddings table.
+    */
+  def harWorkload(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    GraftFunctions.register(s)
+    harSynth(s, dir)
+  }
+
   /** Release every frame this object has materialized for `s` (the HAR
     * workload inputs). Used by Bench's isolated mode; a long-lived
     * production session can call it when the series workloads are done.
