@@ -49,7 +49,10 @@ private[graft] final class BenchListener extends SparkListener {
   * `sm`, the prior-round comparison point as `prev`, so the artifact
   * itself shows what was adjudicated and from what. `min` spans all
   * samples. Knobs:
-  * SPARK_GRAFT_RUNS (3), SPARK_GRAFT_REMEASURE_RUNS (4; 0 disables, and
+  * Cross-round movers are re-measured FIRST (largest move first) —
+  * they are the regression signal; spread-only suspects follow and may
+  * be dropped by the budget in a loud window. Knobs:
+  * SPARK_GRAFT_RUNS (3), SPARK_GRAFT_REMEASURE_RUNS (5; 0 disables, and
   * SPARK_GRAFT_RUNS=1 disables implicitly), SPARK_GRAFT_REMEASURE_SPREAD
   * (0.45), SPARK_GRAFT_REMEASURE_BUDGET (150 s of extra measured time),
   * SPARK_GRAFT_PRIOR_BENCH (path to the prior official artifact).
@@ -266,8 +269,13 @@ object Bench {
     // median, if the re-measure window is noisy too the median says so.
     // The thresholds mirror tools/benchdiff.py's move rule (rel > 0.45
     // historical band, abs > 0.15 s scheduler-quantization floor).
+    // 5 isolated samples (odd): the official number is now the isolated
+    // MEDIAN, and an even count's upper-median bias let one loud sample
+    // in 4 misstate a query by 40% in the round-13 rehearsal (q53 iso
+    // [0.21,0.27,0.49,1.13] -> 0.49); an odd count's middle element
+    // needs a majority-loud window to move
     val rmRuns = sys.env.get("SPARK_GRAFT_REMEASURE_RUNS")
-      .flatMap(_.toIntOption).getOrElse(if (runsPerQuery >= 2) 4 else 0)
+      .flatMap(_.toIntOption).getOrElse(if (runsPerQuery >= 2) 5 else 0)
     val rmSpreadThresh = sys.env.get("SPARK_GRAFT_REMEASURE_SPREAD")
       .flatMap(_.toDoubleOption).getOrElse(0.45)
     val rmBudgetSec = sys.env.get("SPARK_GRAFT_REMEASURE_BUDGET")
@@ -302,10 +310,15 @@ object Bench {
           delta / math.max(prev, 1e-9) > band && delta > 0.15
         }
       }
-      // worst intra-window spread first (the least trustworthy medians),
-      // then cross-round movers not already queued, largest move first
-      val suspects = (bySpread.sortBy(q => -q.spread.getOrElse(0.0)) ++
-        byPrior.sortBy(q => -math.abs(q.suiteMedian - q.prior.getOrElse(0.0))))
+      // CROSS-ROUND MOVERS FIRST, largest move first: they are the
+      // regression signal the whole pass exists for, and a loud window
+      // can put half the suite in the spread queue (44 of 82 in the
+      // round-13 rehearsal) — appending movers after spread suspects
+      // starved the budget before q37, re-opening the r12 hole in a new
+      // form. Spread-only suspects follow, worst first.
+      val suspects = (byPrior.sortBy(q =>
+        -math.abs(q.suiteMedian - q.prior.getOrElse(0.0))) ++
+        bySpread.sortBy(q => -q.spread.getOrElse(0.0)))
         .distinct
       if (byPrior.nonEmpty)
         System.err.println("[bench] cross-round movers vs prior (band " +
