@@ -107,6 +107,53 @@ object Bench {
           }).sortBy(_._1).lastOption.map(_._2)
     }
 
+  /** One query's first-pass measurement summary, as the suspect
+    * selector sees it: suite-window median, intra-window spread
+    * ((max-min)/median, None for single runs), absolute run range, and
+    * the prior round's official median when one exists.
+    */
+  private[graft] final case class QuerySummary(name: String,
+      suiteMedian: Double, spread: Option[Double], runRange: Double,
+      prior: Option[Double])
+
+  /** The comparison band for cross-round movement: benchdiff's rule —
+    * the wider of the two windows' measured noise, floored at the
+    * historical default only when NEITHER window carries spread info.
+    */
+  private[graft] def comparisonBand(priorNoise: Double, noiseNow: Double,
+      floor: Double): Double = {
+    val measured = math.max(priorNoise, noiseNow)
+    if (measured > 0) measured else floor
+  }
+
+  /** Pure suspect selection for the deferred re-measurement pass.
+    * Returns (suspects in measurement order, cross-round mover names).
+    *
+    * Two triggers: intra-window spread > `spreadThresh` with run range
+    * > 0.15 s, and cross-round movement beyond `band` (rel) AND 0.15 s
+    * (abs) vs the prior median. CROSS-ROUND MOVERS ORDER FIRST, largest
+    * absolute move first — they are the regression signal the pass
+    * exists for, and a loud window can put half the suite in the spread
+    * queue (44 of 82 in the round-13 rehearsal), which starved the
+    * budget before q37 when movers were appended last. Spread-only
+    * suspects follow, worst spread first. Pure and spec-pinned
+    * (BenchProtocolSpec) because this is exactly the logic that has now
+    * produced two protocol defects in two rounds.
+    */
+  private[graft] def selectSuspects(qs: Seq[QuerySummary], band: Double,
+      spreadThresh: Double): (Seq[String], Seq[String]) = {
+    val bySpread = qs.filter(q =>
+      q.spread.exists(_ > spreadThresh) && q.runRange > 0.15)
+    val byPrior = qs.filter(q => q.prior.exists { prev =>
+      val delta = math.abs(q.suiteMedian - prev)
+      delta / math.max(prev, 1e-9) > band && delta > 0.15
+    })
+    val movers = byPrior
+      .sortBy(q => -math.abs(q.suiteMedian - q.prior.getOrElse(0.0)))
+    ((movers ++ bySpread.sortBy(q => -q.spread.getOrElse(0.0)))
+      .map(_.name).distinct, movers.map(_.name))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -263,12 +310,11 @@ object Bench {
     // re-measured here, one at a time AFTER the suite (a different
     // tenancy window, no interleaved suite churn; a fresh JVM per
     // suspect would add ~40 s spin-up each and measure cold parquet
-    // footers — a different quantity). Extra samples APPEND to the
-    // query's runs and the headline median recomputes over all of them:
-    // if the first window was the noisy one the quiet samples carry the
-    // median, if the re-measure window is noisy too the median says so.
-    // The thresholds mirror tools/benchdiff.py's move rule (rel > 0.45
-    // historical band, abs > 0.15 s scheduler-quantization floor).
+    // footers — a different quantity). The isolated window's median
+    // becomes the OFFICIAL number (see the object doc); the suite
+    // median and all samples stay in the exec map. The thresholds
+    // mirror tools/benchdiff.py's move rule (rel > 0.45 historical
+    // band, abs > 0.15 s scheduler-quantization floor).
     // 5 isolated samples (odd): the official number is now the isolated
     // MEDIAN, and an even count's upper-median bias let one loud sample
     // in 4 misstate a query by 40% in the round-13 rehearsal (q53 iso
@@ -293,38 +339,23 @@ object Bench {
             s"trigger: $p (${r._1.size} queries, noise ${r._2})")
           r
         }.getOrElse((Map.empty[String, Double], 0.0))
+      results.foreach(q => q.prior = priorQ.get(q.name))
       val firstSpreads = results.flatMap(_.spread).sorted
       val noiseNow =
         if (firstSpreads.isEmpty) 0.0 else firstSpreads(firstSpreads.size / 2)
-      val band = {
-        val measured = math.max(priorNoise, noiseNow)
-        if (measured > 0) measured else rmSpreadThresh
-      }
-      val bySpread = results
-        .filter(q => q.spread.exists(_ > rmSpreadThresh) &&
-          q.runs.max - q.runs.min > 0.15)
-      val byPrior = results.filter { q =>
-        priorQ.get(q.name).exists { prev =>
-          val delta = math.abs(q.suiteMedian - prev)
-          q.prior = Some(prev)
-          delta / math.max(prev, 1e-9) > band && delta > 0.15
-        }
-      }
-      // CROSS-ROUND MOVERS FIRST, largest move first: they are the
-      // regression signal the whole pass exists for, and a loud window
-      // can put half the suite in the spread queue (44 of 82 in the
-      // round-13 rehearsal) — appending movers after spread suspects
-      // starved the budget before q37, re-opening the r12 hole in a new
-      // form. Spread-only suspects follow, worst first.
-      val suspects = (byPrior.sortBy(q =>
-        -math.abs(q.suiteMedian - q.prior.getOrElse(0.0))) ++
-        bySpread.sortBy(q => -q.spread.getOrElse(0.0)))
-        .distinct
-      if (byPrior.nonEmpty)
+      val band = comparisonBand(priorNoise, noiseNow, rmSpreadThresh)
+      val (suspectNames, moverNames) = selectSuspects(
+        results.map(q => QuerySummary(q.name, q.suiteMedian, q.spread,
+          q.runs.max - q.runs.min, q.prior)),
+        band, rmSpreadThresh)
+      val byName = results.map(q => q.name -> q).toMap
+      val suspects = suspectNames.map(byName)
+      if (moverNames.nonEmpty)
         System.err.println("[bench] cross-round movers vs prior (band " +
-          f"$band%.2f): " + byPrior.map(q =>
-            f"${q.name} ${q.prior.getOrElse(0.0)}%.2f->${q.suiteMedian}%.2f")
-          .mkString(", "))
+          f"$band%.2f): " + moverNames.map { n =>
+            val q = byName(n)
+            f"$n ${q.prior.getOrElse(0.0)}%.2f->${q.suiteMedian}%.2f"
+          }.mkString(", "))
       suspects.foreach { q =>
         if (rmSpent <= rmBudgetSec) {
           val firstPassSpread = q.spread.getOrElse(0.0)

@@ -60,6 +60,73 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.loadPriorBench(tmp("{\"value\":1.0}")) === ((Map.empty, 0.0)))
   }
 
+  private def qs(name: String, median: Double, spread: Option[Double],
+      range: Double, prior: Option[Double]) =
+    Bench.QuerySummary(name, median, spread, range, prior)
+
+  test("selectSuspects: cross-round movers queue FIRST, largest move " +
+      "first, before any spread-only suspect") {
+    // the round-13 rehearsal starvation shape: many loud-spread queries
+    // plus two movers; the movers must head the queue so a finite
+    // budget always adjudicates them
+    val summaries = Seq(
+      qs("spread_worst", 1.0, Some(2.0), 1.5, None),
+      qs("spread_mid", 1.0, Some(1.0), 0.9, None),
+      qs("mover_small", 1.0, Some(0.1), 0.05, Some(2.5)), // |d|=1.5, rel 0.6
+      qs("mover_big", 2.0, Some(0.1), 0.05, Some(8.4)))   // |d|=6.4, rel 0.76
+    val (suspects, movers) =
+      Bench.selectSuspects(summaries, band = 0.5, spreadThresh = 0.45)
+    assert(movers === Seq("mover_big", "mover_small"))
+    assert(suspects === Seq("mover_big", "mover_small",
+      "spread_worst", "spread_mid"))
+  }
+
+  test("selectSuspects: a query that is both a mover and loud-spread " +
+      "appears once, in mover position") {
+    val summaries = Seq(
+      qs("both", 3.0, Some(1.0), 2.0, Some(9.0)),
+      qs("spread_only", 1.0, Some(2.0), 1.5, None))
+    val (suspects, movers) =
+      Bench.selectSuspects(summaries, band = 0.5, spreadThresh = 0.45)
+    assert(movers === Seq("both"))
+    assert(suspects === Seq("both", "spread_only"))
+  }
+
+  test("selectSuspects: the 0.15s absolute floor and the relative band " +
+      "both gate the cross-round trigger") {
+    val summaries = Seq(
+      // huge relative move, 0.10s absolute: scheduler quantization, not
+      // a regression signal
+      qs("tiny_abs", 0.20, Some(0.1), 0.01, Some(0.10)),
+      // 0.5s absolute but only 10% relative under a 0.5 band
+      qs("small_rel", 5.5, Some(0.1), 0.01, Some(5.0)),
+      // both thresholds cleared
+      qs("real_move", 4.0, Some(0.1), 0.01, Some(2.0)))
+    val (suspects, movers) =
+      Bench.selectSuspects(summaries, band = 0.5, spreadThresh = 0.45)
+    assert(movers === Seq("real_move") && suspects === Seq("real_move"))
+  }
+
+  test("selectSuspects: spread trigger needs BOTH spread above threshold " +
+      "and a 0.15s run range; single-run queries never spread-trigger") {
+    val summaries = Seq(
+      qs("loud_but_tiny", 0.10, Some(3.0), 0.12, None), // range under floor
+      qs("single_run", 9.0, None, 0.0, None),           // no spread info
+      qs("real_spread", 1.0, Some(0.8), 0.5, None))
+    val (suspects, movers) =
+      Bench.selectSuspects(summaries, band = 0.5, spreadThresh = 0.45)
+    assert(movers.isEmpty && suspects === Seq("real_spread"))
+  }
+
+  test("comparisonBand: wider of the two measured noises; the floor " +
+      "applies only when NEITHER window carries spread info") {
+    assert(Bench.comparisonBand(0.516, 0.3, 0.45) === 0.516)
+    assert(Bench.comparisonBand(0.2, 0.3, 0.45) === 0.3)
+    assert(Bench.comparisonBand(0.0, 0.0, 0.45) === 0.45)
+    assert(Bench.comparisonBand(0.2, 0.0, 0.45) === 0.2,
+      "one measured window beats the historical fallback")
+  }
+
   test("priorBenchPath picks the highest-numbered BENCH_r*.json in cwd") {
     // env-independent expectation computed from the same directory
     val re = """BENCH_r(\d+)\.json""".r
