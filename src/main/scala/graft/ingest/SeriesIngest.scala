@@ -69,17 +69,27 @@ object SeriesIngest {
     // so the id-to-row assignment is not stable run to run. Warn once
     // per JVM and point at the safe form; detection is plan-shape only
     // (no extra execution — the plan is compiled here regardless).
+    // Only SHUFFLE exchanges break order determinism (a broadcast
+    // exchange leaves the streamed side's row order intact), and under
+    // AQE the top node is an AdaptiveSparkPlanExec LEAF whose
+    // `executedPlan` is the current physical plan WITH
+    // EnsureRequirements-inserted exchanges (its `inputPlan` is the
+    // pre-preparation tree, which holds only user-explicit repartitions
+    // and would miss every aggregate/join/sort-induced shuffle —
+    // measured in IngestSpec). Already-materialized stages appear as
+    // ShuffleQueryStageExec leaves.
     val shuffled =
       try {
-        // under AQE the executed plan is an AdaptiveSparkPlanExec LEAF;
-        // its pre-adaptive tree (exchanges included) is inputPlan
         val phys = df.queryExecution.executedPlan match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.inputPlan
+            a.executedPlan
           case p => p
         }
-        phys.find(
-          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]).isDefined
+        phys.find {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+          case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
+          case _ => false
+        }.isDefined
       } catch { case _: Throwable => false }
     if (shuffled && exchangeWarned.compareAndSet(false, true))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

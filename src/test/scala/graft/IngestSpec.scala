@@ -93,6 +93,19 @@ class IngestSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(rerun.toSeq === got.toSeq,
       "re-running must reproduce the exact id assignment")
+    // scale contract: the global sort plans a RANGE exchange (data-
+    // proportional parallelism), never the reference's 1-partition
+    // window. Plan-shape, not runtime partition count: AQE rightly
+    // coalesces this toy input to one partition.
+    val sortedPlan = (shuffled.sort("key").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString.toLowerCase
+    assert(sortedPlan.contains("rangepartitioning"),
+      "the sorted form must plan a range exchange")
+    assert(!sortedPlan.contains("window"),
+      "no single-partition window in the sorted form")
     intercept[IllegalArgumentException] {
       SeriesIngest.withRowIdSorted(shuffled, Seq.empty)
     }
@@ -109,6 +122,14 @@ class IngestSpec extends SparkTestBase {
     SeriesIngest.withRowId(shuffled).collect()
     assert(SeriesIngest.resetExchangeWarning(),
       "an Exchange under withRowId must set the warn-once flag")
+    // the detection gap this pin exists for: an EnsureRequirements-
+    // inserted shuffle (groupBy) is absent from AQE's inputPlan and is
+    // only visible in the adaptive executedPlan
+    val aggShuffled = spark.range(0, 100, 1, 4).toDF("v")
+      .groupBy($"v" % 7).count()
+    SeriesIngest.withRowId(aggShuffled).collect()
+    assert(SeriesIngest.resetExchangeWarning(),
+      "an aggregate-induced shuffle must also be detected")
     // the sorted form routes around the guard: its own range exchange is
     // deterministic by construction and must NOT re-arm the warning
     SeriesIngest.withRowIdSorted(shuffled, Seq("v")).collect()
