@@ -134,6 +134,22 @@ class StreamingMultimodalSpec extends SparkTestBase {
           m.contains("CAST_INVALID_INPUT")),
         s"expected a loud id-cast failure, got: ${e.getMessage}")
     }
+    // non-ANSI session: the cast NULLS OUT instead of throwing, which is
+    // exactly the silent-drop hazard — the raise_error branch must fire.
+    // Without this sub-case that branch is dead code under the ANSI test
+    // default and a mutation deleting it would survive the suite.
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      for (g <- gens) {
+        val e = intercept[Exception] { g(uncastable).collect() }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("not castable to BIGINT")),
+          s"non-ANSI: expected the raise_error branch, got: ${e.getMessage}")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
 
   test("stream-stream interval join: matches within bound, drops outside") {
