@@ -78,6 +78,19 @@ object SeriesIngest {
     // and would miss every aggregate/join/sort-induced shuffle —
     // measured in IngestSpec). Already-materialized stages appear as
     // ShuffleQueryStageExec leaves.
+    // Query stages (ShuffleQueryStageExec, and Spark 4's
+    // ResultQueryStageExec wrapping a finished plan) are LEAF nodes —
+    // a plain find() never descends into their wrapped plan, so an
+    // already-executed frame would go undetected without the recursion.
+    def containsShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.find {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+        case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
+        case _ => false
+      }.isDefined ||
+        p.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        }.exists(containsShuffle)
     val shuffled =
       try {
         val phys = df.queryExecution.executedPlan match {
@@ -85,11 +98,7 @@ object SeriesIngest {
             a.executedPlan
           case p => p
         }
-        phys.find {
-          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
-          case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
-          case _ => false
-        }.isDefined
+        containsShuffle(phys)
       } catch { case _: Throwable => false }
     if (shuffled && exchangeWarned.compareAndSet(false, true))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

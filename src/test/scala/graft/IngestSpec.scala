@@ -130,6 +130,14 @@ class IngestSpec extends SparkTestBase {
     SeriesIngest.withRowId(aggShuffled).collect()
     assert(SeriesIngest.resetExchangeWarning(),
       "an aggregate-induced shuffle must also be detected")
+    // an ALREADY-EXECUTED frame's adaptive plan holds its shuffles as
+    // materialized ShuffleQueryStageExec leaves, not ShuffleExchangeLike
+    // nodes — the guard must recognize that form too
+    val executed = spark.range(0, 100, 1, 4).toDF("v").repartition(8)
+    executed.collect()
+    SeriesIngest.withRowId(executed).collect()
+    assert(SeriesIngest.resetExchangeWarning(),
+      "a materialized shuffle stage must also be detected")
     // the sorted form routes around the guard: its own range exchange is
     // deterministic by construction and must NOT re-arm the warning
     SeriesIngest.withRowIdSorted(shuffled, Seq("v")).collect()
