@@ -48,10 +48,9 @@ private[graft] final class BenchListener extends SparkListener {
   * query at a time); the suite-window median stays in the exec map as
   * `sm`, the prior-round comparison point as `prev`, so the artifact
   * itself shows what was adjudicated and from what. `min` spans all
-  * samples. Knobs:
-  * Cross-round movers are re-measured FIRST (largest move first) —
-  * they are the regression signal; spread-only suspects follow and may
-  * be dropped by the budget in a loud window. Knobs:
+  * samples. Cross-round movers are re-measured FIRST (largest move
+  * first) — they are the regression signal; spread-only suspects
+  * follow and may be dropped by the budget in a loud window. Knobs:
   * SPARK_GRAFT_RUNS (3), SPARK_GRAFT_REMEASURE_RUNS (5; 0 disables, and
   * SPARK_GRAFT_RUNS=1 disables implicitly), SPARK_GRAFT_REMEASURE_SPREAD
   * (0.45), SPARK_GRAFT_REMEASURE_BUDGET (150 s of extra measured time),
