@@ -142,6 +142,14 @@ object ScaleRehearsal {
       "rowid_scan" -> (w => SeriesIngest.withRowId(w(docs))),
       // ids AFTER a round-robin shuffle (the sortBeforeRepartition path)
       "rowid_roundrobin" -> (w => SeriesIngest.withRowId(w(docs).repartition(7))),
+      // the r13 safe form: ids after the SAME shuffle but through
+      // withRowIdSorted(uniqueKey). Deliberately NOT named rowid_* so it
+      // gets the EXACT canon (ids included): the sorted form's whole
+      // contract is that the id-to-row pairing is a pure function of
+      // the data — bit-identical between control and injected runs,
+      // where plain withRowId above can only promise the permutation
+      "sorted_rowid_shuffle" -> (w => SeriesIngest.withRowIdSorted(
+        w(docs).repartition(7), Seq("doc_id"))),
       // keep-first exact dedup (min_by aggregate)
       "dedup_keepfirst" -> (w => graft.operators.Dedup
         .dropExactDuplicates(w(docs), "doc_id", "text")),
