@@ -1,0 +1,242 @@
+package graft.ml
+
+import graft.core.KnnParams
+import graft.operators.Knn
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.graft.MlReadWriteBridge
+import org.apache.spark.ml.linalg.SQLDataTypes
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+
+/** Shared Params for [[KnnClassifier]] and [[KnnClassifierModel]] — the
+  * `org.apache.spark.ml` veneer over [[graft.core.KnnParams]]
+  * (SURVEY §7.1's "KnnClassifier (Estimator-ish)"; the reference
+  * declares its approach as "MLlib + custom transformers", so the
+  * engine's KNN should be usable INSIDE an MLlib `Pipeline` next to
+  * `VectorAssembler`, not only through [[graft.operators.Knn]]).
+  *
+  * Every knob mirrors a [[KnnParams]] field (same names, same
+  * defaults); `featuresCol` accepts BOTH an MLlib `Vector` (the
+  * `VectorAssembler` output — the q37 surface) and an `array` of any
+  * numeric type (the engine's native series form — the q10 surface).
+  */
+private[ml] trait KnnClassifierParams extends Params {
+
+  final val k = new IntParam(this, "k", "neighbor count (>= 1)",
+    ParamValidators.gtEq(1))
+  final val distance = new Param[String](this, "distance",
+    "euclidean | sqdist | manhattan | dtw | fastdtw | cosine",
+    ParamValidators.inArray(Array(
+      "euclidean", "sqdist", "manhattan", "dtw", "fastdtw", "cosine")))
+  final val strategy = new Param[String](this, "strategy",
+    "auto | broadcast | cartesian (pair-join strategy)",
+    ParamValidators.inArray(Array("auto", "broadcast", "cartesian")))
+  final val band = new IntParam(this, "band",
+    "Sakoe-Chiba band for exact DTW; -1 = unconstrained",
+    (v: Int) => v >= -1)
+  final val radius = new IntParam(this, "radius", "FastDTW radius (>= 0)",
+    ParamValidators.gtEq(0))
+  final val excludeZeroDistance = new BooleanParam(this, "excludeZeroDistance",
+    "drop zero-distance (self-match) neighbors")
+  final val lbPruning = new BooleanParam(this, "lbPruning",
+    "candidate pruning for dtw/fastdtw (the scale path)")
+  final val candidateFactor = new IntParam(this, "candidateFactor",
+    "pruned candidates kept per test point = factor * k",
+    ParamValidators.gtEq(1))
+  final val featuresCol = new Param[String](this, "featuresCol",
+    "features column: MLlib Vector or array of numerics")
+  final val labelCol = new Param[String](this, "labelCol",
+    "label column (cast to double)")
+  final val predictionCol = new Param[String](this, "predictionCol",
+    "output prediction column (double)")
+
+  setDefault(k -> 1, distance -> "euclidean", strategy -> "auto",
+    band -> -1, radius -> 1, excludeZeroDistance -> true,
+    lbPruning -> false, candidateFactor -> 4,
+    featuresCol -> "features", labelCol -> "label",
+    predictionCol -> "prediction")
+
+  private[ml] def knnParams: KnnParams = KnnParams(
+    k = $(k), distance = $(distance), strategy = $(strategy),
+    excludeZeroDistance = $(excludeZeroDistance), radius = $(radius),
+    band = $(band), lbPruning = $(lbPruning),
+    candidateFactor = $(candidateFactor))
+
+  /** `featuresCol` as `array<double>` — `vector_to_array` for the
+    * MLlib `Vector` form, a cast for the native array form.
+    */
+  private[ml] def seriesColumn(schema: StructType): Column = {
+    val dt = schema($(featuresCol)).dataType
+    dt match {
+      case v if v == SQLDataTypes.VectorType =>
+        vector_to_array(col($(featuresCol)))
+      case ArrayType(_: NumericType, _) =>
+        col($(featuresCol)).cast(ArrayType(DoubleType))
+      case other => throw new IllegalArgumentException(
+        s"featuresCol '${$(featuresCol)}' must be an MLlib Vector or an " +
+          s"array of numerics, got ${other.catalogString}")
+    }
+  }
+
+  private[ml] def validateAndTransformSchema(schema: StructType,
+      fitting: Boolean): StructType = {
+    seriesColumn(schema) // validates featuresCol presence + type
+    if (fitting) {
+      val lt = schema($(labelCol)).dataType
+      require(lt.isInstanceOf[NumericType],
+        s"labelCol '${$(labelCol)}' must be numeric, got ${lt.catalogString}")
+    }
+    require(!schema.fieldNames.contains($(predictionCol)),
+      s"output column ${$(predictionCol)} already exists")
+    StructType(schema.fields :+
+      StructField($(predictionCol), DoubleType, nullable = true))
+  }
+}
+
+/** KNN classification as an `org.apache.spark.ml.Estimator`, usable
+  * inside a `Pipeline` (e.g. downstream of `VectorAssembler`). A lazy
+  * learner: `fit` canonicalizes and MATERIALIZES the training set
+  * (`localCheckpoint`) — there is no other training step — and
+  * `transform` runs [[Knn.classify]] against it, so every scale
+  * property of the underlying operator (measured-size broadcast
+  * decision, prune cascade, partitioned-cartesian degrade) carries
+  * over unchanged.
+  *
+  * Why fit materializes: train rows need a unique id for the
+  * deterministic vote tie-break, assigned via
+  * `monotonically_increasing_id` and FROZEN by the eager checkpoint —
+  * a pure function of nothing but the fitted model from then on
+  * (re-evaluating a nondeterministic id against live lineage on every
+  * transform is the withRowId double-evaluation hazard class). The
+  * checkpoint also gives the broadcast planner a MEASURED size
+  * ([[graft.core.Materialize.storageBytes]]) instead of a lying
+  * LogicalRDD estimate. Call [[KnnClassifierModel.release]] when done
+  * with a model to free the blocks eagerly.
+  */
+class KnnClassifier(override val uid: String)
+    extends Estimator[KnnClassifierModel] with KnnClassifierParams
+    with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("graft_knnc"))
+
+  def setK(value: Int): this.type = set(k, value)
+  def setDistance(value: String): this.type = set(distance, value)
+  def setStrategy(value: String): this.type = set(strategy, value)
+  def setBand(value: Int): this.type = set(band, value)
+  def setRadius(value: Int): this.type = set(radius, value)
+  def setExcludeZeroDistance(value: Boolean): this.type = set(excludeZeroDistance, value)
+  def setLbPruning(value: Boolean): this.type = set(lbPruning, value)
+  def setCandidateFactor(value: Int): this.type = set(candidateFactor, value)
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setLabelCol(value: String): this.type = set(labelCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+
+  override def fit(dataset: Dataset[_]): KnnClassifierModel = {
+    transformSchema(dataset.schema)
+    val df = dataset.toDF()
+    val train = df
+      .select(monotonically_increasing_id().as("train_id"),
+        seriesColumn(df.schema).as("train_series"),
+        col($(labelCol)).cast(DoubleType).as("label"))
+      .localCheckpoint() // eager: ids frozen, size measured
+    copyValues(new KnnClassifierModel(uid, train)).setParent(this)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema, fitting = true)
+
+  override def copy(extra: ParamMap): KnnClassifier = defaultCopy(extra)
+}
+
+object KnnClassifier extends DefaultParamsReadable[KnnClassifier] {
+  override def load(path: String): KnnClassifier = super.load(path)
+}
+
+/** Fitted KNN model: the canonicalized, checkpointed training set plus
+  * the params. `transform` appends `predictionCol` (majority-vote
+  * label, [[Knn.classify]] semantics: votes desc, then best rank, then
+  * smallest label) to the input, preserving every input column.
+  *
+  * Persistence ([[MLWritable]]): params via the standard metadata
+  * format, the training set as parquet under `path/data` — the
+  * ALSModel pattern for models that ARE a DataFrame. `load` re-reads
+  * the parquet, so the frozen train ids round-trip exactly and a
+  * loaded model predicts row-for-row identically.
+  */
+class KnnClassifierModel private[ml] (
+    override val uid: String,
+    private[graft] val train: DataFrame)
+    extends Model[KnnClassifierModel] with KnnClassifierParams
+    with MLWritable {
+
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    val idC = "__graft_knn_test_id"
+    // withRowId (not a bare monotonic id): the id-annotated frame is
+    // referenced TWICE below — once feeding classify, once as the
+    // join-back left side — and withRowId's persist-before-count makes
+    // both references read ONE materialization, so the ids they see
+    // are identical even when the input lineage sits downstream of a
+    // shuffle (the double-evaluation hazard class).
+    val withId = graft.ingest.SeriesIngest.withRowId(dataset.toDF(), idC)
+    val test = withId.select(col(idC).as("test_id"),
+      seriesColumn(withId.schema).as("test_series"))
+    val preds = Knn.classify(train, test, knnParams)
+      .select(col("test_id").as(idC),
+        col("predicted_label").as($(predictionCol)))
+    // merge hint: both sides are O(|input|) LogicalRDD-rooted frames
+    // whose stats estimates are untrustworthy — an unhinted join lets
+    // Catalyst build-broadcast an arbitrarily large side (the r12
+    // build-side audit class). Sort-merge exchanges each side once and
+    // replicates nothing. Left join: a row that produced no prediction
+    // (e.g. all-null series) keeps its place with a null prediction.
+    withId.hint("merge").join(preds, Seq(idC), "left").drop(idC)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema, fitting = false)
+
+  override def copy(extra: ParamMap): KnnClassifierModel =
+    copyValues(new KnnClassifierModel(uid, train), extra).setParent(parent)
+
+  /** Free the checkpointed training blocks. The model (and anything
+    * derived from its transforms) must not be used afterwards.
+    */
+  def release(): Unit = graft.core.Materialize.releaseCheckpoint(train)
+
+  override def write: MLWriter = new KnnClassifierModel.Writer(this)
+}
+
+object KnnClassifierModel extends MLReadable[KnnClassifierModel] {
+
+  private val className = classOf[KnnClassifierModel].getName
+
+  private[ml] class Writer(instance: KnnClassifierModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      MlReadWriteBridge.saveMetadata(instance, path, sparkSession)
+      instance.train.write.parquet(new Path(path, "data").toString)
+    }
+  }
+
+  private class Reader extends MLReader[KnnClassifierModel] {
+    override def load(path: String): KnnClassifierModel = {
+      val uid = MlReadWriteBridge.loadUid(path, sparkSession, className)
+      val data = sparkSession.read.parquet(new Path(path, "data").toString)
+      val model = new KnnClassifierModel(uid, data)
+      MlReadWriteBridge.loadAndSetParams(model, path, sparkSession, className)
+      model
+    }
+  }
+
+  override def read: MLReader[KnnClassifierModel] = new Reader
+
+  override def load(path: String): KnnClassifierModel = super.load(path)
+}
