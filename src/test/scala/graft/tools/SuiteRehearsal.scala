@@ -130,7 +130,7 @@ object SuiteRehearsal {
     * to their materialized subtree; the stage wrapper itself is not
     * counted (its inner exchange is).
     */
-  private def shape(root: SparkPlan): Map[String, Int] = {
+  private[tools] def shape(root: SparkPlan): Map[String, Int] = {
     val buf = scala.collection.mutable.Map.empty[String, Int]
     val tracked = Set(
       "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
@@ -157,7 +157,7 @@ object SuiteRehearsal {
     * run their bounded replay eagerly inside the builder, and that IS
     * their workload (the returned frame is the drained sink).
     */
-  private def runOnce(
+  private[tools] def runOnce(
       build: => DataFrame, explain: Boolean = false): (Map[String, Int], Double) = {
     val (qe, dt) = timedSec {
       val df = build
@@ -173,7 +173,7 @@ object SuiteRehearsal {
     (shape(qe.executedPlan), dt)
   }
 
-  private def fmt(m: Map[String, Int]): String =
+  private[tools] def fmt(m: Map[String, Int]): String =
     m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" ")
 
   def main(args: Array[String]): Unit = {

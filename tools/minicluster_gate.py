@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Multi-JVM correctness gate -> MINICLUSTER_rN.json (round-13
+directive #1: every oracle gate to date ran in one JVM; serialization,
+locality, fetch-order, and broadcast-lifecycle bugs only exist across
+JVMs, and the one nondeterminism class found in 13 rounds — withRowId
+assignment order — surfaced exactly there).
+
+Pipeline (resumable via --skip-* flags):
+  1. `sbt Test/runMain graft.tools.MiniClusterGate --local` — runs all
+     82 queries on local[8] capturing final-plan operator histograms
+     (the plan-flip comparison baseline; single-JVM values are already
+     the standing CORRECTNESS artifact).
+  2. `sbt Test/runMain graft.tools.MiniClusterGate` — starts the
+     two-hostname standalone mini cluster (master + 2 worker JVMs
+     under the runsc/vm loopback aliases, 4 cores / 4 GiB executor
+     each), runs all 82 queries through their own adaptive
+     QueryExecution, dumps each result parquet in the Verify layout.
+  3. `tools/check_oracle.py` replays the DuckDB oracles against the
+     MULTI-JVM outputs (the same type-aware compare the driver runs).
+  4. Merge into MINICLUSTER_rN.json: per query
+       cluster_ok / oracle / plan_local / plan_cluster / plan_flip
+     plan_flip lists operator-histogram deltas between the local and
+     cluster FINAL plans (expected class: broadcast-threshold or AQE
+     coalescing differences from the different core/memory topology —
+     each one should be read and attributed in NOTES).
+
+Usage: python3 tools/minicluster_gate.py --round 14
+       [--skip-local] [--skip-cluster] [--skip-oracle]
+"""
+import argparse, json, os, re, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.01"
+LOCAL_OUT = "/tmp/graft_minicluster/local"
+CLUSTER_OUT = "/tmp/graft_minicluster/cluster"
+ORACLE_LOG = "/tmp/graft_minicluster/oracle.txt"
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    return subprocess.run(cmd, cwd=REPO, **kw)
+
+
+def sbt_gate(local):
+    args = ["sbt", "-batch",
+            "Test/runMain graft.tools.MiniClusterGate" +
+            (" --local" if local else "")]
+    env = dict(os.environ, SPARK_DRIVER_MEM="16g")
+    r = run(args, env=env)
+    if r.returncode != 0:
+        sys.exit(f"gate run failed (local={local}); see output above")
+
+
+def parse_hist(s):
+    return dict(kv.split("=") for kv in s.split() if "=" in kv)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--skip-local", action="store_true")
+    ap.add_argument("--skip-cluster", action="store_true")
+    ap.add_argument("--skip-oracle", action="store_true")
+    a = ap.parse_args()
+
+    if not a.skip_local:
+        sbt_gate(local=True)
+    if not a.skip_cluster:
+        sbt_gate(local=False)
+    if not a.skip_oracle:
+        with open(ORACLE_LOG, "w") as f:
+            r = run([sys.executable, "tools/check_oracle.py", SF, CLUSTER_OUT],
+                    stdout=f, stderr=subprocess.STDOUT)
+        # non-zero exit = per-query failures; still merge so the
+        # artifact shows WHICH queries broke across JVMs
+        print(open(ORACLE_LOG).read()[-2000:])
+
+    local_plans = json.load(open(f"{LOCAL_OUT}/plans.json"))
+    cluster_plans = json.load(open(f"{CLUSTER_OUT}/plans.json"))
+    local_errs = json.load(open(f"{LOCAL_OUT}/errors.json"))
+    cluster_errs = json.load(open(f"{CLUSTER_OUT}/errors.json"))
+
+    oracle = {}
+    for line in open(ORACLE_LOG):
+        m = re.match(r"^(q\w+): (OK \(\d+ rows\)|rows-only \(\d+ rows\)|.+)$",
+                     line.strip())
+        if m:
+            oracle[m.group(1)] = m.group(2)
+
+    names = sorted(set(local_plans) | set(cluster_plans) |
+                   set(local_errs) | set(cluster_errs))
+    out, fails, flips = {}, 0, 0
+    for n in names:
+        lp, cp = local_plans.get(n, ""), cluster_plans.get(n, "")
+        lh, ch = parse_hist(lp), parse_hist(cp)
+        delta = {k: f"{lh.get(k, '0')}->{ch.get(k, '0')}"
+                 for k in sorted(set(lh) | set(ch))
+                 if lh.get(k, "0") != ch.get(k, "0")}
+        o = oracle.get(n, "NOT CHECKED")
+        ok = (n in cluster_plans and n not in cluster_errs and
+              (o.startswith("OK") or o.startswith("rows-only")))
+        if not ok:
+            fails += 1
+        if delta:
+            flips += 1
+        out[n] = {
+            "cluster_ok": ok,
+            "oracle": o,
+            "err": cluster_errs.get(n),
+            "plan_flip": delta or None,
+            "plan_local": lp,
+            "plan_cluster": cp,
+        }
+
+    doc = {
+        "round": a.round,
+        "sf": SF,
+        "cluster": "standalone master + 2 worker JVMs (runsc/vm loopback "
+                   "aliases), 4 cores / 4g executor memory each, "
+                   "shuffle.partitions=8",
+        "queries": len(names),
+        "failures": fails,
+        "plan_flips": flips,
+        "results": out,
+    }
+    path = os.path.join(REPO, f"MINICLUSTER_r{a.round}.json")
+    json.dump(doc, open(path, "w"), indent=1)
+    print(f"\n{path}: {len(names)} queries, {fails} failures, "
+          f"{flips} plan flips")
+    for n, r in out.items():
+        if r["plan_flip"]:
+            print(f"  flip {n}: {r['plan_flip']}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
