@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * second aggregation tree, which (without a cache the operator has no
   * lifecycle to manage) would re-scan the corpus and re-run the token
   * explosion, the dominant cost (the round-13 verdict's materialize-
-  * once directive). The df window moves only the post-agg (id, term,
-  * tf) rows — strictly fewer bytes than the old df-aggregate + join-
-  * back on the same rows. The corpus size enters as a broadcast
+  * once directive). The df window exchanges only the post-agg (id,
+  * term, tf) rows on term — measured +12% shuffle bytes vs the old
+  * partial-aggregated df branch (BYTESCHECK_r14), the price of
+  * removing a full second tokenize pass over the corpus (scan bytes
+  * −33%) and the vocabulary broadcast, both of which grow with corpus
+  * size and fail first at scale. The corpus size enters as a broadcast
   * scalar (a count-only second scan of the source table — column-
   * pruned to nothing, no tokenization), never a single-partition
   * window; the final per-doc top-k cut is a window on id.
