@@ -185,7 +185,13 @@ class KnnClassifierModel private[ml] (
     // join-back left side — and withRowId's persist-before-count makes
     // both references read ONE materialization, so the ids they see
     // are identical even when the input lineage sits downstream of a
-    // shuffle (the double-evaluation hazard class).
+    // shuffle (the double-evaluation hazard class). On such an input
+    // withRowId logs its once-per-JVM Exchange warning; here the id is
+    // an EPHEMERAL correlation key dropped before the result surfaces,
+    // so run-to-run id stability (what the warning protects) is not
+    // required — only the within-evaluation consistency the persist
+    // provides, with the partition-size backstop turning the
+    // eviction-plus-nondeterministic-recompute corner loud.
     val withId = graft.ingest.SeriesIngest.withRowId(dataset.toDF(), idC)
     val test = withId.select(col(idC).as("test_id"),
       seriesColumn(withId.schema).as("test_series"))
