@@ -142,6 +142,49 @@ class PipelineSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { est.fit(clash) }
   }
 
+  test("transform join-back is pinned sort-merge and fit materializes " +
+      "the train set") {
+    val model = new KnnClassifier().setK(1).setFeaturesCol("series")
+      .setExcludeZeroDistance(false)
+      .fit(synthWide(50, 0).select(col("key"), col("label"),
+        array(col("f1"), col("f2"), col("f3")).as("series")))
+    // fit's localCheckpoint is the broadcast planner's measured-size
+    // source AND the id freeze — a lazy/unpersisted train silently
+    // reverts the strategy decision to Catalyst's lying LogicalRDD stats
+    val persisted = model.train.queryExecution.analyzed.collectLeaves().exists {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+      case _ => false
+    }
+    assert(persisted, "fit must eagerly materialize the canonicalized train set")
+    val out = model.transform(synthWide(20, 500)
+      .select(col("key"), array(col("f1"), col("f2"), col("f3")).as("series")))
+    out.collect() // finalize the adaptive plan before inspecting it
+    // flatten the final adaptive tree: executed stages appear as
+    // QueryStageExec LEAVES whose wrapped plan a plain collect() never
+    // descends into (the withRowId guard's AQE detection gap, measured
+    // in IngestSpec)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n } ++ p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }.flatMap(flatten)
+    // the join-back joins two O(|input|) LogicalRDD-rooted frames with
+    // untrustworthy size estimates; the merge hint must survive AQE
+    // re-planning (the r12 build-side audit class: an unhinted join here
+    // lets Catalyst build-broadcast an arbitrarily large side)
+    val joinBack = flatten(out.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.references.exists(
+          _.name == "__graft_knn_test_id")) => j
+    }
+    assert(joinBack.nonEmpty,
+      "the prediction join-back must plan as the hinted sort-merge join")
+    model.release()
+  }
+
   test("model transform keeps unpredictable rows with a null prediction " +
       "and release() frees the checkpoint") {
     val train = synthWide(50, 0)
