@@ -16,18 +16,51 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
-  /** Free the storage blocks behind a `localCheckpoint`ed frame.
+  // RDDs that GRAFT ITSELF persisted as internal materializations
+  // (withRowId's persist-before-count): weakly held so entries vanish
+  // with their RDD, identity-keyed (RDD does not override equals).
+  // releaseCheckpoint may free these when it finds them in a released
+  // frame's lineage — and ONLY these, so a caller-persisted RDD shared
+  // with other queries is never unpersisted behind the caller's back.
+  private val ownedPersists: java.util.Set[org.apache.spark.rdd.RDD[_]] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]()))
+
+  private[graft] def registerOwnedPersist(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    ownedPersists.add(rdd)
+
+  /** Free the storage blocks behind a `localCheckpoint`ed frame, plus
+    * any graft-owned internal persist ([[registerOwnedPersist]] — e.g.
+    * withRowId's persist-before-count, which sits in the lineage BEHIND
+    * the result's LogicalRDD leaf and is otherwise only reclaimed when
+    * driver GC collects the wrapping RDD; executor block usage is
+    * invisible to driver heap pressure, so a long-lived session must be
+    * able to release eagerly).
     *
     * ONLY call this when `df` (and every frame derived from it) will
     * never be evaluated again: local checkpoints have no lineage to
     * recompute from, so a released frame is unrecoverable by design.
+    * (Graft-owned persists DO keep lineage — releasing them trades
+    * storage for a recompute on later evaluation.)
     */
-  def releaseCheckpoint(df: DataFrame): Unit =
+  def releaseCheckpoint(df: DataFrame): Unit = {
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    def releaseOwned(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(r.id)) {
+        if (ownedPersists.contains(r) &&
+            r.getStorageLevel != StorageLevel.NONE)
+          r.unpersist(blocking = false)
+        r.dependencies.foreach(d => releaseOwned(d.rdd))
+      }
     df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: LogicalRDD if lr.rdd.getStorageLevel != StorageLevel.NONE =>
-        lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD =>
+        if (lr.rdd.getStorageLevel != StorageLevel.NONE)
+          lr.rdd.unpersist(blocking = false)
+        releaseOwned(lr.rdd)
       case _ => ()
     }
+  }
 
   /** The block manager's MEASURED byte size of a frame whose leaves are
     * persisted RDDs (localCheckpoint / cache), or None when no leaf is

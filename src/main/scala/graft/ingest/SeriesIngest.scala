@@ -70,19 +70,32 @@ object SeriesIngest {
     // so the id-to-row assignment is not stable run to run. Warn once
     // per JVM and point at the safe form; detection is plan-shape only
     // (no extra execution — the plan is compiled here regardless).
-    // Only SHUFFLE exchanges break order determinism (a broadcast
-    // exchange leaves the streamed side's row order intact), and under
-    // AQE the top node is an AdaptiveSparkPlanExec LEAF whose
-    // `executedPlan` is the current physical plan WITH
-    // EnsureRequirements-inserted exchanges (its `inputPlan` is the
-    // pre-preparation tree, which holds only user-explicit repartitions
-    // and would miss every aggregate/join/sort-induced shuffle —
-    // measured in IngestSpec). Already-materialized stages appear as
-    // ShuffleQueryStageExec leaves.
-    // Query stages (ShuffleQueryStageExec, and Spark 4's
-    // ResultQueryStageExec wrapping a finished plan) are LEAF nodes —
-    // a plain find() never descends into their wrapped plan, so an
-    // already-executed frame would go undetected without the recursion.
+    val shuffled = planHasShuffle(df)
+    if (shuffled && exchangeWarned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "withRowId input plan contains an Exchange: id assignment follows " +
+          "shuffle fetch-arrival order and is NOT deterministic across " +
+          "multi-executor runs; use withRowIdSorted(df, uniqueKeyCols) " +
+          "for run-stable ids (warned once per JVM)")
+    withRowIdUnchecked(df, out)
+  }
+
+  /** Whether `df`'s FINAL physical plan contains a shuffle exchange.
+    *
+    * Only SHUFFLE exchanges break within-partition order determinism (a
+    * broadcast exchange leaves the streamed side's row order intact),
+    * and under AQE the top node is an AdaptiveSparkPlanExec LEAF whose
+    * `executedPlan` is the current physical plan WITH
+    * EnsureRequirements-inserted exchanges (its `inputPlan` is the
+    * pre-preparation tree, which holds only user-explicit repartitions
+    * and would miss every aggregate/join/sort-induced shuffle — measured
+    * in IngestSpec). Already-materialized stages appear as
+    * ShuffleQueryStageExec leaves; query stages (ShuffleQueryStageExec,
+    * and Spark 4's ResultQueryStageExec wrapping a finished plan) are
+    * LEAF nodes a plain find() never descends into, so an
+    * already-executed frame would go undetected without the recursion.
+    */
+  private[graft] def planHasShuffle(df: DataFrame): Boolean = {
     def containsShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
       p.find {
         case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
@@ -92,23 +105,57 @@ object SeriesIngest {
         p.collect {
           case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
         }.exists(containsShuffle)
-    val shuffled =
-      try {
-        val phys = df.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
-          case p => p
-        }
-        containsShuffle(phys)
-      } catch { case _: Throwable => false }
-    if (shuffled && exchangeWarned.compareAndSet(false, true))
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "withRowId input plan contains an Exchange: id assignment follows " +
-          "shuffle fetch-arrival order and is NOT deterministic across " +
-          "multi-executor runs; use withRowIdSorted(df, uniqueKeyCols) " +
-          "for run-stable ids (warned once per JVM)")
-    withRowIdUnchecked(df, out)
+    try {
+      val phys = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      containsShuffle(phys)
+    } catch { case _: Throwable => false }
   }
+
+  /** Whether `df` re-evaluates IDENTICALLY (same rows, same
+    * within-partition order) every time — the precondition under which
+    * [[withRowIdUnchecked]] may safely skip its persist-before-count
+    * materialization and let both passes (and any later re-evaluation of
+    * the result frame) recompute the lineage instead.
+    *
+    * Three conjuncts, each guarding a distinct way a recomputation can
+    * diverge:
+    *  - every leaf is a STABLE source — a file relation (parquet/CSV/
+    *    JSONL/ORC scans have a stable row order per split and
+    *    deterministic split planning), a LocalRelation (literal rows),
+    *    or a Range. A LogicalRDD wraps an arbitrary caller RDD whose
+    *    re-evaluation can differ (the IngestSpec shrinking-partition
+    *    input is exactly that), so it fails the gate unless already
+    *    persisted by the caller;
+    *  - every expression in the plan is deterministic (a rand() filter
+    *    keeps a different subset per evaluation);
+    *  - the physical plan is Exchange-free: reduce-side fetch ARRIVAL
+    *    order varies run to run across executor JVMs, so two
+    *    evaluations downstream of a shuffle can order rows differently
+    *    even when the row SETS match.
+    * Unknown plan shapes fail closed (persist).
+    */
+  private[graft] def stableForRowId(df: DataFrame): Boolean =
+    try {
+      val opt = df.queryExecution.optimizedPlan
+      val stableLeaves = opt.collectLeaves().forall {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+        case _ => false
+      }
+      stableLeaves &&
+        opt.collect { case p => p }
+          .forall(_.expressions.forall(_.deterministic)) &&
+        !planHasShuffle(df)
+    } catch { case _: Throwable => false }
 
   /** [[withRowId]] minus the Exchange misuse warning — for callers that
     * have already established an order ([[withRowIdSorted]]'s global
@@ -124,26 +171,41 @@ object SeriesIngest {
     * strictly worse failure than the documented assignment-order
     * nondeterminism. Two defenses:
     *
-    *  1. the input RDD is persisted (MEMORY_AND_DISK) before the count
-    *     pass, so pass 2 reads the pass-1 blocks instead of re-running
-    *     the lineage — the input is evaluated exactly ONCE. The blocks
-    *     are reclaimed by ContextCleaner once the result frame (whose
-    *     lineage pins the input) is garbage-collected; lineage is kept,
-    *     so an evicted block recomputes rather than fails.
+    *  1. UNLESS the input plan is provably re-evaluation-stable
+    *     ([[stableForRowId]]: file-scan/local/range-rooted,
+    *     Exchange-free, deterministic expressions — the common ingest
+    *     case, where recomputation is bit-identical by construction and
+    *     persisting would materialize full rows for nothing), the input
+    *     RDD is persisted (MEMORY_AND_DISK) before the count pass, so
+    *     pass 2 reads the pass-1 blocks instead of re-running the
+    *     lineage — the input is evaluated exactly ONCE. The blocks are
+    *     reclaimed by ContextCleaner once the result frame (whose
+    *     lineage pins the input) is garbage-collected; for a long-lived
+    *     session that cannot wait for driver GC (executor storage is
+    *     invisible to driver heap pressure),
+    *     [[graft.core.Materialize.releaseCheckpoint]] on the RESULT
+    *     frame frees them eagerly (the persist is registered as
+    *     graft-owned, so release never touches caller-persisted RDDs).
+    *     Lineage is kept, so an evicted block recomputes rather than
+    *     fails.
     *  2. pass 2 re-counts each partition as it emits and throws if the
-    *     size differs from pass 1 — the backstop for exactly that
-    *     eviction-plus-nondeterministic-recompute corner, turning
-    *     silently wrong ids into a loud failure. (Under-count is only
-    *     observable at exhaustion, so a consumer that stops early —
-    *     LIMIT — skips the check; every id it DID see was still
+    *     size differs from pass 1 — in BOTH modes — the backstop for
+    *     the eviction-plus-nondeterministic-recompute corner (persisted
+    *     mode) and for a wrongly-classified input (stable mode),
+    *     turning silently wrong ids into a loud failure. (Under-count
+    *     is only observable at exhaustion, so a consumer that stops
+    *     early — LIMIT — skips the check; every id it DID see was still
     *     consistent with the pass-1 offsets.)
     */
   private def withRowIdUnchecked(df: DataFrame, out: String): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
     val rdd = df.rdd // Dataset.rdd is a lazy val: both passes see ONE RDD
-    if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+        !stableForRowId(df)) {
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Materialize.registerOwnedPersist(rdd)
+    }
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size))
     }.collect().sortBy(_._1).map(_._2)

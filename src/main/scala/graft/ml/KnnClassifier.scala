@@ -54,12 +54,16 @@ private[ml] trait KnnClassifierParams extends Params {
     "label column (cast to double)")
   final val predictionCol = new Param[String](this, "predictionCol",
     "output prediction column (double)")
+  final val idCol = new Param[String](this, "idCol",
+    "optional UNIQUE id column in transform input; when set, transform " +
+      "correlates predictions through it directly — no internal row-id " +
+      "materialization (empty = assign internal row ids)")
 
   setDefault(k -> 1, distance -> "euclidean", strategy -> "auto",
     band -> -1, radius -> 1, excludeZeroDistance -> true,
     lbPruning -> false, candidateFactor -> 4,
     featuresCol -> "features", labelCol -> "label",
-    predictionCol -> "prediction")
+    predictionCol -> "prediction", idCol -> "")
 
   private[ml] def knnParams: KnnParams = KnnParams(
     k = $(k), distance = $(distance), strategy = $(strategy),
@@ -91,6 +95,11 @@ private[ml] trait KnnClassifierParams extends Params {
       require(lt.isInstanceOf[NumericType],
         s"labelCol '${$(labelCol)}' must be numeric, got ${lt.catalogString}")
     }
+    if (!fitting && $(idCol).nonEmpty) {
+      val it = schema($(idCol)).dataType // throws if the column is absent
+      require(!it.isInstanceOf[MapType],
+        s"idCol '${$(idCol)}' must be an equi-joinable type, got ${it.catalogString}")
+    }
     require(!schema.fieldNames.contains($(predictionCol)),
       s"output column ${$(predictionCol)} already exists")
     StructType(schema.fields :+
@@ -117,6 +126,17 @@ private[ml] trait KnnClassifierParams extends Params {
   * ([[graft.core.Materialize.storageBytes]]) instead of a lying
   * LogicalRDD estimate. Call [[KnnClassifierModel.release]] when done
   * with a model to free the blocks eagerly.
+  *
+  * Deployment constraint (`localCheckpoint` semantics): the fitted
+  * training set lives ONLY as storage blocks on the executors that
+  * computed it — lineage is truncated by design — so losing any of
+  * those executors (preemption, dynamic-allocation scale-down, OOM
+  * kill) makes the in-memory model permanently unusable, INCLUDING
+  * `save()`; the failure is loud (missing block), never silent. For
+  * cluster deployments: `save()` the model right after `fit` and serve
+  * from `load` (the parquet under `path/data` is the durable form), or
+  * keep executor allocation static for the model's lifetime
+  * (`spark.dynamicAllocation.enabled=false`).
   */
 class KnnClassifier(override val uid: String)
     extends Estimator[KnnClassifierModel] with KnnClassifierParams
@@ -135,6 +155,7 @@ class KnnClassifier(override val uid: String)
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
+  def setIdCol(value: String): this.type = set(idCol, value)
 
   override def fit(dataset: Dataset[_]): KnnClassifierModel = {
     transformSchema(dataset.schema)
@@ -162,6 +183,16 @@ object KnnClassifier extends DefaultParamsReadable[KnnClassifier] {
   * label, [[Knn.classify]] semantics: votes desc, then best rank, then
   * smallest label) to the input, preserving every input column.
   *
+  * Inference-scale knob: set `idCol` to a UNIQUE key of the transform
+  * input to correlate predictions through the caller's own column —
+  * the input plan stays declarative (columnar scan, pushdown, no RDD
+  * round-trip and no per-call input materialization). The input is
+  * referenced twice (classification + join-back) and recomputes per
+  * reference — `cache()` it first if its upstream is expensive.
+  * Without `idCol`, transform assigns an internal row id, which
+  * materializes the input once per call when its lineage is not
+  * provably re-evaluation-stable.
+  *
   * Persistence ([[MLWritable]]): params via the standard metadata
   * format, the training set as parquet under `path/data` — the
   * ALSModel pattern for models that ARE a DataFrame. `load` re-reads
@@ -176,35 +207,70 @@ class KnnClassifierModel private[ml] (
 
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
+  def setIdCol(value: String): this.type = set(idCol, value)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
+    // Fail fast with a routable message: the row-id path below calls
+    // df.rdd, which on a streaming frame dies deep inside the ingest
+    // layer with an opaque "Queries with streaming sources must be
+    // executed with writeStream.start()" AnalysisException.
+    if (dataset.isStreaming)
+      throw new UnsupportedOperationException(
+        "KnnClassifierModel.transform does not support streaming input; " +
+          "use graft.streaming.StreamingClassify.classifyStream1NN " +
+          "(stream-static broadcast KNN) on the streaming side")
     transformSchema(dataset.schema)
-    val idC = "__graft_knn_test_id"
-    // withRowId (not a bare monotonic id): the id-annotated frame is
-    // referenced TWICE below — once feeding classify, once as the
-    // join-back left side — and withRowId's persist-before-count makes
-    // both references read ONE materialization, so the ids they see
-    // are identical even when the input lineage sits downstream of a
-    // shuffle (the double-evaluation hazard class). On such an input
-    // withRowId logs its once-per-JVM Exchange warning; here the id is
-    // an EPHEMERAL correlation key dropped before the result surfaces,
-    // so run-to-run id stability (what the warning protects) is not
-    // required — only the within-evaluation consistency the persist
-    // provides, with the partition-size backstop turning the
-    // eviction-plus-nondeterministic-recompute corner loud.
-    val withId = graft.ingest.SeriesIngest.withRowId(dataset.toDF(), idC)
-    val test = withId.select(col(idC).as("test_id"),
-      seriesColumn(withId.schema).as("test_series"))
-    val preds = Knn.classify(train, test, knnParams)
-      .select(col("test_id").as(idC),
-        col("predicted_label").as($(predictionCol)))
-    // merge hint: both sides are O(|input|) LogicalRDD-rooted frames
-    // whose stats estimates are untrustworthy — an unhinted join lets
-    // Catalyst build-broadcast an arbitrarily large side (the r12
-    // build-side audit class). Sort-merge exchanges each side once and
-    // replicates nothing. Left join: a row that produced no prediction
-    // (e.g. all-null series) keeps its place with a null prediction.
-    withId.hint("merge").join(preds, Seq(idC), "left").drop(idC)
+    val df = dataset.toDF()
+    if ($(idCol).nonEmpty) {
+      // User-supplied UNIQUE id: the prediction correlates through the
+      // caller's own key, so the input plan stays fully declarative —
+      // no RDD round-trip, no withRowId persist (at inference scale the
+      // internal-id path materializes the WHOLE input per transform
+      // call), columnar scan + pushdown preserved on the join-back left
+      // side. Uniqueness is the caller's contract (same as any join
+      // key): a duplicated id would fan out the join-back.
+      val test = df.select(col($(idCol)).as("test_id"),
+        seriesColumn(df.schema).as("test_series"))
+      val preds = Knn.classify(train, test, knnParams)
+        .select(col("test_id").as($(idCol)),
+          col("predicted_label").as($(predictionCol)))
+      // merge hint, same rationale as the internal-id path: the preds
+      // side is post-aggregate with untrustworthy size estimates. The
+      // trailing select restores the input column order (a USING join
+      // fronts the join key) so both paths emit the same shape.
+      df.hint("merge").join(preds, Seq($(idCol)), "left")
+        .select((df.columns.map(col) :+ col($(predictionCol))).toIndexedSeq: _*)
+    } else {
+      val idC = "__graft_knn_test_id"
+      // withRowId (not a bare monotonic id): the id-annotated frame is
+      // referenced TWICE below — once feeding classify, once as the
+      // join-back left side — and withRowId's persist-before-count makes
+      // both references read ONE materialization, so the ids they see
+      // are identical even when the input lineage sits downstream of a
+      // shuffle (the double-evaluation hazard class). On such an input
+      // withRowId logs its once-per-JVM Exchange warning; here the id is
+      // an EPHEMERAL correlation key dropped before the result surfaces,
+      // so run-to-run id stability (what the warning protects) is not
+      // required — only the within-evaluation consistency the persist
+      // provides, with the partition-size backstop turning the
+      // eviction-plus-nondeterministic-recompute corner loud.
+      // (Provably re-evaluation-stable inputs — file-scan-rooted,
+      // Exchange-free — skip the persist inside withRowId itself; both
+      // references then recompute identically by construction.)
+      val withId = graft.ingest.SeriesIngest.withRowId(df, idC)
+      val test = withId.select(col(idC).as("test_id"),
+        seriesColumn(withId.schema).as("test_series"))
+      val preds = Knn.classify(train, test, knnParams)
+        .select(col("test_id").as(idC),
+          col("predicted_label").as($(predictionCol)))
+      // merge hint: both sides are O(|input|) LogicalRDD-rooted frames
+      // whose stats estimates are untrustworthy — an unhinted join lets
+      // Catalyst build-broadcast an arbitrarily large side (the r12
+      // build-side audit class). Sort-merge exchanges each side once and
+      // replicates nothing. Left join: a row that produced no prediction
+      // (e.g. all-null series) keeps its place with a null prediction.
+      withId.hint("merge").join(preds, Seq(idC), "left").drop(idC)
+    }
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -141,4 +141,17 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     val (qs, _) = Bench.loadPriorBench(Bench.priorBenchPath().get)
     assert(qs.size > 50, s"prior artifact parsed only ${qs.size} queries")
   }
+
+  test("headlineNames: judged headliners by default, env overrides, " +
+      "empty disables (round-14 directive #1)") {
+    val default = Bench.headlineNames(None)
+    assert(default === Seq("q25_knn_dtw_pruned", "q26_har_model2_1nn",
+      "q32_multimodal_ann", "q50_tfidf"),
+      "the default allowlist is exactly the queries the verdict named")
+    assert(Bench.headlineNames(Some("")) === Seq.empty,
+      "an empty env value disables the headline pass")
+    assert(Bench.headlineNames(Some(" q1_filter_project , q4_agg ")) ===
+      Seq("q1_filter_project", "q4_agg"),
+      "a custom list parses with whitespace tolerance")
+  }
 }

@@ -85,6 +85,85 @@ class IngestSpec extends SparkTestBase {
     assert(rows.sortBy(_._2).map(_._1).toSeq === (0L until 1000L))
   }
 
+  test("withRowId skips the persist on provably re-evaluation-stable " +
+      "inputs and keeps it on unstable ones (round-14 directive #4)") {
+    import org.apache.spark.storage.StorageLevel
+    // Range-rooted, Exchange-free, deterministic: the common ingest
+    // shape — no persist, ids still exactly 1..N in source order
+    val stable = spark.range(0, 300, 1, 4).toDF("v")
+    val got = SeriesIngest.withRowId(stable).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq === (1L to 300L))
+    assert(got.sortBy(_._2).map(_._1).toSeq === (0L until 300L))
+    assert(stable.rdd.getStorageLevel === StorageLevel.NONE,
+      "a stable input must NOT be materialized (the q35 input-bytes " +
+        "tripling was exactly this persist)")
+
+    // file-scan-rooted (the q35 case): same contract
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowid_scan").toString
+    try {
+      spark.range(0, 200, 1, 4).toDF("v").write.mode("overwrite").parquet(dir)
+      val scan = spark.read.parquet(dir)
+      val ids = SeriesIngest.withRowId(scan).collect().map(_.getLong(1))
+      assert(ids.sorted.toSeq === (1L to 200L))
+      assert(scan.rdd.getStorageLevel === StorageLevel.NONE,
+        "a parquet scan must take the no-persist path")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // a NON-DETERMINISTIC expression fails the gate even on a stable
+    // source: each evaluation keeps a different subset. (A provably-
+    // constant predicate like rand() >= 0.0 won't do — the optimizer
+    // ELIMINATES it from the plan, and the residual plan really is
+    // stable, which the gate correctly accepts.)
+    val randFiltered = spark.range(0, 300, 1, 4).toDF("v")
+      .filter(rand() >= 0.5) // a genuinely random subset per evaluation
+    SeriesIngest.withRowId(randFiltered).collect()
+    assert(randFiltered.rdd.getStorageLevel !== StorageLevel.NONE,
+      "a non-deterministic expression must force the persist")
+    graft.core.Materialize.releaseCheckpoint(
+      SeriesIngest.withRowId(randFiltered))
+
+    // downstream of an Exchange: fetch-arrival order can differ between
+    // evaluations across executor JVMs, so the persist must stay
+    val shuffled = spark.range(0, 300, 1, 4).toDF("v").repartition(8)
+    SeriesIngest.withRowId(shuffled).collect()
+    assert(shuffled.rdd.getStorageLevel !== StorageLevel.NONE,
+      "a shuffled input must force the persist")
+    SeriesIngest.resetExchangeWarning()
+  }
+
+  test("Materialize.releaseCheckpoint frees withRowId's graft-owned " +
+      "persist through the result frame's lineage (advisor: executor " +
+      "storage retention in long-lived sessions)") {
+    import org.apache.spark.storage.StorageLevel
+    val unstable = spark.range(0, 300, 1, 4).toDF("v").repartition(8)
+    val result = SeriesIngest.withRowId(unstable)
+    result.collect()
+    assert(unstable.rdd.getStorageLevel !== StorageLevel.NONE)
+    graft.core.Materialize.releaseCheckpoint(result)
+    assert(unstable.rdd.getStorageLevel === StorageLevel.NONE,
+      "releaseCheckpoint(result) must walk the lineage and free the " +
+        "internal persist eagerly")
+    // lineage is retained (unlike a localCheckpoint), so the released
+    // frame is still evaluable — it just recomputes
+    assert(result.collect().map(_.getLong(1)).sorted.toSeq === (1L to 300L))
+    // and a CALLER-persisted input is never touched: not graft-owned
+    val callerOwned = spark.range(0, 100, 1, 4).toDF("v").repartition(4)
+    callerOwned.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val res2 = SeriesIngest.withRowId(callerOwned)
+    res2.collect()
+    graft.core.Materialize.releaseCheckpoint(res2)
+    assert(callerOwned.rdd.getStorageLevel !== StorageLevel.NONE,
+      "a caller-persisted RDD must survive releaseCheckpoint")
+    callerOwned.rdd.unpersist(blocking = false)
+    SeriesIngest.resetExchangeWarning()
+  }
+
   test("withRowIdSorted: ids are a pure function of the sort key, even " +
       "downstream of a shuffle") {
     // a groupBy puts an Exchange under the input, so plain withRowId's

@@ -185,6 +185,102 @@ class PipelineSpec extends SparkTestBase {
     model.release()
   }
 
+  test("idCol path matches the internal-id path row-for-row, skips the " +
+      "per-call input materialization, and drops the RDD round-trip " +
+      "(round-14 directive #2)") {
+    val train = synthWide(100, 0)
+      .select(col("key"), col("label"),
+        array(col("f1"), col("f2"), col("f3")).as("series"))
+    // input DOWNSTREAM OF A SHUFFLE: the shape where the internal-id
+    // path must persist the whole input (unstable lineage) — exactly
+    // the cost a caller with a natural unique key shouldn't pay
+    val input = synthWide(60, 500).repartition(7)
+      .select(col("key"), array(col("f1"), col("f2"), col("f3")).as("series"))
+    val model = new KnnClassifier().setK(3).setFeaturesCol("series")
+      .setExcludeZeroDistance(false).fit(train)
+
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n } ++ p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }.flatMap(flatten)
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      flatten(p).count {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+        case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
+        case _ => false
+      }
+
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val modelWithId = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setIdCol("key")
+    val outId = modelWithId.transform(input)
+    val gotId = collectPreds(outId)
+    val persistedAfterId = spark.sparkContext.getPersistentRDDs.keySet
+    assert(persistedAfterId === persistedBefore,
+      "the idCol path must not materialize the input (no new persisted RDDs)")
+    assert(outId.columns.toSeq === input.columns.toSeq :+ "prediction",
+      "idCol path must preserve input column order")
+    // no internal row-id machinery anywhere in the executed plan
+    assert(!flatten(outId.queryExecution.executedPlan)
+      .exists(_.toString.contains("__graft_knn_test_id")),
+      "idCol path must not reference the internal row id")
+
+    val outDefault = model.transform(input)
+    val gotDefault = collectPreds(outDefault)
+    val persistedAfterDefault = spark.sparkContext.getPersistentRDDs.keySet
+    assert(persistedAfterDefault !== persistedBefore,
+      "the internal-id path on an unstable input persists per call — " +
+        "the cost idCol exists to avoid")
+    assert(gotId === gotDefault,
+      "both correlation paths must predict identically")
+    assert(gotId.size === 60)
+
+    // the RDD round-trip is gone: in the idCol plan the ONLY RDD scans
+    // are the model's checkpointed train side — the input subtree stays
+    // declarative (codegen, pushdown), where the internal-id path scans
+    // the input as an opaque ExistingRDD on both of its references
+    def rddScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      flatten(p).count(_.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec])
+    val scansId = rddScans(outId.queryExecution.executedPlan)
+    val scansDefault = rddScans(outDefault.queryExecution.executedPlan)
+    assert(scansId < scansDefault,
+      s"idCol path must drop the input's RDD scans (got $scansId vs $scansDefault)")
+    // exchange counts, recorded not gated: the idCol path re-plans the
+    // input's own exchanges once per reference (input evaluated twice —
+    // classification + join-back — instead of materialized once; cache
+    // the input if its upstream is expensive), while the internal-id
+    // path pays the persist instead. Both are O(|input|) shuffles.
+    info(s"exchanges: idCol=${exchanges(outId.queryExecution.executedPlan)} " +
+      s"internal=${exchanges(outDefault.queryExecution.executedPlan)}; " +
+      s"rdd scans: idCol=$scansId internal=$scansDefault")
+    graft.core.Materialize.releaseCheckpoint(
+      graft.ingest.SeriesIngest.withRowId(input, "__cleanup"))
+    graft.ingest.SeriesIngest.resetExchangeWarning()
+    model.release()
+  }
+
+  test("transform on a streaming input fails fast with a routable " +
+      "message (round-14 directive #6)") {
+    val train = synthWide(30, 0)
+      .select(col("key"), col("label"),
+        array(col("f1"), col("f2"), col("f3")).as("series"))
+    val model = new KnnClassifier().setK(1).setFeaturesCol("series")
+      .setExcludeZeroDistance(false).fit(train)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(col("value").as("key"),
+        array(col("value").cast("double")).as("series"))
+    val e = intercept[UnsupportedOperationException] {
+      model.transform(stream)
+    }
+    assert(e.getMessage.contains("StreamingClassify.classifyStream1NN"),
+      s"the error must route to the streaming surface, got: ${e.getMessage}")
+    model.release()
+  }
+
   test("model transform keeps unpredictable rows with a null prediction " +
       "and release() frees the checkpoint") {
     val train = synthWide(50, 0)

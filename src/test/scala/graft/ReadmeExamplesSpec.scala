@@ -86,6 +86,48 @@ class ReadmeExamplesSpec extends SparkTestBase {
     assert(exact.count() === 8 * 5)
   }
 
+  test("quickstart: MLlib pipeline (VectorAssembler -> KnnClassifier) " +
+      "with save/load") {
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    import org.apache.spark.ml.feature.VectorAssembler
+    import graft.ml.KnnClassifier
+    def frame(n: Int, offset: Int) = spark.range(n).select(
+      (col("id") + offset).as("key"),
+      (col("id") % 2).cast("double").as("label"),
+      (col("id") % 2 * 100 + pmod(col("id") * 37, lit(19))).cast("double").as("f1"),
+      (col("id") % 2 * 100 + pmod(col("id") * 53, lit(23))).cast("double").as("f2"),
+      (col("id") % 2 * 100 + pmod(col("id") * 71, lit(29))).cast("double").as("f3"))
+    val train = frame(60, 0)
+    val test = frame(20, 1000)
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft_readme_ml").toString
+    try {
+      // verbatim from README (modelDir made temp)
+      val model = new Pipeline().setStages(Array(
+        new VectorAssembler().setInputCols(Array("f1", "f2", "f3"))
+          .setOutputCol("features"),
+        new KnnClassifier().setK(5).setDistance("euclidean")
+          .setIdCol("key"))).
+        fit(train)
+      model.write.overwrite().save(modelDir)
+      val preds = PipelineModel.load(modelDir).transform(test)
+
+      assert(preds.columns.contains("prediction"))
+      val got = preds.select("key", "prediction").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size === 20)
+      // the manifold is learnable: predictions equal true labels
+      assert(got.forall { case (k, v) => v === (k % 2).toDouble })
+      import graft.ml.KnnClassifierModel
+      model.stages.last.asInstanceOf[KnnClassifierModel].release()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(modelDir))
+    }
+  }
+
   test("quickstart: streaming classify") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

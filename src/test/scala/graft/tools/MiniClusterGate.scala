@@ -22,13 +22,18 @@ import org.apache.spark.sql.SparkSession
   * into `MINICLUSTER_r{N}.json`.
   *
   * Two modes:
-  *  - default (cluster): start the mini cluster, run every query
-  *    through its own adaptive QueryExecution (final-plan operator
-  *    histogram recorded), then write each result parquet + the oracle
-  *    map exactly like [[graft.Verify]];
-  *  - `--local`: same capture code on `local[8]` — the comparison
-  *    baseline for the plan-flip diff (no parquet; the DuckDB gate for
-  *    single-JVM outputs is the standing CORRECTNESS artifact).
+  *  - default (cluster): start the mini cluster, execute every query
+  *    EXACTLY ONCE as the gated parquet write (Verify layout), capture
+  *    that same execution's final adaptive plan through a
+  *    `QueryExecutionListener` — so the audited operator histogram and
+  *    the hash-gated output come from ONE execution (advisor finding
+  *    r14: the earlier two-execution form could record a plan AQE
+  *    re-planned away from the one that produced the gated bytes, and
+  *    doubled gate wall-clock);
+  *  - `--local`: the identical write+capture path on `local[8]` — the
+  *    comparison baseline for the plan-flip diff (its parquet is
+  *    discarded; the DuckDB gate for single-JVM outputs is the
+  *    standing CORRECTNESS artifact).
   *
   * Run: SPARK_DRIVER_MEM=16g sbt "Test/runMain graft.tools.MiniClusterGate [--local] [sfDir outDir]"
   */
@@ -98,14 +103,33 @@ object MiniClusterGate {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val plans = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // ONE execution per query: the gated write IS the audited run. The
+    // write command runs through its own QueryExecution (not the
+    // DataFrame's), so the final adaptive plan is captured via the
+    // session's ExecutionListenerManager; the listener bus is async, so
+    // drain it (ListenerBridge) before reading the capture.
+    val captured = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.set(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
     names.foreach { n =>
       try {
-        val (shp, sec) = SuiteRehearsal.runOnce(
-          SparkEntry.queries(n)(spark, sfDir))
-        plans(n) = SuiteRehearsal.fmt(shp)
-        if (!localMode)
-          SparkEntry.queries(n)(spark, sfDir).coalesce(1)
-            .write.mode("overwrite").parquet(s"$outDir/$n")
+        captured.set(null)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$n")
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (!org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext))
+          System.err.println(s"[minicluster] $n: listener bus drain timed out")
+        val qe = captured.get()
+        require(qe != null, s"no QueryExecution captured for $n")
+        plans(n) = SuiteRehearsal.fmt(SuiteRehearsal.shape(qe.executedPlan))
         println(f"[minicluster] $n%-26s ok $sec%6.2f s  ${plans(n)}")
       } catch { case e: Throwable =>
         errs(n) = (Option(e.getMessage).getOrElse(e.toString)).take(400)

@@ -9,12 +9,17 @@ run moved ONE counter by 11 bytes). So a counter move between rounds
 IS an engine change — no adjudication needed — and a flat diff on a
 moved wall-clock median is positive proof of tenancy.
 
-Rule: a per-query counter (shuffle write @small, shuffle write @large,
-shuffle read @large, spill @large) is MOVED when BOTH
+Rule: a per-query counter is MOVED when BOTH
   - relative |delta| > 1%                  (compression-dict wiggle), and
-  - absolute |delta| > 16 KiB              (framing/partition-boundary
-                                            jitter floor; the measured
-                                            same-code jitter is <100 B).
+  - absolute |delta| > a per-counter floor:
+      shuffle write @small/@large, shuffle read @large, spill @large:
+        16 KiB (compression framing / partition-boundary jitter; the
+        measured same-code jitter is <100 B)
+      input bytes @small/@large: 2 KiB (scan bytes are deterministic
+        modulo footer-read granularity; the r14 q35_rowid input move —
+        3,946 -> 11,338 B, the withRowId persist materializing full
+        rows — sat below the shuffle floor and went unattributed, the
+        gap this per-counter floor closes).
 Queries present in only one artifact are listed as ADDED/REMOVED (the
 surface is frozen at 82, so either is itself a finding).
 
@@ -28,9 +33,15 @@ import json
 import sys
 
 REL = 0.01
-ABS = 16 * 1024
-
-FIELDS = ["sw_small", "sw_large", "sr_large", "spill_large"]
+# per-counter absolute floors (see module doc)
+FIELDS = {
+    "in_small": 2 * 1024,
+    "in_large": 2 * 1024,
+    "sw_small": 16 * 1024,
+    "sw_large": 16 * 1024,
+    "sr_large": 16 * 1024,
+    "spill_large": 16 * 1024,
+}
 
 
 def load(path):
@@ -51,10 +62,10 @@ def main():
     removed = sorted(set(old) - set(new))
     moved = []
     for q in sorted(set(old) & set(new)):
-        for f in FIELDS:
+        for f, floor in FIELDS.items():
             a, b = old[q].get(f, 0), new[q].get(f, 0)
             delta = b - a
-            if abs(delta) > ABS and abs(delta) > REL * max(a, 1):
+            if abs(delta) > floor and abs(delta) > REL * max(a, 1):
                 moved.append((q, f, a, b, delta))
     if md:
         print("| query | counter | old | new | delta |")
@@ -64,7 +75,7 @@ def main():
         if not moved:
             print(f"| _none_ | all {len(set(old) & set(new))} shared "
                   f"queries x {len(FIELDS)} counters inside the "
-                  f"1%+16KiB band | | | |")
+                  f"per-counter band | | | |")
     else:
         for q, f, a, b, d in moved:
             rel = abs(d) / max(a, 1) * 100
@@ -73,7 +84,7 @@ def main():
         if not moved:
             print(f"no counter moves: {len(set(old) & set(new))} shared "
                   f"queries x {len(FIELDS)} counters inside the band "
-                  f"(rel {REL * 100:.0f}% AND abs {ABS} B)")
+                  f"(rel {REL * 100:.0f}% AND per-counter abs floors)")
     for q in added:
         print(f"ADDED   {q}")
     for q in removed:

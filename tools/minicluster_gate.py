@@ -6,15 +6,17 @@ JVMs, and the one nondeterminism class found in 13 rounds — withRowId
 assignment order — surfaced exactly there).
 
 Pipeline (resumable via --skip-* flags):
-  1. `sbt Test/runMain graft.tools.MiniClusterGate --local` — runs all
-     82 queries on local[8] capturing final-plan operator histograms
-     (the plan-flip comparison baseline; single-JVM values are already
-     the standing CORRECTNESS artifact).
+  1. `sbt Test/runMain graft.tools.MiniClusterGate --local` — executes
+     all 82 queries on local[8] as parquet writes, capturing each
+     write's OWN final-plan operator histogram (the plan-flip
+     comparison baseline; single-JVM values are already the standing
+     CORRECTNESS artifact).
   2. `sbt Test/runMain graft.tools.MiniClusterGate` — starts the
      two-hostname standalone mini cluster (master + 2 worker JVMs
      under the runsc/vm loopback aliases, 4 cores / 4 GiB executor
-     each), runs all 82 queries through their own adaptive
-     QueryExecution, dumps each result parquet in the Verify layout.
+     each); each query executes EXACTLY ONCE as the gated parquet
+     write (Verify layout), and the audited plan is captured from that
+     same execution via QueryExecutionListener.
   3. `tools/check_oracle.py` replays the DuckDB oracles against the
      MULTI-JVM outputs (the same type-aware compare the driver runs).
   4. Merge into MINICLUSTER_rN.json: per query
@@ -33,7 +35,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.01"
 LOCAL_OUT = "/tmp/graft_minicluster/local"
 CLUSTER_OUT = "/tmp/graft_minicluster/cluster"
-ORACLE_LOG = "/tmp/graft_minicluster/oracle.txt"
+
+
+def oracle_log(rnd):
+    # round-suffixed and stored NEXT TO the cluster outputs it grades:
+    # a bare /tmp path survived across rounds, so a --skip-oracle run
+    # could silently grade THIS round's outputs against a STALE oracle
+    # pass (advisor finding r14)
+    return f"{CLUSTER_OUT}/oracle_r{rnd}.txt"
 
 
 def run(cmd, **kw):
@@ -63,17 +72,21 @@ def main():
     ap.add_argument("--skip-oracle", action="store_true")
     a = ap.parse_args()
 
+    log = oracle_log(a.round)
     if not a.skip_local:
         sbt_gate(local=True)
     if not a.skip_cluster:
         sbt_gate(local=False)
     if not a.skip_oracle:
-        with open(ORACLE_LOG, "w") as f:
+        with open(log, "w") as f:
             r = run([sys.executable, "tools/check_oracle.py", SF, CLUSTER_OUT],
                     stdout=f, stderr=subprocess.STDOUT)
         # non-zero exit = per-query failures; still merge so the
         # artifact shows WHICH queries broke across JVMs
-        print(open(ORACLE_LOG).read()[-2000:])
+        print(open(log).read()[-2000:])
+    elif not os.path.exists(log):
+        sys.exit(f"--skip-oracle but no oracle pass for round {a.round} "
+                 f"exists at {log}; run once without --skip-oracle first")
 
     local_plans = json.load(open(f"{LOCAL_OUT}/plans.json"))
     cluster_plans = json.load(open(f"{CLUSTER_OUT}/plans.json"))
@@ -81,7 +94,7 @@ def main():
     cluster_errs = json.load(open(f"{CLUSTER_OUT}/errors.json"))
 
     oracle = {}
-    for line in open(ORACLE_LOG):
+    for line in open(log):
         m = re.match(r"^(q\w+): (OK \(\d+ rows\)|rows-only \(\d+ rows\)|.+)$",
                      line.strip())
         if m:
