@@ -505,8 +505,12 @@ object SparkEntry {
     // ids are deterministic and DuckDB-checkable. Also exercises P4
     // (drop column).
     "q35_rowid" -> ((s, dir) => {
-      graft.ingest.SeriesIngest.withRowId(
-        t(s, dir, "nation").orderBy("n_nationkey"))
+      // withRowIdSorted, not withRowId(df.orderBy(...)): same sort, but
+      // the SORTED form declares the determinism contract (unique key)
+      // — no misuse warning — and elides the full-row persist for this
+      // scan-rooted input (the r14 persist tripled q35's input bytes)
+      graft.ingest.SeriesIngest.withRowIdSorted(
+        t(s, dir, "nation"), Seq("n_nationkey"))
         .drop("n_comment")
         .select(col("row_id"), col("n_nationkey"), col("n_name"))
         .orderBy("row_id")

@@ -197,12 +197,13 @@ object SeriesIngest {
     *     early — LIMIT — skips the check; every id it DID see was still
     *     consistent with the pass-1 offsets.)
     */
-  private def withRowIdUnchecked(df: DataFrame, out: String): DataFrame = {
+  private def withRowIdUnchecked(df: DataFrame, out: String,
+      assumeStable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
     val rdd = df.rdd // Dataset.rdd is a lazy val: both passes see ONE RDD
     if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
-        !stableForRowId(df)) {
+        !assumeStable && !stableForRowId(df)) {
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.core.Materialize.registerOwnedPersist(rdd)
     }
@@ -260,11 +261,23 @@ object SeriesIngest {
     * order, i.e. a UNIQUE key — rows tying on every sort column still
     * land in arrival order within the tie. The sort costs one range
     * exchange; parallelism is preserved (no 1-partition window).
+    *
+    * Persist elision: when the PRE-SORT input is provably
+    * re-evaluation-stable ([[stableForRowId]]), the sorted lineage
+    * cannot shear between the count and assignment passes — the sort's
+    * range exchange is the only exchange, its shuffle output is
+    * computed once and REUSED by both passes (one ShuffleDependency),
+    * and its partition bounds come from seeded sampling of a stable
+    * input — so the persist would only freeze tie order, which the
+    * unique-key contract above already governs. The full-row
+    * materialization is skipped; the per-partition shear backstop
+    * stays. An unstable pre-sort input persists as in [[withRowId]].
     */
   def withRowIdSorted(df: DataFrame, sortCols: Seq[String],
       out: String = "row_id"): DataFrame = {
     require(sortCols.nonEmpty, "withRowIdSorted needs at least one sort column")
-    withRowIdUnchecked(df.sort(sortCols.map(col): _*), out)
+    withRowIdUnchecked(df.sort(sortCols.map(col): _*), out,
+      assumeStable = stableForRowId(df))
   }
 
   /** Positional zip of two equally-ordered frames (the reference's

@@ -200,6 +200,32 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("withRowIdSorted elides the persist for a stable pre-sort input " +
+      "and keeps it for an unstable one (round-14 directive #4: the q35 " +
+      "shape is sort-over-scan)") {
+    // stable pre-sort input: the sort's shuffle output is computed once
+    // and reused by both passes, so no materialization is needed
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val stable = spark.range(0, 400, 1, 8).toDF("v")
+    val got = SeriesIngest.withRowIdSorted(stable, Seq("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq === (1L to 400L))
+    assert(got.sortBy(_._2).map(_._1).toSeq === (0L until 400L),
+      "ids must follow sort-key order")
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "a stable pre-sort input must not be materialized")
+    // unstable pre-sort input (downstream of an aggregate): persist stays
+    val unstable = spark.range(0, 300, 1, 8).toDF("v")
+      .groupBy($"v" % 97).agg(max($"v").as("key"))
+    val res2 = SeriesIngest.withRowIdSorted(unstable, Seq("key"))
+    res2.collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet !== before,
+      "an unstable pre-sort input must still persist")
+    graft.core.Materialize.releaseCheckpoint(res2)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "releaseCheckpoint must free the sorted form's internal persist too")
+  }
+
   test("withRowId warns once (per JVM) when its input plan contains an " +
       "Exchange, and not on scan-shaped inputs") {
     SeriesIngest.resetExchangeWarning()

@@ -256,6 +256,21 @@ class PipelineSpec extends SparkTestBase {
     info(s"exchanges: idCol=${exchanges(outId.queryExecution.executedPlan)} " +
       s"internal=${exchanges(outDefault.queryExecution.executedPlan)}; " +
       s"rdd scans: idCol=$scansId internal=$scansDefault")
+    // the idCol param rides the standard metadata format: a loaded
+    // model must keep the declarative correlation path
+    val dir = java.nio.file.Files.createTempDirectory("graft_knnc_idcol").toString
+    try {
+      modelWithId.write.overwrite().save(dir)
+      val loaded = KnnClassifierModel.load(dir)
+      assert(loaded.getOrDefault(loaded.idCol) === "key",
+        "idCol must round-trip through save/load")
+      assert(collectPreds(loaded.transform(input)) === gotId)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
     graft.core.Materialize.releaseCheckpoint(
       graft.ingest.SeriesIngest.withRowId(input, "__cleanup"))
     graft.ingest.SeriesIngest.resetExchangeWarning()

@@ -58,7 +58,13 @@ object MlClusterProbe {
       .setK(5).setDistance("euclidean").setExcludeZeroDistance(false)),
     Shape("dtw_k3_cartesian", () => new KnnClassifier()
       .setK(3).setDistance("dtw").setBand(2).setStrategy("cartesian")
-      .setExcludeZeroDistance(false)))
+      .setExcludeZeroDistance(false)),
+    // round-15: the user-key correlation path (no withRowId, declarative
+    // join-back) — its join and param persistence must also hold across
+    // process boundaries
+    Shape("euclid_k5_idcol", () => new KnnClassifier()
+      .setK(5).setDistance("euclidean").setExcludeZeroDistance(false)
+      .setIdCol("key")))
 
   private def fitTransform(spark: SparkSession, shape: Shape,
       saveDir: String): Seq[(Long, Double)] = {
