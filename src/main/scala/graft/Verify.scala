@@ -7,7 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k=v;k=v" — session-conf overrides applied AFTER
+    // the defaults, the standing mechanism for the planner-config
+    // robustness matrix (AQE off, codegen fully disabled, ANSI off,
+    // split-size/reader variants) that rounds 11-12 ran by hand
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -17,7 +28,10 @@ object Verify {
       // current testdata ships micros and normalizes via EventTime.nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) =>
+      System.err.println(s"[verify] conf override: $k=$v")
+      b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
