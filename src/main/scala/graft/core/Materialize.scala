@@ -45,14 +45,22 @@ object Materialize {
     * storage for a recompute on later evaluation.)
     */
   def releaseCheckpoint(df: DataFrame): Unit = {
+    // iterative lineage walk (a long iterative-algorithm lineage can be
+    // thousands of RDDs deep; recursion would overflow the stack)
     val seen = scala.collection.mutable.HashSet.empty[Int]
-    def releaseOwned(r: org.apache.spark.rdd.RDD[_]): Unit =
-      if (seen.add(r.id)) {
-        if (ownedPersists.contains(r) &&
-            r.getStorageLevel != StorageLevel.NONE)
-          r.unpersist(blocking = false)
-        r.dependencies.foreach(d => releaseOwned(d.rdd))
+    val stack = scala.collection.mutable.ArrayDeque.empty[org.apache.spark.rdd.RDD[_]]
+    def releaseOwned(root: org.apache.spark.rdd.RDD[_]): Unit = {
+      stack.append(root)
+      while (stack.nonEmpty) {
+        val r = stack.removeLast()
+        if (seen.add(r.id)) {
+          if (ownedPersists.contains(r) &&
+              r.getStorageLevel != StorageLevel.NONE)
+            r.unpersist(blocking = false)
+          r.dependencies.foreach(d => stack.append(d.rdd))
+        }
       }
+    }
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: LogicalRDD =>
         if (lr.rdd.getStorageLevel != StorageLevel.NONE)

@@ -256,6 +256,43 @@ class PipelineSpec extends SparkTestBase {
     info(s"exchanges: idCol=${exchanges(outId.queryExecution.executedPlan)} " +
       s"internal=${exchanges(outDefault.queryExecution.executedPlan)}; " +
       s"rdd scans: idCol=$scansId internal=$scansDefault")
+    // the INFERENCE-SCALE shape: a stable (Range/file-scan-rooted)
+    // input, where the internal-id path already skips its persist — the
+    // idCol path must still strictly drop the RDD round-trip and plan
+    // no more exchanges (the input subtree has no exchange of its own
+    // to re-plan per reference)
+    val stableInput = synthWide(60, 500)
+      .select(col("key"), array(col("f1"), col("f2"), col("f3")).as("series"))
+    val outIdStable = modelWithId.transform(stableInput)
+    val outDefStable = model.transform(stableInput)
+    assert(collectPreds(outIdStable) === collectPreds(outDefStable))
+    // the quantity idCol must not inflate: the planner-inserted
+    // (ENSURE_REQUIREMENTS) exchanges — join-back + vote machinery.
+    // Plain `exchanges` also counts the pair operator's DELIBERATE
+    // small-input spread (RoundRobinPartitioning REPARTITION_BY_NUM),
+    // which appears in the idCol plan because the declarative test
+    // frame arrives narrow where the internal path's RDD scan is
+    // already wide — an O(|test|) slim-row widening knob, not join cost
+    def erExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      flatten(p).count {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          s.shuffleOrigin ==
+            org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS
+        case _ => false
+      }
+    val exIdS = erExchanges(outIdStable.queryExecution.executedPlan)
+    val exDefS = erExchanges(outDefStable.queryExecution.executedPlan)
+    assert(exIdS <= exDefS,
+      s"on a stable input the idCol path must not add planner exchanges " +
+        s"(got $exIdS vs $exDefS)")
+    assert(rddScans(outIdStable.queryExecution.executedPlan) <
+      rddScans(outDefStable.queryExecution.executedPlan),
+      "idCol must drop the RDD round-trip on the stable shape too")
+    info(s"stable input: ENSURE_REQUIREMENTS exchanges idCol=$exIdS " +
+      s"internal=$exDefS; total " +
+      s"idCol=${exchanges(outIdStable.queryExecution.executedPlan)} " +
+      s"internal=${exchanges(outDefStable.queryExecution.executedPlan)}")
+
     // the idCol param rides the standard metadata format: a loaded
     // model must keep the declarative correlation path
     val dir = java.nio.file.Files.createTempDirectory("graft_knnc_idcol").toString
