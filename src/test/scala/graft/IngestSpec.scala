@@ -134,6 +134,27 @@ class IngestSpec extends SparkTestBase {
     SeriesIngest.withRowId(shuffled).collect()
     assert(shuffled.rdd.getStorageLevel !== StorageLevel.NONE,
       "a shuffled input must force the persist")
+
+    // acceptance surface pins: these common shapes are stable and must
+    // STAY on the no-persist path (a regression here is a silent
+    // full-row materialization on hot ingest shapes).
+    // UNION of stable sources: partitions concatenate deterministically
+    val unioned = spark.range(0, 100, 1, 2).toDF("v")
+      .union(spark.range(100, 200, 1, 2).toDF("v"))
+    val uIds = SeriesIngest.withRowId(unioned).collect().map(_.getLong(1))
+    assert(uIds.sorted.toSeq === (1L to 200L))
+    assert(unioned.rdd.getStorageLevel === StorageLevel.NONE,
+      "a union of stable sources must not persist")
+    // BROADCAST join: only a broadcast exchange (streamed-side row
+    // order intact), both sides stable -> no shuffle, no persist
+    val dim = spark.range(0, 10, 1, 1).toDF("k")
+    val joined = spark.range(0, 200, 1, 4).toDF("k")
+      .join(broadcast(dim), "k")
+    val jIds = SeriesIngest.withRowId(joined).collect().map(_.getLong(1))
+    assert(jIds.sorted.toSeq === (1L to 10L),
+      "10 matching keys survive the join")
+    assert(joined.rdd.getStorageLevel === StorageLevel.NONE,
+      "a broadcast join over stable sources must not persist")
     SeriesIngest.resetExchangeWarning()
   }
 
