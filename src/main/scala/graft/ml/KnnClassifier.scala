@@ -191,7 +191,11 @@ object KnnClassifier extends DefaultParamsReadable[KnnClassifier] {
   * reference — `cache()` it first if its upstream is expensive.
   * Without `idCol`, transform assigns an internal row id, which
   * materializes the input once per call when its lineage is not
-  * provably re-evaluation-stable.
+  * provably re-evaluation-stable; in a long-lived session, free that
+  * materialization eagerly with
+  * `graft.core.Materialize.releaseCheckpoint(result)` once the result
+  * is consumed (it releases only graft-owned persists, and the frame
+  * stays evaluable — it recomputes).
   *
   * Persistence ([[MLWritable]]): params via the standard metadata
   * format, the training set as parquet under `path/data` — the
