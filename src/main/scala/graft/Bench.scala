@@ -61,7 +61,30 @@ private[graft] final class BenchListener extends SparkListener {
   * numbers are isolated-window by policy rather than by trigger.
   * Cross-round movers are re-measured next (largest move first) — they
   * are the regression signal; spread-only suspects follow and may be
-  * dropped by the budget in a loud window. Knobs:
+  * dropped by the budget in a loud window.
+  *
+  * MEASUREMENT-PROTOCOL ASYMMETRY (documented, deliberate): headliners
+  * and re-measured suspects publish isolated-window medians while
+  * untriggered queries publish suite-window medians — two different
+  * tenancy protocols in one artifact. The per-query `rm`/`sm`/`hl`
+  * exec-map fields keep it auditable, and the FINAL total line now
+  * carries a compact `"prov"` object (round-15 directive #1: the
+  * driver's artifact keeps only the last 2000 stdout chars, which
+  * truncates the exec line, so the total line must be self-describing):
+  *   `"hl"` — comma-joined short names (the prefix before the first
+  *     `_`; full name on a prefix collision) of headline queries whose
+  *     official value IS an isolated median, or `"off"` when a headline
+  *     allowlist was configured but the re-measurement pass is disabled
+  *     (SPARK_GRAFT_RUNS=1 / SPARK_GRAFT_REMEASURE_RUNS=0 — headliners
+  *     then publish suite medians, and stderr warns loudly);
+  *   `"im"` — hex bitmask, MSB-first over THIS line's `queries` keys in
+  *     order (alphabetical), bit=1 when that query's official value is
+  *     an isolated-window median; popcount(im) = the re-measured count.
+  * The total line must survive the 2000-char tail INTACT (truncation
+  * eats its FRONT, losing `"value"`), so the prov object degrades
+  * in tiers when the line would overflow: full (hl+im) -> count-only
+  * (hl+rm) -> absent; the untruncated artifact always carries the full
+  * form plus the per-query exec detail. Knobs:
   * SPARK_GRAFT_RUNS (3), SPARK_GRAFT_REMEASURE_RUNS (5; 0 disables, and
   * SPARK_GRAFT_RUNS=1 disables implicitly), SPARK_GRAFT_REMEASURE_SPREAD
   * (0.45), SPARK_GRAFT_REMEASURE_BUDGET (150 s of extra measured time;
@@ -137,6 +160,45 @@ object Bench {
     env.getOrElse(
       "q25_knn_dtw_pruned,q26_har_model2_1nn,q32_multimodal_ann,q50_tfidf")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Compact measurement-provenance fragment for the final total line
+    * (see the object doc). `sortedNames` must be the exact key order of
+    * the line's `queries` map; `isolated` the queries whose official
+    * value is an isolated-window median; `hlIsolated` the headline
+    * queries among them (order preserved); `hlDisabled` true when a
+    * headline allowlist was configured but the re-measurement pass is
+    * off. Empty string when there is nothing to declare.
+    */
+  private[graft] def provenanceFragment(sortedNames: Seq[String],
+      isolated: Set[String], hlIsolated: Seq[String],
+      hlDisabled: Boolean, countOnly: Boolean = false): String = {
+    if (isolated.isEmpty && !hlDisabled) return ""
+    def short(n: String): String = {
+      val s = n.takeWhile(_ != '_')
+      // a prefix shared by two headliners would be ambiguous: full name
+      if (hlIsolated.count(_.takeWhile(_ != '_') == s) > 1) n else s
+    }
+    val hl = if (hlDisabled) "off" else hlIsolated.map(short).mkString(",")
+    if (countOnly)
+      s""","prov":{"hl":"$hl","rm":${isolated.size}}"""
+    else {
+      val bits = sortedNames.map(n => if (isolated(n)) 1 else 0)
+      val padded = bits ++ Seq.fill((4 - bits.size % 4) % 4)(0)
+      val hex = padded.grouped(4)
+        .map(g => Integer.toHexString(g(0) * 8 + g(1) * 4 + g(2) * 2 + g(3)))
+        .mkString
+      s""","prov":{"hl":"$hl","im":"$hex"}"""
+    }
+  }
+
+  /** First candidate whose rendering fits the tail cap; the last one
+    * regardless when none fit (callers end the tier list with a
+    * fragment that always fits, e.g. "").
+    */
+  private[graft] def firstFitting(render: String => String,
+      tiers: Seq[String], cap: Int): String =
+    tiers.map(render).find(_.length <= cap)
+      .getOrElse(render(tiers.last))
 
   /** The comparison band for cross-round movement: benchdiff's rule —
     * the wider of the two windows' measured noise, floored at the
@@ -350,6 +412,21 @@ object Bench {
     val rmBudgetSec = sys.env.get("SPARK_GRAFT_REMEASURE_BUDGET")
       .flatMap(_.toDoubleOption).getOrElse(150.0)
     var rmSpent = 0.0
+    // Headline-disabled marker (round-15 advisory): with the
+    // re-measurement pass off (SPARK_GRAFT_RUNS=1 or
+    // SPARK_GRAFT_REMEASURE_RUNS=0) the "ALWAYS isolated" headline
+    // policy cannot run — headliners silently published suite medians
+    // with no marker. Now: loud stderr here, "hl":"off" in the
+    // artifact's prov object below.
+    val hlConfigured = headlineNames(sys.env.get("SPARK_GRAFT_HEADLINE"))
+      .filter(n => results.exists(_.name == n))
+    val hlDisabled = rmRuns == 0 && hlConfigured.nonEmpty
+    if (hlDisabled)
+      System.err.println("[bench] WARNING: headline allowlist " +
+        s"(${hlConfigured.mkString(",")}) is configured but the " +
+        "re-measurement pass is disabled (SPARK_GRAFT_RUNS=1 or " +
+        "SPARK_GRAFT_REMEASURE_RUNS=0): headline queries publish " +
+        "SUITE-window medians this run; the artifact marks \"hl\":\"off\"")
     if (rmRuns > 0) {
       // Trigger 2 inputs: the prior round's official medians, and the
       // comparison band (benchdiff's rule — the wider of the two
@@ -381,8 +458,7 @@ object Bench {
       // Headline pass: always isolated, first, outside the suspect
       // budget — the official number for these queries is the isolated
       // median BY POLICY (see the object doc).
-      val hl = headlineNames(sys.env.get("SPARK_GRAFT_HEADLINE"))
-        .filter(byName.contains)
+      val hl = hlConfigured.filter(byName.contains)
       if (hl.nonEmpty)
         System.err.println(s"[bench] headline allowlist (always isolated, " +
           s"budget-exempt): ${hl.mkString(",")}")
@@ -427,7 +503,18 @@ object Bench {
     // rehearsal tooling's --json path)
     def num(v: Double, prec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    val qs = results.map(q => "\"" + q.name + "\":" + num(q.median, 2))
+    // trailing-zero trim on the tail-constrained line only ("0.60" ->
+    // "0.6", "3.00" -> "3"): same 10 ms resolution, a few chars of the
+    // 2000-char tail budget back for the prov object
+    def numTrim(v: Double): String = {
+      val s = num(v, 2)
+      if (!s.contains('.')) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      }
+    }
+    val qs = results.map(q => "\"" + q.name + "\":" + numTrim(q.median))
       .mkString("{", ",", "}")
     val qsFull = results.map(q => "\"" + q.name + "\":" + num(q.median, 3))
       .mkString("{", ",", "}")
@@ -478,13 +565,21 @@ object Bench {
     // the timings line must stay comfortably inside the 2000-char tail
     val totalStr = num(total, 3)
     val sfTier = sfDir.split('/').lastOption.getOrElse(sfDir)
-    // Final-line length budget: the r11 line measured 1930 of the
-    // driver's 2000-char tail. value_min is ~20 chars; single_run and
-    // remeasured print only when nonzero (their zero is the common case
-    // and the full artifact always carries the per-query detail).
-    val condensed = (if (singleRunCount > 0) s""","single_run":$singleRunCount""" else "") +
-      (if (remeasuredCount > 0) s""","remeasured":$remeasuredCount""" else "")
-    val full = s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"remeasured":$remeasuredCount,"noise":$noiseStr,"sf":"$sfDir"}"""
+    // Final-line length budget: the r15 line measured 1958 of the
+    // driver's 2000-char tail, and truncation eats the line's FRONT
+    // (losing "value"), so the line is assembled against a hard cap:
+    // the prov object degrades full -> count-only -> absent until it
+    // fits ("remeasured" folded into prov — popcount(im) — rather than
+    // printed twice; single_run prints only when nonzero, its zero is
+    // the common case; the full artifact always carries everything).
+    val condensed = (if (singleRunCount > 0) s""","single_run":$singleRunCount""" else "")
+    val isolatedNames = results.filter(_.remeasured > 0).map(_.name).toSet
+    val hlIsolated = results.filter(q => q.hl && q.remeasured > 0).map(_.name)
+    val provFull = provenanceFragment(results.map(_.name), isolatedNames,
+      hlIsolated, hlDisabled)
+    val provCount = provenanceFragment(results.map(_.name), isolatedNames,
+      hlIsolated, hlDisabled, countOnly = true)
+    val full = s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"remeasured":$remeasuredCount$provFull,"noise":$noiseStr,"sf":"$sfDir"}"""
     // The full JSON (exec map with scheduler counts, per-run spreads)
     // also lands in a FILE by default — the driver's official artifact
     // keeps only the last 2000 stdout chars, which truncates the exec
@@ -519,6 +614,12 @@ object Bench {
       System.err.println(s"[bench] post-run cleanup failed: ${e.getMessage}")
     }
     println(s"""{"metric":"exec","exec":$plan}""")
-    println(s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qs$condensed,"noise":$noiseStr,"sf":"$sfTier"}""")
+    // cap 1995: the line + its newline must sit fully inside the
+    // driver's last-2000-chars window even when it is the very last
+    // stdout content
+    val totalLine = firstFitting(
+      prov => s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qs$condensed$prov,"noise":$noiseStr,"sf":"$sfTier"}""",
+      Seq(provFull, provCount, ""), cap = 1995)
+    println(totalLine)
   }
 }

@@ -40,16 +40,40 @@ object Materialize {
     *
     * ONLY call this when `df` (and every frame derived from it) will
     * never be evaluated again: local checkpoints have no lineage to
-    * recompute from, so a released frame is unrecoverable by design.
+    * recompute from, so a released frame is unrecoverable by design —
+    * and EVERY persisted LogicalRDD leaf in the lineage is freed,
+    * INCLUDING ones the caller (or a fitted model) still needs. A
+    * KnnClassifierModel transform result carries the model's
+    * checkpointed train set as exactly such a leaf; releasing the
+    * result through here kills the model (round-16 finding — the
+    * cacheInput spec caught it). For a result that merely CONTAINS
+    * graft-internal persists, use [[releaseOwned]], which frees only
+    * registry members and can never break anything else.
     * (Graft-owned persists DO keep lineage — releasing them trades
     * storage for a recompute on later evaluation.)
     */
-  def releaseCheckpoint(df: DataFrame): Unit = {
+  def releaseCheckpoint(df: DataFrame): Unit =
+    release(df, includeCheckpointLeaves = true)
+
+  /** Free ONLY the graft-owned internal persists
+    * ([[registerOwnedPersist]]: withRowId's persist-before-count,
+    * Tfidf's tf table, KnnClassifier's cacheInput) reachable from
+    * `df`'s lineage. Safe on any frame at any time: never touches a
+    * caller persist or a model's localCheckpoint, and owned persists
+    * keep lineage, so a later evaluation of `df` recomputes instead of
+    * failing. This is the right release for the RESULT of an operator
+    * that materialized something internally; [[releaseCheckpoint]] is
+    * for a checkpointed frame that is itself terminal.
+    */
+  def releaseOwned(df: DataFrame): Unit =
+    release(df, includeCheckpointLeaves = false)
+
+  private def release(df: DataFrame, includeCheckpointLeaves: Boolean): Unit = {
     // iterative lineage walk (a long iterative-algorithm lineage can be
     // thousands of RDDs deep; recursion would overflow the stack)
     val seen = scala.collection.mutable.HashSet.empty[Int]
     val stack = scala.collection.mutable.ArrayDeque.empty[org.apache.spark.rdd.RDD[_]]
-    def releaseOwned(root: org.apache.spark.rdd.RDD[_]): Unit = {
+    def releaseOwnedWalk(root: org.apache.spark.rdd.RDD[_]): Unit = {
       stack.append(root)
       while (stack.nonEmpty) {
         val r = stack.removeLast()
@@ -63,9 +87,10 @@ object Materialize {
     }
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: LogicalRDD =>
-        if (lr.rdd.getStorageLevel != StorageLevel.NONE)
+        if (includeCheckpointLeaves &&
+            lr.rdd.getStorageLevel != StorageLevel.NONE)
           lr.rdd.unpersist(blocking = false)
-        releaseOwned(lr.rdd)
+        releaseOwnedWalk(lr.rdd)
       case _ => ()
     }
   }

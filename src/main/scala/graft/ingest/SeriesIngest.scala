@@ -112,7 +112,7 @@ object SeriesIngest {
         case p => p
       }
       containsShuffle(phys)
-    } catch { case _: Throwable => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** Whether `df` re-evaluates IDENTICALLY (same rows, same
@@ -123,15 +123,28 @@ object SeriesIngest {
     *
     * Three conjuncts, each guarding a distinct way a recomputation can
     * diverge:
-    *  - every leaf is a STABLE source — a file relation (parquet/CSV/
+    *  - every leaf is a STABLE source — a FILE relation (parquet/CSV/
     *    JSONL/ORC scans have a stable row order per split and
     *    deterministic split planning), a LocalRelation (literal rows),
-    *    or a Range. A LogicalRDD wraps an arbitrary caller RDD whose
-    *    re-evaluation can differ (the IngestSpec shrinking-partition
-    *    input is exactly that), so it fails the gate unless already
-    *    persisted by the caller;
+    *    or a Range. "File" is checked, not assumed: a v1
+    *    LogicalRelation qualifies only when it wraps a
+    *    HadoopFsRelation and a v2 ScanRelation only when its scan is a
+    *    FileScan — the LEAF CLASSES also cover JDBC and arbitrary
+    *    connector reads, whose within-partition row order is NOT
+    *    deterministic across evaluations (a JDBC result set has
+    *    whatever order the database felt like today). A LogicalRDD
+    *    wraps an arbitrary caller RDD whose re-evaluation can differ
+    *    (the IngestSpec shrinking-partition input is exactly that), so
+    *    it fails the gate unless already persisted by the caller;
     *  - every expression in the plan is deterministic (a rand() filter
-    *    keeps a different subset per evaluation);
+    *    keeps a different subset per evaluation) and NO expression
+    *    embeds a subquery: a plan nested in a SubqueryExpression is
+    *    not reached by the outer traversal OR by planHasShuffle's
+    *    physical walk, and its value can shift between evaluations in
+    *    ways the expression-level `deterministic` flag cannot see (an
+    *    order-sensitive aggregate like `first()` downstream of a
+    *    shuffle is flagged deterministic but is fetch-order-dependent
+    *    across executor JVMs) — so any subquery fails closed;
     *  - the physical plan is Exchange-free: reduce-side fetch ARRIVAL
     *    order varies run to run across executor JVMs, so two
     *    evaluations downstream of a shuffle can order rows differently
@@ -142,9 +155,12 @@ object SeriesIngest {
     try {
       val opt = df.queryExecution.optimizedPlan
       val stableLeaves = opt.collectLeaves().forall {
-        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
-        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          sr.scan.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.FileScan]
         case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
         case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -152,10 +168,13 @@ object SeriesIngest {
         case _ => false
       }
       stableLeaves &&
-        opt.collect { case p => p }
-          .forall(_.expressions.forall(_.deterministic)) &&
+        opt.collect { case p => p }.forall(_.expressions.forall { e =>
+          e.deterministic && e.collectFirst {
+            case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => ()
+          }.isEmpty
+        }) &&
         !planHasShuffle(df)
-    } catch { case _: Throwable => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** [[withRowId]] minus the Exchange misuse warning — for callers that
     * have already established an order ([[withRowIdSorted]]'s global
@@ -183,7 +202,7 @@ object SeriesIngest {
     *     lineage pins the input) is garbage-collected; for a long-lived
     *     session that cannot wait for driver GC (executor storage is
     *     invisible to driver heap pressure),
-    *     [[graft.core.Materialize.releaseCheckpoint]] on the RESULT
+    *     [[graft.core.Materialize.releaseOwned]] on the RESULT
     *     frame frees them eagerly (the persist is registered as
     *     graft-owned, so release never touches caller-persisted RDDs).
     *     Lineage is kept, so an evicted block recomputes rather than

@@ -57,13 +57,29 @@ private[ml] trait KnnClassifierParams extends Params {
   final val idCol = new Param[String](this, "idCol",
     "optional UNIQUE id column in transform input; when set, transform " +
       "correlates predictions through it directly — no internal row-id " +
-      "materialization (empty = assign internal row ids)")
+      "materialization (empty = assign internal row ids). Contract: ids " +
+      "must be unique and non-null — rows sharing an id are merged into " +
+      "ONE vote group (silently wrong predictions), rows with a null id " +
+      "are never matched by the join-back (null prediction); set " +
+      "spark.sql conf spark.graft.knn.validateIdCol=true to assert " +
+      "uniqueness per transform (one extra aggregate over the input)")
+  final val cacheInput = new BooleanParam(this, "cacheInput",
+    "materialize the transform input once (graft-owned persist) on the " +
+      "idCol path — the input lineage is otherwise referenced twice " +
+      "(classification + join-back) and recomputes per reference; turn " +
+      "on when the upstream is expensive, free the blocks eagerly with " +
+      "graft.core.Materialize.releaseOwned(result) once consumed " +
+      "(lineage is kept: a released frame recomputes, never fails). " +
+      "Trade: the input is pinned through an RDD materialization, so " +
+      "scan pushdown/columnar execution stop at the persist boundary. " +
+      "Ignored without idCol (the internal-id path already materializes " +
+      "via withRowId when the lineage is not provably stable)")
 
   setDefault(k -> 1, distance -> "euclidean", strategy -> "auto",
     band -> -1, radius -> 1, excludeZeroDistance -> true,
     lbPruning -> false, candidateFactor -> 4,
     featuresCol -> "features", labelCol -> "label",
-    predictionCol -> "prediction", idCol -> "")
+    predictionCol -> "prediction", idCol -> "", cacheInput -> false)
 
   private[ml] def knnParams: KnnParams = KnnParams(
     k = $(k), distance = $(distance), strategy = $(strategy),
@@ -156,6 +172,7 @@ class KnnClassifier(override val uid: String)
   def setLabelCol(value: String): this.type = set(labelCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setIdCol(value: String): this.type = set(idCol, value)
+  def setCacheInput(value: Boolean): this.type = set(cacheInput, value)
 
   override def fit(dataset: Dataset[_]): KnnClassifierModel = {
     transformSchema(dataset.schema)
@@ -183,17 +200,22 @@ object KnnClassifier extends DefaultParamsReadable[KnnClassifier] {
   * label, [[Knn.classify]] semantics: votes desc, then best rank, then
   * smallest label) to the input, preserving every input column.
   *
-  * Inference-scale knob: set `idCol` to a UNIQUE key of the transform
-  * input to correlate predictions through the caller's own column —
-  * the input plan stays declarative (columnar scan, pushdown, no RDD
-  * round-trip and no per-call input materialization). The input is
-  * referenced twice (classification + join-back) and recomputes per
-  * reference — `cache()` it first if its upstream is expensive.
+  * Inference-scale knob: set `idCol` to a UNIQUE, NON-NULL key of the
+  * transform input to correlate predictions through the caller's own
+  * column — the input plan stays declarative (columnar scan, pushdown,
+  * no RDD round-trip and no per-call input materialization). Duplicate
+  * ids merge distinct rows into one vote group (wrong predictions);
+  * null ids surface with a null prediction;
+  * `spark.graft.knn.validateIdCol=true` asserts the contract per
+  * transform. The input is referenced twice (classification +
+  * join-back) and recomputes per reference — `setCacheInput(true)` to
+  * materialize it once (graft-owned persist, freed eagerly via
+  * `Materialize.releaseOwned(result)`), or `cache()` it yourself.
   * Without `idCol`, transform assigns an internal row id, which
   * materializes the input once per call when its lineage is not
   * provably re-evaluation-stable; in a long-lived session, free that
   * materialization eagerly with
-  * `graft.core.Materialize.releaseCheckpoint(result)` once the result
+  * `graft.core.Materialize.releaseOwned(result)` once the result
   * is consumed (it releases only graft-owned persists, and the frame
   * stays evaluable — it recomputes).
   *
@@ -212,6 +234,7 @@ class KnnClassifierModel private[ml] (
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setIdCol(value: String): this.type = set(idCol, value)
+  def setCacheInput(value: Boolean): this.type = set(cacheInput, value)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     // Fail fast with a routable message: the row-id path below calls
@@ -231,10 +254,55 @@ class KnnClassifierModel private[ml] (
       // no RDD round-trip, no withRowId persist (at inference scale the
       // internal-id path materializes the WHOLE input per transform
       // call), columnar scan + pushdown preserved on the join-back left
-      // side. Uniqueness is the caller's contract (same as any join
-      // key): a duplicated id would fan out the join-back.
-      val test = df.select(col($(idCol)).as("test_id"),
-        seriesColumn(df.schema).as("test_series"))
+      // side. Uniqueness AND non-nullness are the caller's contract,
+      // and the failure modes differ from a plain join key's:
+      //  - DUPLICATE ids are merged by Knn.classify's per-test_id vote
+      //    group (distinct rows pool their neighbor candidates into one
+      //    top-k), producing silently WRONG predictions — not a mere
+      //    join-back fan-out;
+      //  - NULL ids form one merged null vote group whose prediction
+      //    the join-back never matches (USING-join equality is
+      //    null-rejecting), so null-id rows surface with a NULL
+      //    prediction.
+      // spark.graft.knn.validateIdCol=true trades one aggregate over
+      // the input for a loud failure on either breach.
+      val base = if ($(cacheInput)) {
+        // opt-in single evaluation: the input is referenced twice below
+        // (classification + join-back); persist its RDD graft-owned so
+        // both references read ONE materialization. EAGER (count()):
+        // the two references sit under one action whose independent
+        // subtrees AQE schedules concurrently, and a cold persist lets
+        // them RACE to compute the same partitions (duplicated upstream
+        // work — the exact cost the knob exists to remove); warming the
+        // blocks first makes single evaluation true by construction.
+        // Lineage is kept (eviction recomputes); the caller frees the
+        // blocks eagerly with Materialize.releaseOwned(result).
+        val rdd = df.rdd
+        if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.core.Materialize.registerOwnedPersist(rdd)
+          rdd.count()
+        }
+        df.sparkSession.createDataFrame(rdd, df.schema)
+      } else df
+      if (df.sparkSession.conf.get(
+          "spark.graft.knn.validateIdCol", "false").toBoolean) {
+        val c = base.agg(
+          count(col($(idCol))).as("cnt"),
+          count_distinct(col($(idCol))).as("dst"),
+          count(lit(1)).as("total")).head()
+        require(c.getLong(0) == c.getLong(1),
+          s"idCol '${$(idCol)}' is not unique: ${c.getLong(0)} non-null " +
+            s"rows over ${c.getLong(1)} distinct ids — duplicate ids " +
+            "merge distinct rows into one vote group and produce wrong " +
+            "predictions")
+        if (c.getLong(2) > c.getLong(0))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"idCol '${$(idCol)}': ${c.getLong(2) - c.getLong(0)} rows " +
+              "carry a null id and will surface with a null prediction")
+      }
+      val test = base.select(col($(idCol)).as("test_id"),
+        seriesColumn(base.schema).as("test_series"))
       val preds = Knn.classify(train, test, knnParams)
         .select(col("test_id").as($(idCol)),
           col("predicted_label").as($(predictionCol)))
@@ -242,8 +310,8 @@ class KnnClassifierModel private[ml] (
       // side is post-aggregate with untrustworthy size estimates. The
       // trailing select restores the input column order (a USING join
       // fronts the join key) so both paths emit the same shape.
-      df.hint("merge").join(preds, Seq($(idCol)), "left")
-        .select((df.columns.map(col) :+ col($(predictionCol))).toIndexedSeq: _*)
+      base.hint("merge").join(preds, Seq($(idCol)), "left")
+        .select((base.columns.map(col) :+ col($(predictionCol))).toIndexedSeq: _*)
     } else {
       val idC = "__graft_knn_test_id"
       // withRowId (not a bare monotonic id): the id-annotated frame is

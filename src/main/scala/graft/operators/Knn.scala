@@ -72,13 +72,13 @@ object Knn {
     val floor =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         conf.get("spark.graft.knn.broadcastFloor", "64m"))
-      catch { case _: Throwable => 67108864L }
+      catch { case scala.util.control.NonFatal(_) => 67108864L }
     val threshold =
       try {
         val s = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         if (s.trim.startsWith("-")) -1L
         else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
-      } catch { case _: Throwable => 10485760L }
+      } catch { case scala.util.control.NonFatal(_) => 10485760L }
     // -1 is Spark's documented "broadcast disabled": honor it (an
     // explicit strategy="broadcast" still overrides via useBroadcast)
     if (threshold < 0) return false

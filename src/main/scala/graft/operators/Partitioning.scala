@@ -118,10 +118,10 @@ object Partitioning {
     val openCost =
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
-    val files = try df.inputFiles.length.toLong catch { case _: Throwable => 0L }
+    val files = try df.inputFiles.length.toLong catch { case scala.util.control.NonFatal(_) => 0L }
     val statBytes =
       try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
-      catch { case _: Throwable => BigInt(Long.MaxValue) }
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     val estPartitions =
       if (files > 0L)
         ((statBytes + BigInt(files * openCost)) / maxPart).min(BigInt(Int.MaxValue)).toLong + 1L
@@ -141,7 +141,7 @@ object Partitioning {
         viaLeaf.getOrElse(
           if (statBytes < BigInt(maxPart) * t) 1L // small in-memory frame
           else try df.rdd.getNumPartitions.toLong
-          catch { case _: Throwable => Long.MaxValue })
+          catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
       }
     if (estPartitions >= t) df else df.repartition(t)
   }

@@ -154,4 +154,55 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq("q1_filter_project", "q4_agg"),
       "a custom list parses with whitespace tolerance")
   }
+
+  test("provenanceFragment: MSB-first hex bitmask over the queries-map " +
+      "key order, short headline names, off/empty/count-only forms " +
+      "(round-15 directive #1)") {
+    val names = Seq("q1_agg", "q25_knn_dtw_pruned", "q26_har_model2_1nn",
+      "q3_window", "q50_tfidf")
+    // isolated = positions 1,2,4 -> bits 01101, padded to 01101000+ ->
+    // nibbles 0110 1 -> "01101" pad to 8 bits "01101000" = 0x68
+    val frag = Bench.provenanceFragment(names,
+      Set("q25_knn_dtw_pruned", "q26_har_model2_1nn", "q50_tfidf"),
+      Seq("q25_knn_dtw_pruned", "q26_har_model2_1nn", "q50_tfidf"),
+      hlDisabled = false)
+    assert(frag === ""","prov":{"hl":"q25,q26,q50","im":"68"}""",
+      s"got: $frag")
+    // popcount(im) = the re-measured count: 0x68 = 01101000 -> 3 bits
+    assert(Integer.bitCount(Integer.parseInt("68", 16)) === 3)
+    // count-only degrade tier keeps hl and the count, drops the mask
+    val count = Bench.provenanceFragment(names,
+      Set("q25_knn_dtw_pruned", "q50_tfidf"), Seq("q50_tfidf"),
+      hlDisabled = false, countOnly = true)
+    assert(count === ""","prov":{"hl":"q50","rm":2}""", s"got: $count")
+    // a shared short prefix among headliners falls back to full names
+    val collide = Bench.provenanceFragment(
+      Seq("q9_a_x", "q9_b_y"), Set("q9_a_x", "q9_b_y"),
+      Seq("q9_a_x", "q9_b_y"), hlDisabled = false, countOnly = true)
+    assert(collide === ""","prov":{"hl":"q9_a_x,q9_b_y","rm":2}""",
+      "ambiguous prefixes must print in full")
+    // headline-allowlist-configured-but-remeasure-disabled: "off"
+    // (round-15 advisory: SPARK_GRAFT_RUNS=1 silently skipped the
+    // 'always isolated' policy with no marker)
+    val off = Bench.provenanceFragment(names, Set.empty, Seq.empty,
+      hlDisabled = true)
+    assert(off === ""","prov":{"hl":"off","im":"00"}""", s"got: $off")
+    // nothing to declare -> nothing printed
+    assert(Bench.provenanceFragment(names, Set.empty, Seq.empty,
+      hlDisabled = false) === "")
+  }
+
+  test("firstFitting: the total line degrades prov tiers until it fits " +
+      "the tail cap, never truncating from the front") {
+    def render(prov: String): String = "HEAD" + prov + "TAIL"
+    assert(Bench.firstFitting(render, Seq("-longest-", "-mid-", ""), 30) ===
+      "HEAD-longest-TAIL", "the full tier wins when it fits")
+    assert(Bench.firstFitting(render, Seq("-longest-", "-mid-", ""), 14) ===
+      "HEAD-mid-TAIL", "an overflowing tier degrades to the next")
+    assert(Bench.firstFitting(render, Seq("-longest-", "-mid-", ""), 10) ===
+      "HEADTAIL", "the empty tier always fits")
+    assert(Bench.firstFitting(render, Seq("-a-"), 2) === "HEAD-a-TAIL",
+      "when nothing fits the last tier still renders (callers end " +
+        "with one that always fits)")
+  }
 }

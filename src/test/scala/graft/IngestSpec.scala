@@ -334,4 +334,48 @@ class IngestSpec extends SparkTestBase {
     assert(out(0).getDouble(2) === 1.0)
     assert(out(2).getDouble(2) === 1.0)
   }
+
+  test("stableForRowId fails closed on non-file relations and subqueries " +
+      "(round-15 advisory: the leaf CLASSES also cover JDBC/connector " +
+      "reads whose row order is not re-evaluation-stable)") {
+    // a v1 LogicalRelation that is NOT a HadoopFsRelation: a custom
+    // RelationProvider (the JDBC/connector shape) — the class name alone
+    // must not pass the gate
+    val nonFile = spark.read
+      .format(classOf[graft.testsources.UnstableRelationProvider].getName)
+      .load()
+    assert(nonFile.queryExecution.optimizedPlan.collectLeaves().exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+      "test premise: the custom source must plan as a v1 LogicalRelation")
+    assert(!SeriesIngest.stableForRowId(nonFile),
+      "a non-HadoopFs LogicalRelation (JDBC class) must fail the " +
+        "stability gate — its within-partition row order can differ " +
+        "per evaluation, and with the persist elided the shear " +
+        "backstop never fires (ids silently attach to wrong rows)")
+    // ... and withRowId on it still emits exactly 1..N (persist path)
+    val got = SeriesIngest.withRowId(nonFile).collect()
+    assert(got.map(_.getLong(1)).sorted.toSeq === (1L to 20L),
+      "the persist path must still assign exactly 1..N")
+    // a subquery expression fails closed even over stable file-free
+    // shapes: its plan is reached by neither the outer expression walk
+    // nor planHasShuffle, and order-sensitive aggregates inside it are
+    // flagged deterministic while being fetch-order-dependent
+    spark.range(0, 50, 1, 4).toDF("v").createOrReplaceTempView("ing_sub_t")
+    val sub = spark.sql(
+      "SELECT v FROM ing_sub_t WHERE v <= (SELECT max(v) FROM ing_sub_t)")
+    assert(sub.queryExecution.optimizedPlan.expressions.exists(_.collectFirst {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => ()
+    }.isDefined) || sub.queryExecution.optimizedPlan.collect { case p => p }
+      .exists(_.expressions.exists(_.collectFirst {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => ()
+      }.isDefined)),
+      "test premise: the scalar subquery must survive optimization")
+    assert(!SeriesIngest.stableForRowId(sub),
+      "a plan with a subquery expression must fail the stability gate")
+    // the plain stable acceptance surface is untouched (pinned above in
+    // the directive-#4 test; spot-check the parquet shape here too)
+    val pq = spark.read.parquet(s"$sf001/nation.parquet")
+    assert(SeriesIngest.stableForRowId(pq.select(col("n_nationkey"))),
+      "a parquet scan must still pass the gate")
+  }
 }

@@ -8,6 +8,14 @@ import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Static eval counter for the cacheInput single-evaluation pin (same
+  * local-mode pattern as IngestSpec: executors share the driver JVM).
+  */
+object PipelineSpec {
+  val evalCounts = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.util.concurrent.atomic.AtomicInteger]()
+}
+
 /** The MLlib `Estimator`/`Model` veneer (round-13 directive #3: the
   * reference's declared approach is "MLlib + custom transformers", so
   * the engine's KNN must run INSIDE a real `Pipeline` — the q37
@@ -330,6 +338,118 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("StreamingClassify.classifyStream1NN"),
       s"the error must route to the streaming surface, got: ${e.getMessage}")
+    model.release()
+  }
+
+  test("cacheInput evaluates an expensive upstream exactly once on the " +
+      "idCol path, graft-owned and eagerly releasable (round-15 " +
+      "directive #4)") {
+    val train = synthWide(80, 0)
+      .select(col("key"), col("label"),
+        array(col("f1"), col("f2"), col("f3")).as("series"))
+    val model = new KnnClassifier().setK(3).setFeaturesCol("series")
+      .setExcludeZeroDistance(false).setIdCol("key").fit(train)
+
+    val nParts = 4
+    def expensiveInput(): DataFrame = {
+      PipelineSpec.evalCounts.clear()
+      val rdd = spark.sparkContext.parallelize(0 until 40, nParts)
+        .mapPartitionsWithIndex { case (i, it) =>
+          PipelineSpec.evalCounts
+            .computeIfAbsent(i, _ => new java.util.concurrent.atomic.AtomicInteger())
+            .incrementAndGet()
+          it.map { j =>
+            org.apache.spark.sql.Row(j.toLong + 500,
+              Array((j % 2 * 100 + j * 37 % 19).toDouble,
+                (j % 2 * 100 + j * 53 % 23).toDouble,
+                (j % 2 * 100 + j * 71 % 29) / 7.0))
+          }
+        }
+      spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("series",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true))))
+    }
+    def evals: Int =
+      PipelineSpec.evalCounts.values().stream().mapToInt(_.get()).sum()
+
+    // WITHOUT the knob: the documented trade — the input lineage is
+    // referenced twice (classification + join-back) and recomputes per
+    // reference
+    val plain = expensiveInput()
+    val gotPlain = collectPreds(model.transform(plain))
+    val plainEvals = evals
+    assert(plainEvals > nParts,
+      s"test premise: the uncached idCol path recomputes the upstream " +
+        s"per reference (got $plainEvals evaluations over $nParts partitions)")
+
+    // WITH the knob: one evaluation, one new graft-owned persist
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val cachedIn = expensiveInput()
+    val modelCached = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setCacheInput(true)
+    val outCached = modelCached.transform(cachedIn)
+    val gotCached = collectPreds(outCached)
+    assert(evals === nParts,
+      "cacheInput must evaluate the upstream exactly once (eager warm: " +
+        "no cold-persist race between the join-back and classification " +
+        "subtrees)")
+    assert(gotCached === gotPlain, "the knob must not change predictions")
+    val newPersists =
+      spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(newPersists.nonEmpty, "cacheInput must persist the input")
+    // eager release through the result: releaseOwned frees ONLY the
+    // graft-owned input persist — NOT the model's localCheckpointed
+    // train set, which sits in the same result lineage and has no
+    // lineage to recompute from (releaseCheckpoint on this frame would
+    // kill the model — the round-16 finding that split the two APIs)
+    graft.core.Materialize.releaseOwned(outCached)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
+      .isEmpty, "releaseOwned(result) must free the cacheInput persist")
+    assert(collectPreds(outCached) === gotPlain,
+      "a released result must recompute, not fail — and the model's " +
+        "train checkpoint must have survived the release")
+    // the param rides save/load like every other knob
+    assert(modelCached.getOrDefault(modelCached.cacheInput) === true)
+    model.release()
+  }
+
+  test("idCol contract: duplicate ids fail loudly under validateIdCol, " +
+      "null ids surface with null predictions (round-15 advisory)") {
+    val train = synthWide(50, 0)
+      .select(col("key"), col("label"),
+        array(col("f1"), col("f2"), col("f3")).as("series"))
+    val model = new KnnClassifier().setK(1).setFeaturesCol("series")
+      .setExcludeZeroDistance(false).setIdCol("key").fit(train)
+    // null id: classified into the merged null vote group, but the
+    // USING-join equality is null-rejecting -> the row surfaces with a
+    // NULL prediction (documented contract)
+    val withNull = Seq(
+      (java.lang.Long.valueOf(1L), Array(0.0, 0.0, 0.0)),
+      (null.asInstanceOf[java.lang.Long], Array(1.0, 1.0, 1.0))
+    ).toDF("key", "series")
+    val rows = model.transform(withNull).select("key", "prediction").collect()
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1),
+      "a null-id row must surface with a null prediction")
+    assert(rows.find(!_.isNullAt(0)).exists(!_.isNullAt(1)))
+    // duplicate ids: silently wrong without the check (distinct rows
+    // merge into one vote group) — validateIdCol turns it loud
+    val dup = Seq(
+      (7L, Array(0.0, 0.0, 0.0)),
+      (7L, Array(1.0, 1.0, 1.0))).toDF("key", "series")
+    spark.conf.set("spark.graft.knn.validateIdCol", "true")
+    try {
+      val e = intercept[IllegalArgumentException] { model.transform(dup) }
+      assert(e.getMessage.contains("not unique"),
+        s"the failure must name the breach, got: ${e.getMessage}")
+      // unique + non-null input passes the validator untouched
+      assert(collectPreds(model.transform(
+        Seq((1L, Array(0.0, 0.0, 0.0)), (2L, Array(1.0, 1.0, 1.0)))
+          .toDF("key", "series"))).size === 2)
+    } finally spark.conf.unset("spark.graft.knn.validateIdCol")
     model.release()
   }
 

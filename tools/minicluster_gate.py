@@ -76,6 +76,14 @@ def main():
     if not a.skip_local:
         sbt_gate(local=True)
     if not a.skip_cluster:
+        # the cluster stage is about to OVERWRITE the parquet outputs
+        # this round's oracle log graded: invalidate the log so a later
+        # --skip-oracle run cannot grade the fresh outputs against the
+        # previous cluster run's oracle pass (advisor finding r15 — the
+        # round-suffixed path fixed cross-round staleness but not
+        # same-round re-runs)
+        if os.path.exists(log):
+            os.remove(log)
         sbt_gate(local=False)
     if not a.skip_oracle:
         with open(log, "w") as f:
