@@ -64,7 +64,13 @@ object MlClusterProbe {
     // process boundaries
     Shape("euclid_k5_idcol", () => new KnnClassifier()
       .setK(5).setDistance("euclidean").setExcludeZeroDistance(false)
-      .setIdCol("key")))
+      .setIdCol("key")),
+    // round-16: the cacheInput single-evaluation path (graft-owned
+    // persist + eager count warm) — executor-side block distribution
+    // and the cached-base join-back must also hold across JVMs
+    Shape("euclid_k5_idcol_cached", () => new KnnClassifier()
+      .setK(5).setDistance("euclidean").setExcludeZeroDistance(false)
+      .setIdCol("key").setCacheInput(true)))
 
   private def fitTransform(spark: SparkSession, shape: Shape,
       saveDir: String): Seq[(Long, Double)] = {
