@@ -30,6 +30,35 @@ object Materialize {
   private[graft] def registerOwnedPersist(rdd: org.apache.spark.rdd.RDD[_]): Unit =
     ownedPersists.add(rdd)
 
+  /** Materialize `df` once as a graft-owned MEMORY_AND_DISK persist and
+    * return a frame reading those blocks — the internal-materialization
+    * primitive behind Tfidf's tf table and KnnClassifier's cacheInput.
+    *
+    * Unlike `spark.createDataFrame(df.rdd, df.schema)` (the r15 shape),
+    * the round-trip stays at the `InternalRow` layer
+    * (`queryExecution.toRdd` + [[org.apache.spark.sql.graft.DataFrameBridge]]):
+    * the external-Row codec that `Dataset.rdd` inserts converts every
+    * field of every row TWICE (serialize on persist-write, deserialize
+    * on every downstream read) purely to cross a storage boundary the
+    * rows never actually leave. Rows are defensively `copy()`d before
+    * the persist — plan output reuses per-partition row buffers.
+    *
+    * Unlike `localCheckpoint`, LINEAGE IS KEPT: an evicted or released
+    * block recomputes from the plan instead of failing (the property
+    * [[releaseOwned]]'s recompute contract and the TfidfSpec release
+    * pin rely on). NOT eager by itself — the caller decides which
+    * action warms it (Tfidf folds N in the same action; cacheInput
+    * counts), because a cold persist under one action's concurrent
+    * subtrees races (AQE schedules independent stages in parallel).
+    */
+  private[graft] def persistInternal(df: DataFrame): DataFrame = {
+    val internal = df.queryExecution.toRdd.map(_.copy())
+    internal.persist(StorageLevel.MEMORY_AND_DISK)
+    registerOwnedPersist(internal)
+    org.apache.spark.sql.graft.DataFrameBridge
+      .internalCreateDataFrame(df.sparkSession, internal, df.schema)
+  }
+
   /** Free the storage blocks behind a `localCheckpoint`ed frame, plus
     * any graft-owned internal persist ([[registerOwnedPersist]] — e.g.
     * withRowId's persist-before-count, which sits in the lineage BEHIND

@@ -268,22 +268,20 @@ class KnnClassifierModel private[ml] (
       // the input for a loud failure on either breach.
       val base = if ($(cacheInput)) {
         // opt-in single evaluation: the input is referenced twice below
-        // (classification + join-back); persist its RDD graft-owned so
-        // both references read ONE materialization. EAGER (count()):
-        // the two references sit under one action whose independent
-        // subtrees AQE schedules concurrently, and a cold persist lets
-        // them RACE to compute the same partitions (duplicated upstream
-        // work — the exact cost the knob exists to remove); warming the
-        // blocks first makes single evaluation true by construction.
-        // Lineage is kept (eviction recomputes); the caller frees the
-        // blocks eagerly with Materialize.releaseOwned(result).
-        val rdd = df.rdd
-        if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-          rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          graft.core.Materialize.registerOwnedPersist(rdd)
-          rdd.count()
-        }
-        df.sparkSession.createDataFrame(rdd, df.schema)
+        // (classification + join-back); persist it graft-owned —
+        // InternalRow layer, no external-Row codec
+        // (Materialize.persistInternal) — so both references read ONE
+        // materialization. EAGER (count()): the two references sit
+        // under one action whose independent subtrees AQE schedules
+        // concurrently, and a cold persist lets them RACE to compute
+        // the same partitions (duplicated upstream work — the exact
+        // cost the knob exists to remove); warming the blocks first
+        // makes single evaluation true by construction. Lineage is
+        // kept (eviction recomputes); the caller frees the blocks
+        // eagerly with Materialize.releaseOwned(result).
+        val cached = graft.core.Materialize.persistInternal(df)
+        cached.count()
+        cached
       } else df
       if (df.sparkSession.conf.get(
           "spark.graft.knn.validateIdCol", "false").toBoolean) {

@@ -52,7 +52,6 @@ object Tfidf {
     * Output: (id, rank, term, tfidf), rank 1..k per document.
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val spark = df.sparkSession
     // explode_outer: a token-less document must still reach the tf
     // table (as a null-term row) so N below counts ALL documents
     val toks = df.select(col(idCol).as("id"),
@@ -61,13 +60,10 @@ object Tfidf {
       .agg(count(lit(1)).as("tf"))
     // materialize the tf table ONCE (graft-owned persist, lineage
     // kept): both the corpus-size branch and the scoring tree read the
-    // same evaluation instead of re-running the corpus scan + explosion
-    val tfRdd = tfPlan.rdd
-    if (tfRdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      tfRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.core.Materialize.registerOwnedPersist(tfRdd)
-    }
-    val tf = spark.createDataFrame(tfRdd, tfPlan.schema)
+    // same evaluation instead of re-running the corpus scan + explosion.
+    // InternalRow-layer round-trip — no external-Row codec on either
+    // side of the storage boundary (Materialize.persistInternal).
+    val tf = graft.core.Materialize.persistInternal(tfPlan)
     // N = total documents: every doc has >= 1 tf row (explode_outer),
     // so the distinct id count over tf IS the corpus size — no second
     // scan of the source table. EAGER: this action materializes the
