@@ -215,25 +215,70 @@ object SeriesIngest {
     *     is only observable at exhaustion, so a consumer that stops
     *     early — LIMIT — skips the check; every id it DID see was still
     *     consistent with the pass-1 offsets.)
+    *
+    * Row layer (round 16): the two passes run over
+    * `queryExecution.toRdd` (InternalRow) and the result re-enters SQL
+    * via the internal bridge — `Dataset.rdd` + `createDataFrame` paid
+    * the external-Row codec on EVERY call (deserialize each field on
+    * read, convert back on re-entry), persist or not. The one
+    * exception: a caller that already persisted `df.rdd` (the external
+    * RDD) keeps the old path, so their materialization is read through
+    * instead of silently duplicated by a fresh internal one.
     */
   private def withRowIdUnchecked(df: DataFrame, out: String,
       assumeStable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
-    val rdd = df.rdd // Dataset.rdd is a lazy val: both passes see ONE RDD
-    if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
-        !assumeStable && !stableForRowId(df)) {
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.core.Materialize.registerOwnedPersist(rdd)
+    val outSchema =
+      schema.add(out, org.apache.spark.sql.types.LongType, nullable = false)
+    // Caller-persisted external RDD: read through THEIR blocks (the
+    // Row layer is where they materialized; an internal toRdd persist
+    // would recompute the plan and double the storage).
+    if (df.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      val rdd = df.rdd
+      val withId = zipWithIds(rdd)((row, id) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ id))
+      return spark.createDataFrame(withId, outSchema)
     }
+    val base = df.queryExecution.toRdd
+    val rdd =
+      if (!assumeStable && !stableForRowId(df)) {
+        // owned copies: plan output reuses per-partition row buffers,
+        // and persisting uncopied rows caches one mutated buffer N times
+        val copied = base.map(_.copy())
+        copied.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.core.Materialize.registerOwnedPersist(copied)
+        copied
+      } else base
+    val withId = zipWithIds[org.apache.spark.sql.catalyst.InternalRow,
+        org.apache.spark.sql.catalyst.InternalRow](rdd) { (row, id) =>
+      // JoinedRow over the (possibly buffer-reused) input row is safe:
+      // the downstream scan's UnsafeProjection consumes each row fully
+      // before the iterator advances (standard pipelined contract), and
+      // persisted-mode rows are stable copies
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow(row,
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](id)))
+    }
+    org.apache.spark.sql.graft.DataFrameBridge
+      .internalCreateDataFrame(spark, withId, outSchema)
+  }
+
+  /** The two-pass per-partition id scheme shared by both row layers:
+    * count pass, offsets, assignment pass with the shear backstop.
+    * `append` builds the output row from (input row, 1-based id).
+    */
+  private def zipWithIds[T, U: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[T])(append: (T, Long) => U):
+      org.apache.spark.rdd.RDD[U] = {
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
-    val withId = rdd.mapPartitionsWithIndex { case (i, it) =>
+    rdd.mapPartitionsWithIndex { case (i, it) =>
       val base = offsets(i)
       val expected = counts(i)
-      new Iterator[org.apache.spark.sql.Row] {
+      new Iterator[U] {
         private var j = 0L
         def hasNext: Boolean = {
           val h = it.hasNext
@@ -245,20 +290,18 @@ object SeriesIngest {
                 "would be skipped")
           h
         }
-        def next(): org.apache.spark.sql.Row = {
+        def next(): U = {
           if (j >= expected)
             throw new IllegalStateException(
               s"withRowId partition $i grew past the count pass " +
                 s"($expected rows): non-deterministic input recomputed " +
                 "differently — ids would be duplicated")
-          val r = org.apache.spark.sql.Row.fromSeq(it.next().toSeq :+ (base + j + 1))
+          val r = append(it.next(), base + j + 1)
           j += 1
           r
         }
       }
     }
-    spark.createDataFrame(withId,
-      schema.add(out, org.apache.spark.sql.types.LongType, nullable = false))
   }
 
   // one warning per JVM: withRowId sits inside per-row pipelines and a

@@ -87,15 +87,24 @@ class IngestSpec extends SparkTestBase {
 
   test("withRowId skips the persist on provably re-evaluation-stable " +
       "inputs and keeps it on unstable ones (round-14 directive #4)") {
-    import org.apache.spark.storage.StorageLevel
+    // r16: the persist lives on the INTERNAL (InternalRow) copy, not on
+    // df.rdd, so persist-or-not is observed through the session's
+    // persistent-RDD registry delta
+    def newPersists[A](body: => A): (A, Set[Int]) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val a = body
+      (a, (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet)
+    }
     // Range-rooted, Exchange-free, deterministic: the common ingest
     // shape — no persist, ids still exactly 1..N in source order
     val stable = spark.range(0, 300, 1, 4).toDF("v")
-    val got = SeriesIngest.withRowId(stable).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val (got, stablePersists) = newPersists {
+      SeriesIngest.withRowId(stable).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
     assert(got.map(_._2).sorted.toSeq === (1L to 300L))
     assert(got.sortBy(_._2).map(_._1).toSeq === (0L until 300L))
-    assert(stable.rdd.getStorageLevel === StorageLevel.NONE,
+    assert(stablePersists.isEmpty,
       "a stable input must NOT be materialized (the q35 input-bytes " +
         "tripling was exactly this persist)")
 
@@ -104,9 +113,11 @@ class IngestSpec extends SparkTestBase {
     try {
       spark.range(0, 200, 1, 4).toDF("v").write.mode("overwrite").parquet(dir)
       val scan = spark.read.parquet(dir)
-      val ids = SeriesIngest.withRowId(scan).collect().map(_.getLong(1))
+      val (ids, scanPersists) = newPersists {
+        SeriesIngest.withRowId(scan).collect().map(_.getLong(1))
+      }
       assert(ids.sorted.toSeq === (1L to 200L))
-      assert(scan.rdd.getStorageLevel === StorageLevel.NONE,
+      assert(scanPersists.isEmpty,
         "a parquet scan must take the no-persist path")
     } finally {
       def rm(f: java.io.File): Unit = {
@@ -122,18 +133,22 @@ class IngestSpec extends SparkTestBase {
     // stable, which the gate correctly accepts.)
     val randFiltered = spark.range(0, 300, 1, 4).toDF("v")
       .filter(rand() >= 0.5) // a genuinely random subset per evaluation
-    SeriesIngest.withRowId(randFiltered).collect()
-    assert(randFiltered.rdd.getStorageLevel !== StorageLevel.NONE,
+    val (randRes, randPersists) = newPersists {
+      val r = SeriesIngest.withRowId(randFiltered); r.collect(); r
+    }
+    assert(randPersists.nonEmpty,
       "a non-deterministic expression must force the persist")
-    graft.core.Materialize.releaseCheckpoint(
-      SeriesIngest.withRowId(randFiltered))
+    graft.core.Materialize.releaseOwned(randRes)
 
     // downstream of an Exchange: fetch-arrival order can differ between
     // evaluations across executor JVMs, so the persist must stay
     val shuffled = spark.range(0, 300, 1, 4).toDF("v").repartition(8)
-    SeriesIngest.withRowId(shuffled).collect()
-    assert(shuffled.rdd.getStorageLevel !== StorageLevel.NONE,
+    val (shufRes, shufPersists) = newPersists {
+      val r = SeriesIngest.withRowId(shuffled); r.collect(); r
+    }
+    assert(shufPersists.nonEmpty,
       "a shuffled input must force the persist")
+    graft.core.Materialize.releaseOwned(shufRes)
 
     // acceptance surface pins: these common shapes are stable and must
     // STAY on the no-persist path (a regression here is a silent
@@ -141,19 +156,23 @@ class IngestSpec extends SparkTestBase {
     // UNION of stable sources: partitions concatenate deterministically
     val unioned = spark.range(0, 100, 1, 2).toDF("v")
       .union(spark.range(100, 200, 1, 2).toDF("v"))
-    val uIds = SeriesIngest.withRowId(unioned).collect().map(_.getLong(1))
+    val (uIds, uPersists) = newPersists {
+      SeriesIngest.withRowId(unioned).collect().map(_.getLong(1))
+    }
     assert(uIds.sorted.toSeq === (1L to 200L))
-    assert(unioned.rdd.getStorageLevel === StorageLevel.NONE,
+    assert(uPersists.isEmpty,
       "a union of stable sources must not persist")
     // BROADCAST join: only a broadcast exchange (streamed-side row
     // order intact), both sides stable -> no shuffle, no persist
     val dim = spark.range(0, 10, 1, 1).toDF("k")
     val joined = spark.range(0, 200, 1, 4).toDF("k")
       .join(broadcast(dim), "k")
-    val jIds = SeriesIngest.withRowId(joined).collect().map(_.getLong(1))
+    val (jIds, jPersists) = newPersists {
+      SeriesIngest.withRowId(joined).collect().map(_.getLong(1))
+    }
     assert(jIds.sorted.toSeq === (1L to 10L),
       "10 matching keys survive the join")
-    assert(joined.rdd.getStorageLevel === StorageLevel.NONE,
+    assert(jPersists.isEmpty,
       "a broadcast join over stable sources must not persist")
     SeriesIngest.resetExchangeWarning()
   }
@@ -162,22 +181,30 @@ class IngestSpec extends SparkTestBase {
       "persist through the result frame's lineage (advisor: executor " +
       "storage retention in long-lived sessions)") {
     import org.apache.spark.storage.StorageLevel
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val unstable = spark.range(0, 300, 1, 4).toDF("v").repartition(8)
     val result = SeriesIngest.withRowId(unstable)
     result.collect()
-    assert(unstable.rdd.getStorageLevel !== StorageLevel.NONE)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "an unstable input must have been internally persisted")
     graft.core.Materialize.releaseCheckpoint(result)
-    assert(unstable.rdd.getStorageLevel === StorageLevel.NONE,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "releaseCheckpoint(result) must walk the lineage and free the " +
         "internal persist eagerly")
     // lineage is retained (unlike a localCheckpoint), so the released
     // frame is still evaluable — it just recomputes
     assert(result.collect().map(_.getLong(1)).sorted.toSeq === (1L to 300L))
-    // and a CALLER-persisted input is never touched: not graft-owned
+    // and a CALLER-persisted input is never touched: not graft-owned.
+    // (A caller-persisted EXTERNAL df.rdd also keeps the r15 read-through
+    // contract: withRowId reads their blocks instead of creating an
+    // internal materialization of its own.)
     val callerOwned = spark.range(0, 100, 1, 4).toDF("v").repartition(4)
     callerOwned.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val preCaller = spark.sparkContext.getPersistentRDDs.keySet
     val res2 = SeriesIngest.withRowId(callerOwned)
     res2.collect()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preCaller).isEmpty,
+      "a caller-persisted input must be read through, not re-materialized")
     graft.core.Materialize.releaseCheckpoint(res2)
     assert(callerOwned.rdd.getStorageLevel !== StorageLevel.NONE,
       "a caller-persisted RDD must survive releaseCheckpoint")

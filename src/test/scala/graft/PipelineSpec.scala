@@ -316,8 +316,11 @@ class PipelineSpec extends SparkTestBase {
       }
       rm(new java.io.File(dir))
     }
-    graft.core.Materialize.releaseCheckpoint(
-      graft.ingest.SeriesIngest.withRowId(input, "__cleanup"))
+    // free the internal-id transform's per-call persist (r16: it lives
+    // on the transform result's own lineage, so release THROUGH that
+    // result — a fresh withRowId over the input no longer shares it)
+    graft.core.Materialize.releaseOwned(outDefault)
+    graft.core.Materialize.releaseOwned(outDefStable)
     graft.ingest.SeriesIngest.resetExchangeWarning()
     model.release()
   }
