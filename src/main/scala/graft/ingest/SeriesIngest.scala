@@ -220,10 +220,18 @@ object SeriesIngest {
     * `queryExecution.toRdd` (InternalRow) and the result re-enters SQL
     * via the internal bridge — `Dataset.rdd` + `createDataFrame` paid
     * the external-Row codec on EVERY call (deserialize each field on
-    * read, convert back on re-entry), persist or not. The one
-    * exception: a caller that already persisted `df.rdd` (the external
-    * RDD) keeps the old path, so their materialization is read through
-    * instead of silently duplicated by a fresh internal one.
+    * read, convert back on re-entry), persist or not. Deliberately NO
+    * `df.rdd`-was-persisted probe: `Dataset.rdd` is its OWN
+    * `rddQueryExecution` whose exchanges are not shared with
+    * `queryExecution`, and merely FORCING it under AQE eagerly
+    * materializes every non-result stage — the probe alone re-ran
+    * q35's sort map stage and doubled its input bytes (caught by the
+    * round-16 byte census). The plan-visible form of a caller
+    * materialization — a persisted `LogicalRDD` leaf — is respected
+    * through [[stableForRowId]] (no internal persist; execution reads
+    * their blocks); a caller-persisted top-level `df.rdd` is invisible
+    * here, gets an internal persist like any other unstable lineage,
+    * and is never touched by release (not graft-owned).
     */
   private def withRowIdUnchecked(df: DataFrame, out: String,
       assumeStable: Boolean = false): DataFrame = {
@@ -231,15 +239,6 @@ object SeriesIngest {
     val schema = df.schema
     val outSchema =
       schema.add(out, org.apache.spark.sql.types.LongType, nullable = false)
-    // Caller-persisted external RDD: read through THEIR blocks (the
-    // Row layer is where they materialized; an internal toRdd persist
-    // would recompute the plan and double the storage).
-    if (df.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-      val rdd = df.rdd
-      val withId = zipWithIds(rdd)((row, id) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ id))
-      return spark.createDataFrame(withId, outSchema)
-    }
     val base = df.queryExecution.toRdd
     val rdd =
       if (!assumeStable && !stableForRowId(df)) {

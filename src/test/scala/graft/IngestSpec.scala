@@ -194,21 +194,38 @@ class IngestSpec extends SparkTestBase {
     // lineage is retained (unlike a localCheckpoint), so the released
     // frame is still evaluable — it just recomputes
     assert(result.collect().map(_.getLong(1)).sorted.toSeq === (1L to 300L))
-    // and a CALLER-persisted input is never touched: not graft-owned.
-    // (A caller-persisted EXTERNAL df.rdd also keeps the r15 read-through
-    // contract: withRowId reads their blocks instead of creating an
-    // internal materialization of its own.)
+    // and a CALLER-persisted RDD is never touched: not graft-owned.
+    // (r16 note: a top-level `df.rdd` persist is invisible to the
+    // InternalRow path — probing it forces Dataset.rdd's SEPARATE
+    // rddQueryExecution, which under AQE eagerly re-runs whole stages;
+    // the byte census caught the probe doubling q35's input bytes — so
+    // such an input simply gets its own internal persist. The
+    // plan-visible caller materialization, a persisted LogicalRDD
+    // leaf, passes stableForRowId and is read through with no internal
+    // persist.)
     val callerOwned = spark.range(0, 100, 1, 4).toDF("v").repartition(4)
     callerOwned.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val preCaller = spark.sparkContext.getPersistentRDDs.keySet
     val res2 = SeriesIngest.withRowId(callerOwned)
     res2.collect()
-    assert((spark.sparkContext.getPersistentRDDs.keySet -- preCaller).isEmpty,
-      "a caller-persisted input must be read through, not re-materialized")
     graft.core.Materialize.releaseCheckpoint(res2)
     assert(callerOwned.rdd.getStorageLevel !== StorageLevel.NONE,
       "a caller-persisted RDD must survive releaseCheckpoint")
     callerOwned.rdd.unpersist(blocking = false)
+    // the plan-visible form of a caller materialization: a
+    // localCheckpoint's persisted RDD IS the LogicalRDD leaf rdd, so
+    // stableForRowId accepts it and execution reads their blocks with
+    // no internal persist. (createDataFrame(RDD[Row]) does NOT qualify:
+    // its LogicalRDD wraps a Row->InternalRow conversion map whose
+    // storage level is NONE — the caller's persist sits on the parent.)
+    val leafDf = spark.range(0, 80, 1, 4).toDF("v")
+      .repartition(4).localCheckpoint()
+    val preLeaf = spark.sparkContext.getPersistentRDDs.keySet
+    val res3 = SeriesIngest.withRowId(leafDf)
+    assert(res3.collect().map(_.getLong(1)).sorted.toSeq === (1L to 80L))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- preLeaf).isEmpty,
+      "a persisted LogicalRDD leaf (localCheckpoint) must be read " +
+        "through, not re-materialized")
+    graft.core.Materialize.releaseCheckpoint(leafDf)
     SeriesIngest.resetExchangeWarning()
   }
 
