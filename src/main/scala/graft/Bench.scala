@@ -193,12 +193,26 @@ object Bench {
 
   /** First candidate whose rendering fits the tail cap; the last one
     * regardless when none fit (callers end the tier list with a
-    * fragment that always fits, e.g. "").
+    * fragment that always fits, e.g. "") — WITH a loud stderr warning
+    * in that case: if even the prov-absent line outgrows the driver's
+    * tail window (more queries, longer names), the window truncates the
+    * line's FRONT and silently loses "value" — exactly the failure the
+    * tiering exists to prevent, so the overflow must be detectable
+    * before the artifact is graded.
     */
   private[graft] def firstFitting(render: String => String,
-      tiers: Seq[String], cap: Int): String =
-    tiers.map(render).find(_.length <= cap)
-      .getOrElse(render(tiers.last))
+      tiers: Seq[String], cap: Int,
+      warn: String => Unit = System.err.println): String =
+    tiers.map(render).find(_.length <= cap).getOrElse {
+      val last = render(tiers.last)
+      warn(
+        s"[bench] WARNING: timings line is ${last.length} chars even at " +
+          s"the smallest provenance tier — exceeds the $cap-char tail " +
+          "cap; the driver's 2000-char stdout tail will truncate the " +
+          "line's FRONT and drop leading keys. Shorten the queries map " +
+          "or add a smaller tier before trusting this round's artifact.")
+      last
+    }
 
   /** The comparison band for cross-round movement: benchdiff's rule —
     * the wider of the two windows' measured noise, floored at the
@@ -256,12 +270,18 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches, so the first timed
     // query doesn't absorb cold-start
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup entry failed: ${e.getMessage}")
+      if (!scala.util.control.NonFatal(e)) throw e
+    }
     // input materialization for the measured tier (the reference reads
     // its series inputs from Hive tables; synthesis is setup, not
     // workload)
     try SparkEntry.warmup(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+      if (!scala.util.control.NonFatal(e)) throw e
+    }
     // SPARK_GRAFT_ONLY=q28,q37 runs a comma-separated name-prefix subset
     // (iteration aid; the driver never sets it so official runs are full)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -324,7 +344,13 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          // record THEN rethrow fatals: a NonFatal query failure keeps
+          // the suite going (its timing is still a real number for the
+          // artifact), but an OOM/LinkageError poisons every later
+          // measurement — a green-looking artifact built on a dying JVM
+          // is worse than a lost run
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          if (!scala.util.control.NonFatal(e)) throw e
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // untimed: flush this run's own events before reading the counts

@@ -69,7 +69,13 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          // record THEN rethrow fatals: a query-level NonFatal failure
+          // is a per-query artifact entry (the driver's compare marks
+          // just that query red), but an OOM/LinkageError poisons the
+          // whole JVM — swallowing it would dress a dying run up as a
+          // green-looking artifact with a few missing outputs
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          if (!scala.util.control.NonFatal(e)) throw e
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

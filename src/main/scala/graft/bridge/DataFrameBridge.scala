@@ -23,6 +23,17 @@ import org.apache.spark.sql.types.StructType
 object DataFrameBridge {
   def internalCreateDataFrame(spark: SparkSession,
       rdd: RDD[InternalRow], schema: StructType): DataFrame =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .internalCreateDataFrame(rdd, schema)
+    spark match {
+      case classic: org.apache.spark.sql.classic.SparkSession =>
+        classic.internalCreateDataFrame(rdd, schema)
+      case other =>
+        // fail with a routable message, not a ClassCastException deep
+        // inside an operator: a Connect (or other non-classic) session
+        // has no driver-side RDD layer to materialize into
+        throw new UnsupportedOperationException(
+          "graft internal materialization (persistInternal/withRowId) " +
+            "requires a classic SparkSession with a driver-side RDD " +
+            s"layer; got ${other.getClass.getName} (Spark Connect " +
+            "sessions cannot host graft-owned persists)")
+    }
 }

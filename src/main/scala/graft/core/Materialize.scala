@@ -138,19 +138,34 @@ object Materialize {
     * train side at scale.
     */
   /** Whether `df`'s Catalyst size estimate can be TRUSTED for a
-    * broadcast decision. File relations carry real on-disk byte counts
+    * broadcast decision. FILE relations carry real on-disk byte counts
     * and LocalRelations are literal rows; a persisted LogicalRDD has a
     * measured size ([[storageBytes]]). Anything else — `Range` under a
     * generator projection, a non-persisted RDD scan — reports a
     * width-blind estimate that can undercount payload columns by orders
     * of magnitude, so callers must treat the frame as NOT broadcastable
     * rather than gamble on it.
+    *
+    * "File" is checked, not assumed (same narrowing as
+    * [[graft.ingest.SeriesIngest.stableForRowId]]'s round-16 fix, in
+    * the other size-driven planner decision): a v1 `LogicalRelation`
+    * qualifies only when it wraps a `HadoopFsRelation` and a v2
+    * `DataSourceV2ScanRelation` only when its scan is a `FileScan` —
+    * the LEAF CLASSES also cover JDBC and arbitrary connector reads,
+    * whose `sizeInBytes` is connector-supplied and can under-report by
+    * any factor (a lying connector estimate would let [[fitsBroadcast]]
+    * replicate an oversized side to every executor). Non-file leaves
+    * fail closed: the join plans partitioned instead.
     */
   def estimateTrusted(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collectLeaves().forall {
       case lr: LogicalRDD => lr.rdd.getStorageLevel != StorageLevel.NONE
-      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        sr.scan.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.v2.FileScan]
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
       case _ => false
     }

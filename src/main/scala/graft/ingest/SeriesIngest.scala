@@ -62,6 +62,16 @@ object SeriesIngest {
     * ARRIVAL order varies run to run (measured in the specfaults
     * rehearsal: local-mode fetches are deterministic, two-JVM fetches
     * are not). Need stable ids after a shuffle? Sort on a key first.
+    *
+    * Pre-materialized inputs: to have the passes read an EXISTING
+    * materialization instead of adding an internal one, persist via
+    * `df.localCheckpoint()` (a plan-visible persisted `LogicalRDD`
+    * leaf, which [[stableForRowId]] reads through) — NOT via
+    * `df.rdd.persist()`: `Dataset.rdd` is its own query execution,
+    * invisible to this frame's plan, so such inputs get a second,
+    * redundant internal materialization (double executor storage), and
+    * merely probing for one re-runs non-result stages under AQE (the
+    * round-16 q35 byte-census finding — deliberately unprobed).
     */
   def withRowId(df: DataFrame, out: String = "row_id"): DataFrame = {
     // Misuse guard: downstream of an Exchange the within-partition row

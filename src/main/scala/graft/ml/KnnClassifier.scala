@@ -61,8 +61,8 @@ private[ml] trait KnnClassifierParams extends Params {
       "must be unique and non-null — rows sharing an id are merged into " +
       "ONE vote group (silently wrong predictions), rows with a null id " +
       "are never matched by the join-back (null prediction); set " +
-      "spark.sql conf spark.graft.knn.validateIdCol=true to assert " +
-      "uniqueness per transform (one extra aggregate over the input)")
+      "validateIdCol (or the global spark.graft.knn.validateIdCol " +
+      "conf) to assert uniqueness per transform")
   final val cacheInput = new BooleanParam(this, "cacheInput",
     "materialize the transform input once (graft-owned persist) on the " +
       "idCol path — the input lineage is otherwise referenced twice " +
@@ -74,12 +74,22 @@ private[ml] trait KnnClassifierParams extends Params {
       "scan pushdown/columnar execution stop at the persist boundary. " +
       "Ignored without idCol (the internal-id path already materializes " +
       "via withRowId when the lineage is not provably stable)")
+  final val validateIdCol = new BooleanParam(this, "validateIdCol",
+    "assert the idCol contract per transform (throw on duplicate ids, " +
+      "warn on null ids) at the cost of one extra aggregate over the " +
+      "input. A Param — NOT only a session conf — so the assertion " +
+      "persists through MLWriter/MLReader with the model like idCol " +
+      "and cacheInput do (an inference service loading a saved model " +
+      "keeps it); the session conf spark.graft.knn.validateIdCol=true " +
+      "remains a global override that turns validation ON regardless " +
+      "of the param. Ignored without idCol")
 
   setDefault(k -> 1, distance -> "euclidean", strategy -> "auto",
     band -> -1, radius -> 1, excludeZeroDistance -> true,
     lbPruning -> false, candidateFactor -> 4,
     featuresCol -> "features", labelCol -> "label",
-    predictionCol -> "prediction", idCol -> "", cacheInput -> false)
+    predictionCol -> "prediction", idCol -> "", cacheInput -> false,
+    validateIdCol -> false)
 
   private[ml] def knnParams: KnnParams = KnnParams(
     k = $(k), distance = $(distance), strategy = $(strategy),
@@ -173,6 +183,7 @@ class KnnClassifier(override val uid: String)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setIdCol(value: String): this.type = set(idCol, value)
   def setCacheInput(value: Boolean): this.type = set(cacheInput, value)
+  def setValidateIdCol(value: Boolean): this.type = set(validateIdCol, value)
 
   override def fit(dataset: Dataset[_]): KnnClassifierModel = {
     transformSchema(dataset.schema)
@@ -205,9 +216,10 @@ object KnnClassifier extends DefaultParamsReadable[KnnClassifier] {
   * column — the input plan stays declarative (columnar scan, pushdown,
   * no RDD round-trip and no per-call input materialization). Duplicate
   * ids merge distinct rows into one vote group (wrong predictions);
-  * null ids surface with a null prediction;
-  * `spark.graft.knn.validateIdCol=true` asserts the contract per
-  * transform. The input is referenced twice (classification +
+  * null ids surface with a null prediction; `setValidateIdCol(true)`
+  * (a Param — it persists with a saved model; the session conf
+  * `spark.graft.knn.validateIdCol=true` is a global override) asserts
+  * the contract per transform. The input is referenced twice (classification +
   * join-back) and recomputes per reference — `setCacheInput(true)` to
   * materialize it once (graft-owned persist, freed eagerly via
   * `Materialize.releaseOwned(result)`), or `cache()` it yourself.
@@ -235,6 +247,7 @@ class KnnClassifierModel private[ml] (
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setIdCol(value: String): this.type = set(idCol, value)
   def setCacheInput(value: Boolean): this.type = set(cacheInput, value)
+  def setValidateIdCol(value: Boolean): this.type = set(validateIdCol, value)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     // Fail fast with a routable message: the row-id path below calls
@@ -266,38 +279,50 @@ class KnnClassifierModel private[ml] (
       //    prediction.
       // spark.graft.knn.validateIdCol=true trades one aggregate over
       // the input for a loud failure on either breach.
-      val base = if ($(cacheInput)) {
-        // opt-in single evaluation: the input is referenced twice below
-        // (classification + join-back); persist it graft-owned —
-        // InternalRow layer, no external-Row codec
-        // (Materialize.persistInternal) — so both references read ONE
-        // materialization. EAGER (count()): the two references sit
-        // under one action whose independent subtrees AQE schedules
-        // concurrently, and a cold persist lets them RACE to compute
-        // the same partitions (duplicated upstream work — the exact
-        // cost the knob exists to remove); warming the blocks first
-        // makes single evaluation true by construction. Lineage is
-        // kept (eviction recomputes); the caller frees the blocks
-        // eagerly with Materialize.releaseOwned(result).
-        val cached = graft.core.Materialize.persistInternal(df)
-        cached.count()
-        cached
-      } else df
-      if (df.sparkSession.conf.get(
-          "spark.graft.knn.validateIdCol", "false").toBoolean) {
-        val c = base.agg(
-          count(col($(idCol))).as("cnt"),
-          count_distinct(col($(idCol))).as("dst"),
-          count(lit(1)).as("total")).head()
-        require(c.getLong(0) == c.getLong(1),
-          s"idCol '${$(idCol)}' is not unique: ${c.getLong(0)} non-null " +
-            s"rows over ${c.getLong(1)} distinct ids — duplicate ids " +
-            "merge distinct rows into one vote group and produce wrong " +
-            "predictions")
-        if (c.getLong(2) > c.getLong(0))
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"idCol '${$(idCol)}': ${c.getLong(2) - c.getLong(0)} rows " +
-              "carry a null id and will surface with a null prediction")
+      // opt-in single evaluation: the input is referenced twice below
+      // (classification + join-back); persist it graft-owned —
+      // InternalRow layer, no external-Row codec
+      // (Materialize.persistInternal) — so both references read ONE
+      // materialization. EAGER (count()): the two references sit
+      // under one action whose independent subtrees AQE schedules
+      // concurrently, and a cold persist lets them RACE to compute
+      // the same partitions (duplicated upstream work — the exact
+      // cost the knob exists to remove); warming the blocks first
+      // makes single evaluation true by construction. Lineage is
+      // kept (eviction recomputes); the caller frees the blocks
+      // eagerly with Materialize.releaseOwned(result).
+      val base =
+        if ($(cacheInput)) graft.core.Materialize.persistInternal(df) else df
+      // warm + validate under ONE unpersist-on-failure guard: an
+      // exception out of either (a failing upstream in count(), a
+      // duplicate-id require below) escapes BEFORE any result frame
+      // exists, so the caller has no handle for releaseOwned and the
+      // warmed graft-owned blocks would otherwise linger until driver
+      // GC + ContextCleaner reclaim them (r16 advisory). Release is a
+      // registry-only unpersist — rethrowing loses nothing.
+      try {
+        if ($(cacheInput)) base.count()
+        // validation reads the warmed blocks (one cheap extra pass)
+        // rather than re-running the upstream lineage
+        if ($(validateIdCol) || df.sparkSession.conf.get(
+            "spark.graft.knn.validateIdCol", "false").toBoolean) {
+          val c = base.agg(
+            count(col($(idCol))).as("cnt"),
+            count_distinct(col($(idCol))).as("dst"),
+            count(lit(1)).as("total")).head()
+          require(c.getLong(0) == c.getLong(1),
+            s"idCol '${$(idCol)}' is not unique: ${c.getLong(0)} non-null " +
+              s"rows over ${c.getLong(1)} distinct ids — duplicate ids " +
+              "merge distinct rows into one vote group and produce wrong " +
+              "predictions")
+          if (c.getLong(2) > c.getLong(0))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"idCol '${$(idCol)}': ${c.getLong(2) - c.getLong(0)} rows " +
+                "carry a null id and will surface with a null prediction")
+        }
+      } catch { case e: Throwable =>
+        if ($(cacheInput)) graft.core.Materialize.releaseOwned(base)
+        throw e
       }
       val test = base.select(col($(idCol)).as("test_id"),
         seriesColumn(base.schema).as("test_series"))

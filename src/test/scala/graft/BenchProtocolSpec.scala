@@ -201,8 +201,21 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
       "HEAD-mid-TAIL", "an overflowing tier degrades to the next")
     assert(Bench.firstFitting(render, Seq("-longest-", "-mid-", ""), 10) ===
       "HEADTAIL", "the empty tier always fits")
-    assert(Bench.firstFitting(render, Seq("-a-"), 2) === "HEAD-a-TAIL",
+    // when even the LAST tier exceeds the cap, the line still renders
+    // but a LOUD warning fires (r16 advisory: a silent overflow means
+    // the driver's tail window truncates the line's FRONT and loses
+    // "value" — exactly the failure the tiering exists to prevent)
+    val warned = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(Bench.firstFitting(render, Seq("-a-"), 2, warned.append) ===
+      "HEAD-a-TAIL",
       "when nothing fits the last tier still renders (callers end " +
         "with one that always fits)")
+    assert(warned.size === 1 && warned.head.contains("WARNING") &&
+      warned.head.contains("truncate"),
+      s"an un-fittable line must warn loudly, got: $warned")
+    // ... and no warning when a tier fits
+    val quiet = scala.collection.mutable.ArrayBuffer.empty[String]
+    Bench.firstFitting(render, Seq("-a-", ""), 30, quiet.append)
+    assert(quiet.isEmpty, "a fitting line must not warn")
   }
 }

@@ -414,8 +414,31 @@ class PipelineSpec extends SparkTestBase {
     assert(collectPreds(outCached) === gotPlain,
       "a released result must recompute, not fail — and the model's " +
         "train checkpoint must have survived the release")
-    // the param rides save/load like every other knob
-    assert(modelCached.getOrDefault(modelCached.cacheInput) === true)
+    // the BooleanParams ride MLWriter/MLReader for real: an in-memory
+    // getOrDefault check alone would miss a save/load regression (r16
+    // advisory) — write a model with both knobs set, re-read it, and
+    // predict with the loaded instance
+    val dir = java.nio.file.Files.createTempDirectory("graft_knnc_cache").toString
+    try {
+      modelCached.setValidateIdCol(true)
+      modelCached.write.overwrite().save(dir)
+      val loaded = KnnClassifierModel.load(dir)
+      assert(loaded.getOrDefault(loaded.cacheInput) === true,
+        "cacheInput must round-trip through save/load")
+      assert(loaded.getOrDefault(loaded.validateIdCol) === true,
+        "validateIdCol must round-trip through save/load — a session " +
+          "conf would NOT travel with a saved model, which is why it " +
+          "is a Param (r16 verdict nit)")
+      val outLoaded = loaded.transform(expensiveInput())
+      assert(collectPreds(outLoaded) === gotPlain,
+        "a loaded model with cacheInput+validateIdCol predicts identically")
+      graft.core.Materialize.releaseOwned(outLoaded)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
     model.release()
   }
 
@@ -443,6 +466,7 @@ class PipelineSpec extends SparkTestBase {
     val dup = Seq(
       (7L, Array(0.0, 0.0, 0.0)),
       (7L, Array(1.0, 1.0, 1.0))).toDF("key", "series")
+    // the conf path: a global override regardless of the param
     spark.conf.set("spark.graft.knn.validateIdCol", "true")
     try {
       val e = intercept[IllegalArgumentException] { model.transform(dup) }
@@ -453,6 +477,25 @@ class PipelineSpec extends SparkTestBase {
         Seq((1L, Array(0.0, 0.0, 0.0)), (2L, Array(1.0, 1.0, 1.0)))
           .toDF("key", "series"))).size === 2)
     } finally spark.conf.unset("spark.graft.knn.validateIdCol")
+    // the PARAM path (r16 directive #2): same assertion, no session
+    // conf — this is the form that persists with a saved model
+    val validating = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setValidateIdCol(true)
+    val e2 = intercept[IllegalArgumentException] { validating.transform(dup) }
+    assert(e2.getMessage.contains("not unique"))
+    // ... and with cacheInput=true the failed transform must NOT leak
+    // the eagerly-warmed graft-owned persist (r16 advisory: the
+    // exception escapes before any result frame exists, so the caller
+    // has no handle for releaseOwned)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val e3 = intercept[IllegalArgumentException] {
+      validating.setCacheInput(true).transform(dup)
+    }
+    assert(e3.getMessage.contains("not unique"))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
+      .isEmpty,
+      "a validateIdCol failure under cacheInput must unpersist the " +
+        "warmed input before rethrowing — nothing may linger until GC")
     model.release()
   }
 

@@ -318,4 +318,53 @@ class PlanShapeSpec extends SparkTestBase {
     assert(selected === 1, s"expected 1 pruned partition dir, got $selected")
     assert(read.count() === 200)
   }
+
+  test("estimateTrusted fails closed on non-file relations; the pair join " +
+      "plans partitioned (r16 advisory: the leaf CLASSES also cover " +
+      "JDBC/connector reads whose sizeInBytes is connector-supplied)") {
+    // a v1 LogicalRelation that is NOT a HadoopFsRelation — the
+    // JDBC/custom-connector shape, whose size estimate can under-report
+    // by any factor; trusting it would let fitsBroadcast replicate an
+    // arbitrarily large side to every executor
+    val nonFile = spark.read
+      .format(classOf[graft.testsources.UnstableRelationProvider].getName)
+      .load()
+    assert(nonFile.queryExecution.optimizedPlan.collectLeaves().exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+      "test premise: the custom source must plan as a v1 LogicalRelation")
+    assert(!Materialize.estimateTrusted(nonFile),
+      "a non-HadoopFs LogicalRelation (JDBC class) must fail the size " +
+        "trust gate — same narrowing as stableForRowId (r16)")
+    // ... while provably FILE-backed and literal leaves stay trusted
+    assert(Materialize.estimateTrusted(
+      spark.read.parquet(s"$sf001/nation.parquet")),
+      "a parquet scan (HadoopFsRelation) must stay size-trusted")
+    assert(Materialize.estimateTrusted(
+      spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, v)")),
+      "a LocalRelation must stay size-trusted")
+    // end-to-end: a KNN whose BOTH sides root at the untrusted relation
+    // must refuse every broadcast and degrade to the partitioned
+    // cartesian (shuffle_replicate_nl), never gamble on the estimate
+    val train = nonFile.select(col("v").as("train_id"),
+      call_function("graft_har_series", col("v"), lit(8)).as("train_series"),
+      pmod(col("v"), lit(2)).cast("double").as("label"))
+    val test = nonFile.select(col("v").as("test_id"),
+      call_function("graft_har_series", col("v") + 100, lit(8)).as("test_series"))
+    val pred = Knn.classify(train, test, KnnParams(k = 1, distance = "euclidean"))
+    val plan = pred.queryExecution.sparkPlan
+    val pairBroadcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.output.exists(a =>
+            a.name.startsWith("train_series") || a.name.startsWith("test_series")) => b
+    }
+    assert(pairBroadcasts.isEmpty,
+      s"no pair-join side rooted at an untrusted relation may broadcast:\n$plan")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.nonEmpty,
+      s"expected the partitioned-cartesian degrade path, plan:\n$plan")
+    // and the result is still correct (each test row 1NN-matches itself
+    // shifted — just assert it evaluates and covers every test row)
+    assert(pred.count() === 20)
+  }
 }

@@ -25,6 +25,45 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# Hashed-compare escape hatch for results too large to materialize as
+# python tuples (the 100x tier's linear family: ~2-60M-row results that
+# are DuckDB-tractable but not compare-tractable). OFF unless the env
+# var is set — the driver-replica semantics (ordered full-row compare)
+# stay byte-identical by default; scalecheck's tier100 section sets
+# ORACLE_HASHED_MIN_ROWS=2000000 explicitly. When set, any query whose
+# SPARK output's parquet metadata reports >= that many rows is compared
+# INSIDE DuckDB: count(*) plus an order-insensitive multiset hash
+# (sum of per-row hash(ROW(cols...)) as HUGEINT — 128-bit, no overflow)
+# over name-sorted columns with family-canonical casts on BOTH sides.
+# Weaker than the full compare in exactly one way: row ORDER is not
+# checked (each such query is order-checked by the 10x tier's full
+# compare); value/count/schema/type checks are all preserved.
+HASHED_MIN_ROWS = int(os.environ.get("ORACLE_HASHED_MIN_ROWS", "0") or "0")
+
+
+def hash_cast(canon: str) -> str:
+    """Family-canonical SQL cast so the DuckDB hash sees identical
+    physical types on both sides (spark parquet int32 vs oracle int64
+    must hash equal, same as the python compare's width collapse)."""
+    return {
+        "int": "BIGINT", "float": "DOUBLE", "string": "VARCHAR",
+        "timestamp": "TIMESTAMP", "date": "DATE",
+        "list<int>": "BIGINT[]", "list<float>": "DOUBLE[]",
+        "list<string>": "VARCHAR[]",
+    }.get(canon, "")
+
+
+def hashed_summary(con, source_sql: str, cols, canon_by_col):
+    """(row_count, multiset_hash) of `source_sql` computed inside DuckDB."""
+    exprs = []
+    for c in cols:
+        cast = hash_cast(canon_by_col[c])
+        exprs.append(f'CAST("{c}" AS {cast})' if cast else f'"{c}"')
+    row = con.execute(
+        f"SELECT count(*), sum(hash(ROW({', '.join(exprs)}))::HUGEINT) "
+        f"FROM ({source_sql})").fetchone()
+    return row[0], row[1]
+
 
 def canon_type(t: pa.DataType) -> str:
     if pa.types.is_dictionary(t):
@@ -148,14 +187,68 @@ def main():
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"{name}: NO OUTPUT"); fails += 1; continue
+        # mode decision from parquet METADATA (no data read): results at
+        # or above the hashed threshold never materialize as python rows
         try:
-            spark_tbl = pq.read_table(files[0])
+            spark_nrows = pq.read_metadata(files[0]).num_rows
         except Exception as e:
             print(f"{name}: SPARK OUTPUT UNREADABLE: {e}"); fails += 1; continue
-        spark_cols, spark_rows = table_rows(spark_tbl)
-        spark_types = {f.name: canon_type(f.type) for f in spark_tbl.schema}
+        hashed = HASHED_MIN_ROWS > 0 and spark_nrows >= HASHED_MIN_ROWS
+        if hashed:
+            spark_schema = pq.read_schema(files[0])
+            spark_cols = sorted(spark_schema.names)
+            spark_rows = None
+            spark_types = {f.name: canon_type(f.type) for f in spark_schema}
+        else:
+            try:
+                spark_tbl = pq.read_table(files[0])
+            except Exception as e:
+                print(f"{name}: SPARK OUTPUT UNREADABLE: {e}"); fails += 1; continue
+            spark_cols, spark_rows = table_rows(spark_tbl)
+            spark_types = {f.name: canon_type(f.type) for f in spark_tbl.schema}
         if name not in oracle:
-            print(f"{name}: rows-only ({spark_tbl.num_rows} rows)"); continue
+            print(f"{name}: rows-only ({spark_nrows} rows)"); continue
+        if hashed:
+            try:
+                con = connect(sfdir, ts_integer)
+                try:
+                    # LIMIT-0 arrow fetch: the oracle's result TYPES via
+                    # the same canon_type path the full compare uses
+                    probe = con.execute(
+                        f"SELECT * FROM ({oracle[name]}) LIMIT 0"
+                    ).fetch_arrow_table()
+                    duck_cols = sorted(probe.column_names)
+                    duck_types = {f.name: canon_type(f.type)
+                                  for f in probe.schema}
+                    if duck_cols != spark_cols:
+                        print(f"{name}: SCHEMA MISMATCH spark={spark_cols} "
+                              f"duck={duck_cols}")
+                        fails += 1; continue
+                    type_diffs = [
+                        (c, spark_types[c], duck_types[c]) for c in spark_cols
+                        if spark_types[c] != duck_types[c]
+                        and duck_types[c] != "null"]
+                    if type_diffs:
+                        fails += 1
+                        print(f"{name}: TYPE MISMATCH " + "; ".join(
+                            f"{c}: spark={s} duck={d}" for c, s, d in type_diffs))
+                        continue
+                    s_n, s_h = hashed_summary(
+                        con, f"SELECT * FROM '{files[0]}'",
+                        spark_cols, spark_types)
+                    d_n, d_h = hashed_summary(
+                        con, oracle[name], spark_cols, spark_types)
+                finally:
+                    con.close()
+            except Exception as e:
+                print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+            if (s_n, s_h) == (d_n, d_h):
+                print(f"{name}: OK-HASHED ({s_n} rows)")
+            else:
+                fails += 1
+                print(f"{name}: HASH MISMATCH spark=({s_n}, {s_h}) "
+                      f"duck=({d_n}, {d_h})")
+            continue
         try:
             con = connect(sfdir, ts_integer)
             try:

@@ -75,6 +75,47 @@ ORACLE_INTRACTABLE = {
     "q38_ksweep", "q60_editdist_pairs", "q65_kfold_cv",
 }
 
+# Per-query structural arguments for WHY each oracle cannot verify at
+# 10x/100x (r16 directive #4: the artifact must carry the per-query
+# evidence, not just the class label). Each is a MEASURED probe result
+# (rounds 10/11), and the blowup is super-linear in the tier factor, so
+# every argument strengthens at 100x. The SPARK side of each query runs
+# and is wall-clock/byte-censused at scale; it is the ORACLE's SQL
+# shape that cannot.
+ORACLE_INTRACTABLE_NOTES = {
+    "q15_ngram_jaccard":
+        "brute all-pairs shingle jaccard: the oracle joins the exploded "
+        "shingle inverted index with itself — measured r10 at 10x: "
+        "~1.25e9 candidate pairs (hot-shingle buckets grow quadratically "
+        "with the tier's 9 exact copies per doc); past the 600 s probe "
+        "cap. At 100x: ~1.25e13 pairs. Spark side is LSH-bucketed and "
+        "linear; hash-gated at sf0.01 + sf0.1.",
+    "q22_minhash_pairs":
+        "same oracle shape as q15 by construction (the LSH result is "
+        "verified against the brute jaccard pair set) — inherits q15's "
+        "measured ~1.25e9-pair blowup at 10x, ~1.25e13 at 100x.",
+    "q27_dedup_clusters":
+        "r11 staged probe (tools/probe_q27_q60.py, 1800 s cap): "
+        "shingling takes 4.5 s; the EDGES stage alone (all-pairs "
+        "jaccard, q15's class) consumes the full cap at 10x — the "
+        "recursive-CTE closure was never the bottleneck. Quadratic pair "
+        "blowup; worse at 100x.",
+    "q38_ksweep":
+        "MEASURED disk wall at 10x: DuckDB temp-spill ENOSPC at ~80 GB "
+        "free after 517 s (r10 probe) — the oracle's all-pairs "
+        "distance sort spills the full pair matrix. 100x pair matrix is "
+        "100x larger; structurally past any local disk.",
+    "q60_editdist_pairs":
+        "r11 probe (1800 s cap): blocked levenshtein pair set measured "
+        "157,661 pairs at sf0.1 -> 15,991,100 at 10x (101x growth: "
+        "copies share lang+length blocks), each pair an O(297^2) DP -> "
+        "~1.4e12 DP cells, >3x the cap by construction; ~1.4e16 at 100x.",
+    "q65_kfold_cv":
+        "same disk wall as q38 (r10 probe: ENOSPC-class spill, 512 s at "
+        "10x) — the oracle recomputes the all-pairs distance matrix per "
+        "fold (5x q38's shape).",
+}
+
 # Inputs pinned at every tier: the HAR cascade family runs the FULL
 # published dataset size regardless of sfDir (its scaling has the
 # dedicated `ScaleRehearsal har` case), and q44/q46 run nation-synth
@@ -112,13 +153,21 @@ TIER100_VERIFY = [
     "q4_agg", "q51_rollup", "q59_cube", "q54_semi_anti", "q63_bloom_semi",
 ]
 # linear queries over tier tables whose RESULT is itself linear
-# (~2-60M rows at 100x) — the python compare, not the oracle, is the
-# limit; each is hash-verified at 10x and censused at 100x
-TIER100_OUTPUT_INTRACTABLE = {
+# (~2-60M rows at 100x) — the python row compare, not the oracle, was
+# the limit. r17: verified at 100x through check_oracle's hashed mode
+# (ORACLE_HASHED_MIN_ROWS): schema+type checks unchanged, values via
+# count + order-insensitive multiset hash computed INSIDE DuckDB over
+# both sides (the spark parquet output and the oracle result), so no
+# multi-M-row python materialization. Row ORDER is the one property the
+# hashed mode does not check — it is covered by each query's full
+# ordered compare at the 10x tier. Results under the threshold (q35's
+# nation-rooted 2.5k rows) take the plain full compare automatically.
+TIER100_VERIFY_HASHED = [
     "q1_filter_project", "q2_join", "q37_vector_assembler",
     "q40_salted_join", "q41_bucketed_join", "q42_sessionize",
     "q3_window_topk", "q58_moving_window", "q64_sample", "q35_rowid",
-}
+]
+HASHED_MIN_ROWS = "2000000"
 # excluded families with their own scale evidence, documented per class
 TIER100_EXCLUDED_CLASS = {
     **{q: "streaming_replay (bounded replay harness; sustained-state "
@@ -233,7 +282,8 @@ def main():
         check, re.M))
 
     # ---- tier100 hash gate ----
-    verified100, mismatched100 = set(), set()
+    verified100, verified100_hashed, mismatched100 = set(), set(), set()
+    tier100_all = TIER100_VERIFY + TIER100_VERIFY_HASHED
     if not args.skip_tier100:
         verify100 = f"{WORK}/verify100x"
         check100_log = f"{WORK}/check100.log"
@@ -247,9 +297,9 @@ def main():
                     print(r.stdout[-3000:]); print(r.stderr[-3000:])
                     sys.exit(f"tier100 synth failed rc={r.returncode}")
             r = run(["sbt", "-batch", f"runMain graft.Verify {TIER100} {verify100}"],
-                    env={"SPARK_GRAFT_ONLY": ",".join(TIER100_VERIFY),
+                    env={"SPARK_GRAFT_ONLY": ",".join(tier100_all),
                          "SPARK_GRAFT_CPUS": "16",
-                         "SPARK_DRIVER_MEM": "24g"}, timeout=10800)
+                         "SPARK_DRIVER_MEM": "24g"}, timeout=14400)
             if r.returncode != 0:
                 print(r.stdout[-3000:]); print(r.stderr[-3000:])
                 sys.exit(f"100x verify failed rc={r.returncode}")
@@ -257,15 +307,18 @@ def main():
                 if "[verify]" in l:
                     print(l)
             r = run(["python3", "tools/check_oracle.py", TIER100, verify100],
-                    timeout=10800)
+                    env={"ORACLE_HASHED_MIN_ROWS": HASHED_MIN_ROWS},
+                    timeout=14400)
             open(check100_log, "w").write(r.stdout + r.stderr)
             print(r.stdout)
         if not os.path.exists(check100_log):
             sys.exit(f"--skip-tier100-verify given but {check100_log} missing")
         check100 = open(check100_log).read()
         verified100 = set(re.findall(r"^(\S+): OK \(\d+ rows\)", check100, re.M))
+        verified100_hashed = set(re.findall(
+            r"^(\S+): OK-HASHED \(\d+ rows\)", check100, re.M))
         mismatched100 = set(re.findall(
-            r"^(\S+): (?:MISMATCH|SCHEMA MISMATCH|TYPE MISMATCH|ORACLE SQL ERROR|NO OUTPUT)",
+            r"^(\S+): (?:MISMATCH|SCHEMA MISMATCH|TYPE MISMATCH|HASH MISMATCH|ORACLE SQL ERROR|NO OUTPUT)",
             check100, re.M))
 
     out, problems = {}, []
@@ -273,6 +326,7 @@ def main():
         rec = dict(rehearsal[name])
         if name in ORACLE_INTRACTABLE:
             cls, rv = "oracle_intractable", None
+            rec["oracle_note"] = ORACLE_INTRACTABLE_NOTES[name]
         elif name in SAME_SIZE:
             cls, rv = "same_size_by_design", None
         else:
@@ -291,24 +345,28 @@ def main():
             problems.append(f"{name}: failed at 10x")
         rec["result_verified"] = rv
         rec["class"] = cls
-        # tier100 annotation: verified / FAILED / documented class
+        # tier100 annotation: verified / verified_hashed / FAILED /
+        # documented per-query intractability
         if args.skip_tier100:
             rec["tier100"] = "skipped (--skip-tier100)"
-        elif name in TIER100_VERIFY:
+        elif name in tier100_all:
             if name in verified100:
                 rec["tier100"] = "verified"
+            elif name in verified100_hashed:
+                rec["tier100"] = (
+                    "verified_hashed (count + order-insensitive multiset "
+                    "hash computed inside DuckDB over both sides; schema+"
+                    "type checks unchanged; row ORDER covered by this "
+                    "query's full ordered compare at 10x)")
             else:
                 rec["tier100"] = "FAILED"
                 problems.append(
                     f"{name}: 100x result NOT verified (see check100.log)")
         elif name in ORACLE_INTRACTABLE:
-            rec["tier100"] = "oracle_intractable (same shape argument as 10x)"
+            rec["tier100"] = ("oracle_intractable: "
+                              + ORACLE_INTRACTABLE_NOTES[name])
         elif name in SAME_SIZE:
             rec["tier100"] = "same_size_by_design"
-        elif name in TIER100_OUTPUT_INTRACTABLE:
-            rec["tier100"] = ("output_intractable_100x (linear multi-M-row "
-                              "result exceeds the python row compare; "
-                              "hash-gated at 10x, censused at 100x)")
         elif name in TIER100_EXCLUDED_CLASS:
             rec["tier100"] = TIER100_EXCLUDED_CLASS[name]
         else:
@@ -326,8 +384,13 @@ def main():
         "oracle_intractable": len(ORACLE_INTRACTABLE),
         "same_size_by_design": len(SAME_SIZE),
         "tier100_verified": sum(1 for r in out.values()
-                                if r.get("tier100") == "verified"),
-        "tier100_attempted": 0 if args.skip_tier100 else len(TIER100_VERIFY),
+                                if str(r.get("tier100", "")).startswith("verified")),
+        "tier100_verified_full": sum(1 for r in out.values()
+                                     if r.get("tier100") == "verified"),
+        "tier100_verified_hashed": sum(
+            1 for r in out.values()
+            if str(r.get("tier100", "")).startswith("verified_hashed")),
+        "tier100_attempted": 0 if args.skip_tier100 else len(tier100_all),
         "problems": problems,
         "tier": TIER10,
         "tier100_dir": TIER100,
