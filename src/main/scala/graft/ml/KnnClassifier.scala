@@ -321,7 +321,12 @@ class KnnClassifierModel private[ml] (
                 "carry a null id and will surface with a null prediction")
         }
       } catch { case e: Throwable =>
-        if ($(cacheInput)) graft.core.Materialize.releaseOwned(base)
+        // the cleanup must not MASK the original failure: releaseOwned
+        // can itself throw (e.g. a stopped SparkContext when `e` is the
+        // shutdown), and the original exception is the routable one
+        if ($(cacheInput))
+          try graft.core.Materialize.releaseOwned(base)
+          catch { case r: Throwable if r ne e => e.addSuppressed(r) }
         throw e
       }
       val test = base.select(col($(idCol)).as("test_id"),
