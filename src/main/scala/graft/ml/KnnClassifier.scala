@@ -293,13 +293,20 @@ class KnnClassifierModel private[ml] (
       // eagerly with Materialize.releaseOwned(result).
       val base =
         if ($(cacheInput)) graft.core.Materialize.persistInternal(df) else df
-      // warm + validate under ONE unpersist-on-failure guard: an
-      // exception out of either (a failing upstream in count(), a
-      // duplicate-id require below) escapes BEFORE any result frame
-      // exists, so the caller has no handle for releaseOwned and the
-      // warmed graft-owned blocks would otherwise linger until driver
-      // GC + ContextCleaner reclaim them (r16 advisory). Release is a
-      // registry-only unpersist — rethrowing loses nothing.
+      // warm + validate + BUILD THE RESULT under ONE unpersist-on-
+      // failure guard: an exception out of any of them (a failing
+      // upstream in count(), a duplicate-id require, an analysis or
+      // planner failure while constructing the classify/join-back
+      // plan — Knn.classify runs size-measurement actions of its own)
+      // escapes BEFORE any result frame reaches the caller, so the
+      // caller has no handle for releaseOwned and the warmed
+      // graft-owned blocks would otherwise linger until driver GC +
+      // ContextCleaner reclaim them (r16 advisory; the guard covers
+      // construction too, or an AMBIGUOUS_REFERENCE out of the final
+      // select would leak the same way). Release is a registry-only
+      // unpersist — rethrowing loses nothing. On SUCCESS nothing is
+      // released: the result's evaluation reads the warmed blocks and
+      // the caller frees them via Materialize.releaseOwned(result).
       try {
         if ($(cacheInput)) base.count()
         // validation reads the warmed blocks (one cheap extra pass)
@@ -320,6 +327,17 @@ class KnnClassifierModel private[ml] (
               s"idCol '${$(idCol)}': ${c.getLong(2) - c.getLong(0)} rows " +
                 "carry a null id and will surface with a null prediction")
         }
+        val test = base.select(col($(idCol)).as("test_id"),
+          seriesColumn(base.schema).as("test_series"))
+        val preds = Knn.classify(train, test, knnParams)
+          .select(col("test_id").as($(idCol)),
+            col("predicted_label").as($(predictionCol)))
+        // merge hint, same rationale as the internal-id path: the preds
+        // side is post-aggregate with untrustworthy size estimates. The
+        // trailing select restores the input column order (a USING join
+        // fronts the join key) so both paths emit the same shape.
+        base.hint("merge").join(preds, Seq($(idCol)), "left")
+          .select((base.columns.map(col) :+ col($(predictionCol))).toIndexedSeq: _*)
       } catch { case e: Throwable =>
         // the cleanup must not MASK the original failure: releaseOwned
         // can itself throw (e.g. a stopped SparkContext when `e` is the
@@ -329,17 +347,6 @@ class KnnClassifierModel private[ml] (
           catch { case r: Throwable if r ne e => e.addSuppressed(r) }
         throw e
       }
-      val test = base.select(col($(idCol)).as("test_id"),
-        seriesColumn(base.schema).as("test_series"))
-      val preds = Knn.classify(train, test, knnParams)
-        .select(col("test_id").as($(idCol)),
-          col("predicted_label").as($(predictionCol)))
-      // merge hint, same rationale as the internal-id path: the preds
-      // side is post-aggregate with untrustworthy size estimates. The
-      // trailing select restores the input column order (a USING join
-      // fronts the join key) so both paths emit the same shape.
-      base.hint("merge").join(preds, Seq($(idCol)), "left")
-        .select((base.columns.map(col) :+ col($(predictionCol))).toIndexedSeq: _*)
     } else {
       val idC = "__graft_knn_test_id"
       // withRowId (not a bare monotonic id): the id-annotated frame is

@@ -496,6 +496,22 @@ class PipelineSpec extends SparkTestBase {
       .isEmpty,
       "a validateIdCol failure under cacheInput must unpersist the " +
         "warmed input before rethrowing — nothing may linger until GC")
+    // ... and the guard must cover RESULT CONSTRUCTION too, not just
+    // warm+validate: an analysis failure out of the classify/join-back
+    // plan (here: a duplicate-named unrelated column turning the final
+    // column-order select ambiguous) also escapes before any result
+    // frame exists, and must release the warmed persist the same way
+    val dupColName = Seq((1L, Array(0.0, 0.0, 0.0), 1, 2))
+      .toDF("key", "series", "extra", "extra")
+    val persistedBefore2 = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[org.apache.spark.sql.AnalysisException] {
+      model.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setCacheInput(true).transform(dupColName).collect()
+    }
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore2)
+      .isEmpty,
+      "a plan-construction failure under cacheInput must unpersist the " +
+        "warmed input before rethrowing — nothing may linger until GC")
     model.release()
   }
 

@@ -252,11 +252,31 @@ def main():
         try:
             con = connect(sfdir, ts_integer)
             try:
-                duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+                # with the hashed mode ON, gate the full materialization
+                # on the ORACLE's count too: the mode decision above keys
+                # on the SPARK row count alone, so an engine regression
+                # that LOSES rows (spark under threshold, oracle
+                # tier-sized) would otherwise re-enable the multi-M-row
+                # python fetch the mode exists to avoid — and surface as
+                # a tooling OOM/timeout instead of a crisp mismatch.
+                # spark_nrows < threshold <= oracle count IS the verdict;
+                # count(*) costs one aggregate, no row transfer.
+                duck_tbl = None
+                duck_nrows = con.execute(
+                    f"SELECT count(*) FROM ({oracle[name]})"
+                ).fetchone()[0] if HASHED_MIN_ROWS > 0 else 0
+                if duck_nrows >= HASHED_MIN_ROWS > 0:
+                    print(f"{name}: MISMATCH spark={spark_nrows} "
+                          f"duck={duck_nrows} rows (oracle at/above the "
+                          "hashed threshold, spark below it)")
+                else:
+                    duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
             finally:
                 con.close()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+        if duck_tbl is None:
+            fails += 1; continue
         duck_cols, duck_rows = table_rows(duck_tbl)
         duck_types = {f.name: canon_type(f.type) for f in duck_tbl.schema}
         if duck_cols != spark_cols:

@@ -360,8 +360,14 @@ def main():
                     "query's full ordered compare at 10x)")
             else:
                 rec["tier100"] = "FAILED"
+                # mismatched100 splits the failure class: a compare line
+                # means the query RAN and the result is wrong; no line
+                # means the run died before comparing (crash/timeout)
+                kind = ("compare-line failure" if name in mismatched100
+                        else "no compare line — run died before comparing")
                 problems.append(
-                    f"{name}: 100x result NOT verified (see check100.log)")
+                    f"{name}: 100x result NOT verified — {kind} "
+                    "(see check100.log)")
         elif name in ORACLE_INTRACTABLE:
             rec["tier100"] = ("oracle_intractable: "
                               + ORACLE_INTRACTABLE_NOTES[name])
