@@ -2528,11 +2528,18 @@ object SparkEntry {
           ORDER BY event_id"""
     },
 
+    // null guards on BOTH sides: a null-vector pair carries no distance
+    // — the engine excludes it before min_by (a null ordering field
+    // would sort first and hijack every prediction), and a vectorless
+    // test row keeps a NULL pred (counts incorrect via CASE...ELSE 0).
+    // Without the a-side guard DuckDB's all-NULL ordering would hand
+    // such rows the min-vec_id label instead.
     "q65_kfold_cv" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label, vec_id % 5 AS fold
                     FROM embeddings),
          nn AS (SELECT a.vec_id, a.fold, a.label,
                        (SELECT b.label FROM e b WHERE b.fold <> a.fold
+                          AND a.v IS NOT NULL AND b.v IS NOT NULL
                         ORDER BY list_distance(a.v, b.v), b.vec_id LIMIT 1) AS pred
                 FROM e a)
          SELECT fold, ROUND(AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS acc,

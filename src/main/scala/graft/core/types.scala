@@ -11,7 +11,12 @@ case class LabeledSeries(rowId: Long, series: Array[Double], label: Double)
   * @param k                  neighbor count (reference sweeps 5..70; Model 2 fixes 1)
   * @param distance           "euclidean" | "sqdist" | "manhattan" | "dtw" | "fastdtw" | "cosine"
   * @param strategy           "auto" | "broadcast" | "cartesian"
-  * @param excludeZeroDistance drop self-matches (reference `:176-177`, `:357-358`)
+  * @param excludeZeroDistance drop self-matches (reference `:176-177`,
+  *                           `:357-358`); "zero" is in the metric's own
+  *                           terms — for cosine the column is the
+  *                           standard distance 1−similarity, so 0 means
+  *                           same-direction, not same-vector (a scaled
+  *                           copy of a test vector is also excluded)
   * @param radius             FastDTW radius (Python fastdtw default = 1)
   * @param band               Sakoe-Chiba band for exact DTW; -1 = unconstrained
   * @param trainPartitions    cartesian-strategy train-side repartition (reference `:186`)

@@ -53,6 +53,15 @@ object CrossValidation {
       .filter(col("fold") =!= col("tfold"))
       .withColumn("dist", SeriesFunctions.barrier(
         SeriesFunctions.euclidean(col("v"), col("tv"))))
+      // a NULL dist (null/uncastable vector on either side) must not
+      // reach min_by: its ordering struct has a null FIRST FIELD, which
+      // sorts ahead of every real distance (the nulls-first struct
+      // hazard Knn.pairs filters for the same reason) — one dirty train
+      // row would otherwise become the 1-NN of every test point. A test
+      // row with a null vector loses ALL its pairs here and surfaces
+      // through the left join as a NULL prediction (counted incorrect),
+      // matching the no-foreign-fold-neighbor contract above.
+      .filter(col("dist").isNotNull)
       .groupBy(col("id"))
       .agg(min_by(col("tlabel"), struct(col("dist"), col("tid"))).as("pred"))
     e.select(col("id"), col("fold"), col("label"))

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * expressed Spark-first.
   *
   * Scale notes:
-  *  - exact: one hash-shuffle on a 64-bit digest, never on the full text.
+  *  - exact: one hash-shuffle on a 128-bit digest pair (two
+ *    independently-seeded xxhash64s — a single 64-bit key collides with
+ *    near-certainty at billions of rows), never on the full text.
   *  - MinHash LSH: signatures are computed scan-side (codegen, no
   *    shuffle); the only shuffle keys are (band, bandHash) — candidate
   *    pairs are generated per bucket, so cost is sum(bucket^2), not n^2.
@@ -20,13 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact duplicate groups keyed by a 64-bit content digest: keeps the
-    * smallest id as canonical representative. Shuffles (digest) not text.
+  /** Exact duplicate groups keyed by a 128-bit content digest: keeps the
+    * smallest id as canonical representative. Shuffles (digests) not text.
+    *
+    * TWO independently-seeded 64-bit digests, not one: grouping on a
+    * single xxhash64 silently MERGES different texts that collide — at
+    * the billion-document scale this engine targets, the 64-bit
+    * birthday bound makes that a certainty, not a tail risk (~50% at
+    * ~5B distinct texts), and a merged group DELETES a non-duplicate
+    * document with no error path. The second digest hashes the text
+    * under a different effective seed (the prepended literal shifts
+    * xxhash64's running state BEFORE the text bytes — prepended, not
+    * appended, because appending would make digest2 a pure function of
+    * digest1's collision), putting a joint collision at the 128-bit
+    * bound (~1e-20 at 5B docs). The exposed `digest` column stays the
+    * primary 64-bit hash; two groups that collide on it simply emit two
+    * rows with equal `digest` and distinct members.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("digest"))
-      .groupBy("digest")
+    df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("digest"),
+        xxhash64(lit(1L), col(textCol)).as("_digest2"))
+      .groupBy("digest", "_digest2")
       .agg(min("id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("digest", "keep_id", "dup_count")
 
   /** Rows of `df` minus exact duplicates (first id wins). min_by over
     * the digest, not a window: partial aggregation combines map-side, so
@@ -47,9 +65,14 @@ object Dedup {
     // asc_nulls_first. Payload columns enter the struct via backtick-
     // quoted refs and exit via getField, so a column NAMED "meta.lang"
     // survives instead of being re-parsed as a path.
-    df.groupBy(xxhash64(col(textCol)).as("_digest"))
+    // 128-bit group key (two independently-seeded digests), same
+    // rationale as [[exact]]: a single-xxhash64 key merges colliding
+    // texts and silently DROPS a non-duplicate document — near-certain
+    // at billion-row scale
+    df.groupBy(xxhash64(col(textCol)).as("_digest"),
+        xxhash64(lit(1L), col(textCol)).as("_digest2"))
       .agg(min_by(struct(cols.map(c => col(s"`$c`")).toIndexedSeq: _*),
-        struct(col(idCol))).as("_kept"))
+        struct(col(s"`$idCol`"))).as("_kept"))
       // getField re-extraction marks every column nullable (the agg
       // output is); every kept row is a real input row, so restore the
       // input schema's non-nullable columns via AssertNotNull (provably
@@ -109,24 +132,53 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.5, roundDp: Int = -1): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val docs = df.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), shingleSize).as("hs"))
+    // materialize the (id, hashed-shingles) table ONCE (graft-owned
+    // persist, lineage kept, InternalRow layer): the subtree is
+    // referenced THREE times below — the bucket generation and both
+    // verification join-backs — and each reference re-ran the
+    // tokenize+shingle corpus scan (measured 3x the single-scan input
+    // bytes in the byte census; the same corpus-proportional-redundancy
+    // class the r16 TF-IDF fix closed). EAGER warm (count()): all three
+    // references sit under one action whose independent subtrees AQE
+    // schedules concurrently, and a cold persist lets them race to
+    // compute the same partitions. Callers free the blocks eagerly with
+    // Materialize.releaseOwned(result); eviction recomputes (lineage
+    // kept).
+    val docs = graft.core.Materialize.persistInternal(
+      df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), shingleSize).as("hs")))
+    val nDocs = docs.count()
+    // the persisted LogicalRDD reports no usable Catalyst size estimate
+    // (the r12 lying-stats class), so the broadcast decisions the file
+    // scans used to get for free are re-made here: verify join-backs
+    // broadcast the shingle table while its MEASURED block-manager size
+    // fits an executor (Knn.fitsBroadcast), and the bucket self-join
+    // broadcasts one side while the EXACT banded row count — the warm
+    // count() x numBands, at ~48 B per slim (band, bucket, id) row —
+    // fits the same cap (gating that side on docs' measured bytes would
+    // overestimate by the shingle-array width and flip it to sort-merge
+    // decades early). Beyond the caps all three degrade to partitioned
+    // sort-merge, the only executable shape at corpus scale.
+    val bcDocs = Knn.fitsBroadcast(docs)
+    val bcBuckets = Knn.broadcastCapBytes(df.sparkSession)
+      .exists(nDocs * numBands * 48L <= _)
+    def hint(frame: DataFrame, bc: Boolean) = if (bc) broadcast(frame) else frame
     val buckets = docs
       .select(col("id"),
         posexplode(SeriesFunctions.minhashBands(
           SeriesFunctions.minhash(col("hs"), numHashes), numBands))
           .as(Seq("band", "bucket")))
     val cand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
+      .join(hint(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+        bcBuckets), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
     val raw = SeriesFunctions.jaccardSorted(col("hs_a"), col("hs_b"))
     val verified = if (roundDp >= 0) round(raw, roundDp) else raw
     cand
-      .join(docs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .join(hint(docs.select(col("id").as("id_a"), col("hs").as("hs_a")), bcDocs), "id_a")
+      .join(hint(docs.select(col("id").as("id_b"), col("hs").as("hs_b")), bcDocs), "id_b")
       .select(col("id_a"), col("id_b"),
         SeriesFunctions.barrier(verified).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -146,7 +198,15 @@ object Dedup {
       docs: DataFrame, nChunks: Int, chunkBits: Int,
       maxHamming: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
-    val chunked = docs.select(col("id"), col("sig"),
+    // materialize (id, sig) ONCE: the chunked frame below is consumed
+    // by BOTH sides of the candidate self-join, and each side re-ran
+    // the tokenize+simhash corpus scan (measured 2x single-scan input
+    // bytes in the byte census — the corpus-proportional-redundancy
+    // class the minhash/TF-IDF persists close). Slim rows (two longs);
+    // lineage kept; callers free via Materialize.releaseOwned(result).
+    val d = graft.core.Materialize.persistInternal(docs)
+    val nSigs = d.count()
+    val chunked = d.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map { c =>
         shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk_idx", "chunk")))
@@ -154,7 +214,12 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
+    // exact-row-count broadcast re-decision (see minhashLshPairs): the
+    // chunked frame is nChunks slim (chunk_idx, chunk, id, sig) rows per
+    // signature, ~48 B each
+    val bSide = if (Knn.broadcastCapBytes(docs.sparkSession)
+        .exists(nSigs * nChunks * 48L <= _)) broadcast(b) else b
+    a.join(bSide, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         SeriesFunctions.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
@@ -318,9 +383,19 @@ object Dedup {
           threshold = threshold, roundDp = 6)
       else ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold))
       .select(col("id_a"), col("id_b"))
-    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // ONE evaluation of the edge pipeline, not two: the two-direction
+    // union referenced `edges` twice, re-running the whole candidate
+    // join + exact verification per direction — explode emits both
+    // orientations from a single pass
+    val und = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // und is materialized (localCheckpoint is eager): the LSH path's
+    // internal shingle-table persist has served all its readers — free
+    // it now (registry-only; a no-op for the brute-force path)
+    graft.core.Materialize.releaseOwned(edges)
     var labels = df.select(col(idCol).as("id"))
       .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
@@ -425,23 +500,40 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, bits: Int = 6, tables: Int = 8,
       seed: Long = 42L, roundDp: Int = -1): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // materialize (id, vector) ONCE — this is the billion-row path, and
+    // the frame is referenced by the bucketing subtree AND both
+    // verification join-backs; without the persist each reference
+    // re-scans the embedding corpus (same redundancy class as the
+    // minhash/simhash persists above). Lineage kept; callers free via
+    // Materialize.releaseOwned(result).
+    val v = graft.core.Materialize.persistInternal(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
+    val nVecs = v.count()
+    // measured-size broadcast re-decision for the vector join-backs and
+    // exact-row-count gate for the slim bucket self-join (see
+    // minhashLshPairs): one ~48 B (table, bucket, id) row per table per
+    // vector — gating on v's measured bytes would overestimate by the
+    // vector width
+    val bcV = Knn.fitsBroadcast(v)
+    val bcSlim = Knn.broadcastCapBytes(df.sparkSession)
+      .exists(nVecs * tables * 48L <= _)
+    def hint(frame: DataFrame, bc: Boolean) = if (bc) broadcast(frame) else frame
     val bucketed = Partitioning.spread(v).select(col("id"), col("v"),
       posexplode(array((0 until tables).map(t =>
         SimilaritySearch.signBucket(col("v"), dim, bits, seed + t)): _*))
         .as(Seq("table", "bucket")))
     val slim = bucketed.select(col("table"), col("bucket"), col("id"))
     val cand = slim.select(col("table"), col("bucket"), col("id").as("id_a"))
-      .join(slim.select(col("table"), col("bucket"), col("id").as("id_b")),
-        Seq("table", "bucket"))
+      .join(hint(slim.select(col("table"), col("bucket"), col("id").as("id_b")),
+        bcSlim), Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
     val raw = SeriesFunctions.cosine(col("v_a"), col("v_b"))
     val sim = if (roundDp >= 0) round(raw, roundDp) else raw
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(hint(v.select(col("id").as("id_a"), col("v").as("v_a")), bcV), "id_a")
+      .join(hint(v.select(col("id").as("id_b"), col("v").as("v_b")), bcV), "id_b")
       .select(col("id_a"), col("id_b"), SeriesFunctions.barrier(sim).as("cos"))
       .filter(col("cos") >= threshold)
   }

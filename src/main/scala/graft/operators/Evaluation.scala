@@ -24,10 +24,20 @@ object Evaluation {
       round(avg(when(abs(pred - truth) === 0.0, 1.0).otherwise(0.0)), 6).as("accuracy"),
       count(lit(1)).as("n"))
 
-  /** Accuracy joining predictions (id, predicted_label) to truth (id, label). */
+  /** Accuracy joining predictions (id, predicted_label) to truth
+    * (id, label). The join is LEFT FROM TRUTH: a truth row with no
+    * prediction (the classifier emitted nothing for that id — null
+    * series, every candidate excluded) counts as INCORRECT and `n` is
+    * the truth-set size, matching
+    * [[CrossValidation.kfold1NNAccuracy]]'s contract. An inner join
+    * here would shrink numerator AND denominator together, silently
+    * inflating the score of a classifier that only answers its easy
+    * rows — and hiding a prediction-dropping regression from every
+    * accuracy check built on this entry point.
+    */
   def accuracy(predictions: DataFrame, truth: DataFrame, idCol: String): DataFrame =
     accuracy(
-      predictions.join(truth, idCol),
+      truth.join(predictions, Seq(idCol), "left"),
       col("predicted_label"), col("label"))
 
   /** Per-class precision/recall/F1 + support (beyond the reference's

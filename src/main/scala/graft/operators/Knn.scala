@@ -38,7 +38,14 @@ object Knn {
     case "manhattan" => SeriesFunctions.manhattan(a, b)
     case "dtw"       => SeriesFunctions.dtw(a, b, p.band)
     case "fastdtw"   => SeriesFunctions.fastdtw(a, b, p.radius)
-    case "cosine"    => -SeriesFunctions.cosine(a, b) // larger similarity = smaller distance
+    // standard cosine DISTANCE (1 - similarity), not the bare negation:
+    // the ordering is the same monotone shift, but excludeZeroDistance's
+    // `dist =!= 0.0` contract only works when a self-match actually
+    // lands on zero — under -cos a self-match sat at -1.0 (kept: the
+    // point votes for itself) while an ORTHOGONAL pair sat at -0.0,
+    // which Spark's comparison equates with 0.0 (legitimate neighbors
+    // silently dropped)
+    case "cosine"    => lit(1.0) - SeriesFunctions.cosine(a, b)
     case other       => throw new IllegalArgumentException(s"unknown distance: $other")
   }
 
@@ -63,12 +70,22 @@ object Knn {
     * replicated dense matrix (tunable via spark.graft.knn.broadcastFloor;
     * conf values may carry a byte-unit suffix, "64MB").
     */
-  private[operators] def fitsBroadcast(df: DataFrame): Boolean = {
-    // a streaming frame can never be the broadcast build side, and
-    // evaluating optimizedPlan.stats on one throws (streaming sources
-    // must execute via writeStream) — decide without touching the plan
-    if (df.isStreaming) return false
-    val conf = df.sparkSession.conf
+  /** @param replication conservative multiplier applied to the measured/
+    *                     estimated bytes before the threshold test — for
+    *                     deciding a broadcast of a frame DERIVED from
+    *                     `df` by row replication (LSH banding explodes
+    *                     one row per band/chunk/table); the derived rows
+    *                     are usually slimmer than `df`'s, so the scaled
+    *                     gate only ever under-broadcasts, never over.
+    */
+  /** The effective broadcast byte cap: max(autoBroadcastJoinThreshold,
+    * graft floor), or None when broadcasting is disabled (threshold -1).
+    * Shared by [[fitsBroadcast]] and the dedup operators' slim-frame
+    * row-count gates.
+    */
+  private[operators] def broadcastCapBytes(
+      spark: org.apache.spark.sql.SparkSession): Option[Long] = {
+    val conf = spark.conf
     val floor =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         conf.get("spark.graft.knn.broadcastFloor", "64m"))
@@ -81,16 +98,41 @@ object Knn {
       } catch { case scala.util.control.NonFatal(_) => 10485760L }
     // -1 is Spark's documented "broadcast disabled": honor it (an
     // explicit strategy="broadcast" still overrides via useBroadcast)
-    if (threshold < 0) return false
+    if (threshold < 0) None else Some(math.max(threshold, floor))
+  }
+
+  private[operators] def fitsBroadcast(df: DataFrame): Boolean = {
+    // a streaming frame can never be the broadcast build side, and
+    // evaluating optimizedPlan.stats on one throws (streaming sources
+    // must execute via writeStream) — decide without touching the plan
+    if (df.isStreaming) return false
+    val cap = broadcastCapBytes(df.sparkSession) match {
+      case Some(c) => c
+      case None => return false // broadcast disabled (threshold -1)
+    }
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a LogicalRDD WITHOUT origin stats (graft's internal persists via
+    // internalCreateDataFrame — unlike localCheckpoint, which carries
+    // the source plan's stats through) reports the defaultSizeInBytes
+    // SENTINEL (Long.MaxValue unless overridden): that estimate carries
+    // no information, and max()-ing it in would veto every broadcast of
+    // a fully-measured persisted frame. Ignore the sentinel; any other
+    // estimate still raises the measured floor (a partially-evicted
+    // persist under-measures, and the estimate backstops it).
+    val sentinel = BigInt(
+      try df.sparkSession.conf
+        .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
+    val informative = planBytes != sentinel
     // measured size when persisted; the raw estimate only when its
     // sources make it trustworthy — an untrusted estimate (generated
     // payloads over Range, non-persisted RDD scans) means NOT
     // broadcastable, never "probably fine"
     val bytes = graft.core.Materialize.storageBytes(df)
-      .map(_.max(planBytes))
-      .orElse(if (graft.core.Materialize.estimateTrusted(df)) Some(planBytes) else None)
-    bytes.exists(_ <= BigInt(math.max(threshold, floor)))
+      .map(m => if (informative) m.max(planBytes) else m)
+      .orElse(if (informative && graft.core.Materialize.estimateTrusted(df))
+        Some(planBytes) else None)
+    bytes.exists(_ <= BigInt(cap))
   }
 
   private def useBroadcast(trainSel: DataFrame, p: KnnParams): Boolean = p.strategy match {

@@ -465,20 +465,41 @@ object Multimodal {
 
   /** Image resize, for real: decodable image payloads are scaled to
     * `w`x`h` (Graphics2D bilinear — pure JDK) and re-encoded as PNG;
-    * metadata updates to the new dimensions either way. Non-image /
-    * corrupt payloads pass through with metadata-only update (the
-    * degrade-don't-fail contract of [[realDecode]]). Per-partition
-    * `mapPartitions`, preserving every other column.
+    * metadata updates to the new dimensions either way, and
+    * `meta.format` flips to "image/png" EXACTLY where the re-encode
+    * fired — a payload the resize replaced must not keep metadata
+    * claiming the original container (a downstream consumer routing on
+    * format would mis-decode it). Non-image / corrupt payloads pass
+    * through bytes-and-format untouched with the dimensions-only
+    * update (the degrade-don't-fail contract of [[realDecode]]).
+    * Per-partition `mapPartitions`, preserving every other column.
     */
   def resize(df: DataFrame, binCol: String, metaCol: String, w: Int, h: Int): DataFrame = {
     val enc = ExpressionEncoder(df.schema)
     val binIdx = df.schema.fieldIndex(binCol)
+    val metaIdx = df.schema.fieldIndex(metaCol)
+    // format surgery happens row-side (only the map knows whether the
+    // re-encode fired); tolerate meta structs WITHOUT a format field —
+    // the declarative width/height withField below adds-or-replaces
+    // either way
+    val fmtIdx = df.schema(metaIdx).dataType match {
+      case s: StructType if s.fieldNames.contains("format") =>
+        s.fieldIndex("format")
+      case _ => -1
+    }
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
         val resized = resizeImageBytes(bytes, w, h)
-        Row.fromSeq(r.toSeq.updated(binIdx, resized.getOrElse(bytes)))
+        var seq = r.toSeq
+        resized.foreach { png =>
+          seq = seq.updated(binIdx, png)
+          if (fmtIdx >= 0 && !r.isNullAt(metaIdx))
+            seq = seq.updated(metaIdx, Row.fromSeq(
+              r.getStruct(metaIdx).toSeq.updated(fmtIdx, "image/png")))
+        }
+        Row.fromSeq(seq)
       }
     }(enc).withColumn(metaCol,
       col(metaCol).withField("width", lit(w)).withField("height", lit(h)))
@@ -589,10 +610,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** The ONE splitmix64 (seed, block) finalizer behind every synthetic
+    * payload — PNG blocks, JPEG macroblock tiles, WAV amplitude blocks.
+    * Single definition on purpose: the DuckDB oracles embed the same
+    * mixing, so a constant edited in one inlined copy would silently
+    * desynchronize the other synthesizers from the oracle corpus.
+    */
+  private[graft] def mix64(seed: Long, block: Long): Long = {
+    var z = seed * -7046029254386353131L + block * -4417276706812531889L
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic grayscale image: pixels are block-constant (row-major
     * blocks matching [[decodeBytes]]'s block mapping), each block's
-    * value a splitmix64 mix of (id, block). Shared by the PNG and
-    * MJPEG-AVI synthesizers.
+    * value a splitmix64 mix of (id, block) ([[mix64]]). Shared by the
+    * PNG and MJPEG-AVI synthesizers.
     */
   private[graft] def grayImageFor(
       id: Long, w: Int, h: Int, blocks: Int): java.awt.image.BufferedImage = {
@@ -605,11 +639,7 @@ object Multimodal {
       while (x < w) {
         val idx = y.toLong * w + x
         val block = ((idx * blocks) / n).toInt
-        var z = id * -7046029254386353131L + block * -4417276706812531889L
-        z = (z ^ (z >>> 30)) * -4658895280553007687L
-        z = (z ^ (z >>> 27)) * -7723592293110705685L
-        z ^= (z >>> 31)
-        img.getRaster.setSample(x, y, 0, (z & 0xFF).toInt)
+        img.getRaster.setSample(x, y, 0, (mix64(id, block) & 0xFF).toInt)
         x += 1
       }
       y += 1
@@ -635,11 +665,7 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val tile = (y / 8) * tilesPerRow + (x / 8)
-        var z = seed * -7046029254386353131L + tile * -4417276706812531889L
-        z = (z ^ (z >>> 30)) * -4658895280553007687L
-        z = (z ^ (z >>> 27)) * -7723592293110705685L
-        z ^= (z >>> 31)
-        img.getRaster.setSample(x, y, 0, (z & 0xFF).toInt)
+        img.getRaster.setSample(x, y, 0, (mix64(seed, tile) & 0xFF).toInt)
         x += 1
       }
       y += 1
@@ -692,11 +718,7 @@ object Multimodal {
     var i = 0
     while (i < nSamples) {
       val block = ((i.toLong * blocks) / nSamples).toInt
-      var z = id * -7046029254386353131L + block * -4417276706812531889L
-      z = (z ^ (z >>> 30)) * -4658895280553007687L
-      z = (z ^ (z >>> 27)) * -7723592293110705685L
-      z ^= (z >>> 31)
-      val v = (z & 0xFFFFL).toShort
+      val v = (mix64(id, block) & 0xFFFFL).toShort
       raw(2 * i) = (v & 0xFF).toByte
       raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
       i += 1

@@ -20,6 +20,17 @@ object Partitioning {
       left: DataFrame, right: DataFrame, key: String,
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    // fail loud on join types the salting construction cannot preserve:
+    // right rows are replicated `salt` ways, so an unmatched right row
+    // under a right/full outer join would be null-extended once PER
+    // UNMATCHED REPLICA — up to `salt` duplicate output rows — and a
+    // right-semi/anti would key membership on the replicas. Left-rooted
+    // types are exactly the ones where each left row meets one replica.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(jt),
+      s"saltedJoin preserves inner/left-rooted semantics only; " +
+        s"'$joinType' would emit up to salt=$salt duplicates per " +
+        "unmatched right row (flip the sides for a right join)")
     val l = left.withColumn("_salt",
       pmod(pmod(hash(monotonically_increasing_id()), lit(salt)) + salt, lit(salt)))
     val r = right.withColumn("_salt_arr",

@@ -164,7 +164,16 @@ object SimilaritySearch {
       // `probes`, not centroid polish; the rerank is exact within probed
       // cells regardless. Sorting the sample by id makes the fit (and so
       // the whole operator) deterministic across runs and cluster layouts.
-      val sample = fitSet.select(col("item_id").cast("long"), col("cv")).collect()
+      // dirty rows never shape centroids: a null item_id or null/
+      // uncastable item_vec in a billion-row corpus must not NPE the
+      // driver-side collect (getLong/getSeq on a null field) — such
+      // rows are excluded from the FIT only; the search side handles
+      // them under its own null contract. Filtered AFTER sampling, so
+      // the fit set just runs marginally under maxFitRows on a dirty
+      // corpus instead of rescanning.
+      val sample = fitSet
+        .where(col("item_id").isNotNull.and(col("cv").isNotNull))
+        .select(col("item_id").cast("long"), col("cv")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Double](1).toArray)
       // an EMPTY corpus fits zero centroids rather than crashing the
@@ -197,6 +206,14 @@ object SimilaritySearch {
     require(sample.nonEmpty, "empty IVF fit sample")
     val n = sample.length
     val dim = sample(0).length
+    // fail with the contract named instead of an ArrayIndexOutOfBounds
+    // deep in the Lloyd inner loop: k-means over ragged vectors is
+    // undefined, and one short vector in a sampled billion-row corpus
+    // would otherwise kill the fit with an unroutable index error
+    require(sample.forall(_.length == dim),
+      s"IVF fit requires fixed-dimension vectors; the sampled corpus " +
+        s"mixes lengths ${sample.map(_.length).distinct.sorted.take(5).mkString(", ")}" +
+        (if (sample.map(_.length).distinct.length > 5) ", ..." else ""))
     val rnd = new scala.util.Random(seed)
     val initIdx = rnd.shuffle((0 until n).toVector).take(math.min(k, n))
     var centers = initIdx.map(i => sample(i).clone()).toArray

@@ -79,4 +79,27 @@ class CrossValidationSpec extends SparkTestBase {
     }
     assert(got.map(t => (t._1, t._2, t._3)).toSeq === want)
   }
+
+  test("kfold1NNAccuracy: one null-vector train row must not hijack " +
+      "every prediction (nulls-first min_by struct hazard)") {
+    // ids 0..5 across 2 folds, two tight separable clusters with BOTH
+    // clusters in BOTH folds (each row's nearest foreign-fold neighbor
+    // shares its label); id 99 carries a NULL vector — if its null dist
+    // reaches min_by it sorts ahead of every real distance and becomes
+    // everyone's 1-NN, poisoning every fold
+    val clean = Seq(
+      (0L, Array(0.0, 0.0), 0.0), (1L, Array(0.1, 0.0), 0.0),
+      (2L, Array(0.0, 0.1), 0.0),
+      (3L, Array(9.0, 9.0), 1.0), (4L, Array(9.1, 9.0), 1.0),
+      (5L, Array(9.0, 9.1), 1.0))
+    val dirty = clean :+ ((99L, null.asInstanceOf[Array[Double]], 1.0))
+    val acc = CrossValidation
+      .kfold1NNAccuracy(dirty.toDF("id", "v", "label"), "id", "v", "label", 2)
+      .orderBy("fold").as[(Long, Double, Long)].collect()
+    // fold 1 (odd ids) holds the null row: its prediction is NULL
+    // (no real pairs) and counts incorrect among n=4; every clean row
+    // still matches its own cluster
+    assert(acc.toSeq === Seq((0L, 1.0, 3L), (1L, 0.75, 4L)),
+      s"null-vector row must only cost ITSELF, got ${acc.toSeq}")
+  }
 }

@@ -59,6 +59,13 @@ class DedupSpec extends SparkTestBase {
     assert(kept.columns.toSeq === Seq("doc_id", "text", "meta.lang"))
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(1L, 3L, 4L, 5L, 6L))
+    // ... and a dotted ID column: the min_by ordering key must quote it
+    // like the payload refs do, not re-parse it as a struct-field path
+    val dottedId = docs.withColumnRenamed("doc_id", "doc.id")
+    val keptId = Dedup.dropExactDuplicates(dottedId, "doc.id", "text")
+    assert(keptId.columns.toSeq === Seq("doc.id", "text"))
+    assert(keptId.select(col("`doc.id`")).collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 4L, 5L, 6L))
   }
 
   test("ngramJaccardPairs finds exact and near duplicates") {

@@ -20,6 +20,20 @@ class EvaluationSpec extends SparkTestBase {
     val truth = Seq((1L, 1.0), (2L, 3.0)).toDF("id", "label")
     val r = Evaluation.accuracy(pred, truth, "id").head()
     assert(r.getDouble(0) === 0.5)
+    assert(r.getLong(1) === 2L)
+  }
+
+  test("accuracy via id-join overload: a truth row with NO prediction " +
+      "counts as incorrect, never silently dropped") {
+    // id 3 has no prediction row — an inner join would score 1/1 = 1.0
+    // over the shrunken set; the truth-left contract scores 1/2 and
+    // keeps n at the truth-set size
+    val pred = Seq((1L, 1.0)).toDF("id", "predicted_label")
+    val truth = Seq((1L, 1.0), (3L, 2.0)).toDF("id", "label")
+    val r = Evaluation.accuracy(pred, truth, "id").head()
+    assert(r.getDouble(0) === 0.5,
+      "missing predictions must lower accuracy, not vanish")
+    assert(r.getLong(1) === 2L, "n must be the truth-set size")
   }
 
   test("perClassMetrics: precision/recall/f1 for a known confusion") {

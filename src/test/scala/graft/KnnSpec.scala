@@ -258,4 +258,30 @@ class KnnSpec extends SparkTestBase {
       .select("dist").head().getDouble(0)
     assert(withoutEx === 0.0)
   }
+
+  test("cosine: excludeZeroDistance excludes self-matches, keeps " +
+      "orthogonal neighbors (dist is 1 - similarity)") {
+    // under the old -cos mapping a self-match sat at -1.0 (kept: the
+    // point voted for itself) and an orthogonal pair at -0.0 == 0.0
+    // (legitimate neighbor dropped); 1-cos puts the self-match on the
+    // zero the exclusion contract tests
+    val train = Seq(
+      (1L, Array(1.0, 0.0), 0.0),  // same direction as the probe
+      (2L, Array(0.0, 1.0), 1.0)   // orthogonal to the probe
+    ).toDF("train_id", "train_series", "label")
+    val probe = Seq((9L, Array(2.0, 0.0))).toDF("test_id", "test_series")
+    // scaled same-direction copy: cosine similarity 1 -> dist 0 ->
+    // excluded; the ORTHOGONAL row (dist exactly 1.0) must win
+    val nn = Knn.neighbors(train, probe, KnnParams(k = 1, distance = "cosine"))
+      .select("train_id", "dist").head()
+    assert(nn.getLong(0) === 2L,
+      "the self-direction match must be excluded, the orthogonal row kept")
+    assert(nn.getDouble(1) === 1.0, "cosine dist must be 1 - similarity")
+    // without exclusion the same-direction row wins at dist 0
+    val nnAll = Knn.neighbors(train, probe,
+      KnnParams(k = 1, distance = "cosine", excludeZeroDistance = false))
+      .select("train_id", "dist").head()
+    assert(nnAll.getLong(0) === 1L)
+    assert(nnAll.getDouble(1) === 0.0)
+  }
 }

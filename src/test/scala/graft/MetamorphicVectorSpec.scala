@@ -175,7 +175,8 @@ class MetamorphicVectorSpec extends SparkTestBase {
     })
   }
 
-  test("q65 k-fold CV: per-fold 1-NN accuracy matches brute, null dist wins") {
+  test("q65 k-fold CV: per-fold 1-NN accuracy matches brute, null vectors " +
+      "never win (and a vectorless test row counts incorrect)") {
     // Kernels.sqdist replica on float->double-cast values
     def dist(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
@@ -187,23 +188,22 @@ class MetamorphicVectorSpec extends SparkTestBase {
       while (j < b.length) { s += b(j).toDouble * b(j).toDouble; j += 1 }
       math.sqrt(s)
     }
-    // struct(dist, tid) ordering: null dist FIRST, NaN LAST, else value
-    def distKey(d: Option[Double]): (Int, Double) = d match {
-      case None => (0, 0.0)
-      case Some(x) if x.isNaN => (2, 0.0)
-      case Some(x) => (1, x)
-    }
+    // NULL-dist pairs (a null vector on either side) are EXCLUDED from
+    // the candidate set — the engine filters them before min_by (a null
+    // ordering-struct field would sort FIRST and one dirty train row
+    // would hijack every prediction); a test row left with no real
+    // candidate keeps a null prediction and counts incorrect. NaN dists
+    // remain candidates and sort LAST (Spark ordering).
+    def distKey(x: Double): (Int, Double) =
+      if (x.isNaN) (2, 0.0) else (1, x)
     val byFold = vecs.groupBy(v => v.vec_id % FOLDS)
     val want = byFold.toVector.map { case (f, rows) =>
-      val train = vecs.filter(_.vec_id % FOLDS != f)
+      val train = vecs.filter(v => v.vec_id % FOLDS != f && v.embedding != null)
       val correct = rows.map { r =>
-        if (train.isEmpty) 0.0
+        val cands = if (r.embedding == null) Vector.empty else train
+        if (cands.isEmpty) 0.0
         else {
-          val best = train.minBy { t =>
-            val d = if (r.embedding == null || t.embedding == null) None
-              else Some(dist(r.embedding, t.embedding))
-            (distKey(d), t.vec_id)
-          }
+          val best = cands.minBy(t => (distKey(dist(r.embedding, t.embedding)), t.vec_id))
           if (best.label == r.label) 1.0 else 0.0
         }
       }

@@ -29,6 +29,24 @@ class PartitioningSpec extends SparkTestBase {
     assert(out.count(_.isNullAt(2)) === 1)
   }
 
+  test("saltedJoin rejects right/full outer join types loudly") {
+    // an unmatched right row would be null-extended once per unmatched
+    // replica (up to `salt` duplicates) — the construction cannot
+    // preserve right-rooted semantics, so it must say so, not return
+    // silently wrong multiplicities
+    val left = Seq((1L, "a")).toDF("k", "v")
+    val right = Seq((2L, "x")).toDF("k", "w")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Partitioning.saltedJoin(left, right, "k", salt = 4, jt)
+      }
+      assert(e.getMessage.contains("duplicates per"), s"$jt: ${e.getMessage}")
+    }
+    // the left-rooted family stays accepted under its aliases
+    for (jt <- Seq("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"))
+      Partitioning.saltedJoin(left, right, "k", salt = 2, jt)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")

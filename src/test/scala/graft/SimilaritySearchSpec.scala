@@ -74,6 +74,31 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(full === exact)
   }
 
+  test("IVF fit survives dirty corpus rows (null id / null vec) and " +
+      "names the contract on ragged dimensions") {
+    // one null item_id and one null item_vec among clean rows: both
+    // previously NPE'd the driver-side collect inside the fit — they
+    // must be excluded from the FIT, leaving centroids (and search
+    // results) identical to the clean corpus's
+    val dirty = corpusData.map { case (id, v) => (java.lang.Long.valueOf(id), v) } ++
+      Seq((java.lang.Long.valueOf(9999L), null.asInstanceOf[Array[Double]]),
+        (null.asInstanceOf[java.lang.Long], Array.fill(dim)(0.5)))
+    val dirtyDf = dirty.toDF("item_id", "item_vec")
+    val clean = SimilaritySearch.fitOrGetCentroids(corpus, numCells = 8, refit = true)
+    val got = SimilaritySearch.fitOrGetCentroids(dirtyDf, numCells = 8, refit = true)
+    assert(got.map(_.toSeq).toSeq === clean.map(_.toSeq).toSeq,
+      "dirty rows must not shape (or crash) the coarse-quantizer fit")
+    // ragged vectors: k-means is undefined — the failure must name the
+    // contract, not throw ArrayIndexOutOfBounds from the Lloyd loop
+    val ragged = (corpusData :+ (9998L, Array(1.0, 2.0)))
+      .toDF("item_id", "item_vec")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.fitOrGetCentroids(ragged, numCells = 8, refit = true)
+    }
+    assert(e.getMessage.contains("fixed-dimension"),
+      s"ragged-dim failure must be routable, got: ${e.getMessage}")
+  }
+
   test("int8TopK: quantization bounded to [-127,127]; rerank ranking consistent") {
     val quantized = SimilaritySearch.withInt8(
       corpus.select($"item_id", $"item_vec".cast("array<double>").as("item_vec")),

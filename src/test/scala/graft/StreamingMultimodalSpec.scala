@@ -97,6 +97,37 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("multimodal resize: meta.format flips to image/png exactly where " +
+      "the re-encode fired; passthrough rows keep bytes and format") {
+    import spark.implicits._
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val noise = Array.tabulate(64)(_.toByte)
+    val rows = Seq(
+      (1L, jpeg, ("image/jpeg", 16, 16, 0L)),
+      (2L, noise, ("application/noise", 0, 0, 0L)))
+      .toDF("id", "content", "meta")
+      .withColumn("meta", col("meta").cast(
+        "struct<format:string,width:int,height:int,duration_ms:bigint>"))
+    val out = Multimodal.resize(rows, "content", "meta", 8, 8)
+      .orderBy("id").collect()
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    // decodable row: payload is now a PNG and the metadata says so
+    assert(out(0).getAs[Array[Byte]]("content").take(4).toSeq === pngMagic.toSeq)
+    assert(out(0).getStruct(2).getString(0) === "image/png",
+      "a re-encoded payload must not keep metadata naming the old container")
+    assert(out(0).getStruct(2).getInt(1) === 8 && out(0).getStruct(2).getInt(2) === 8)
+    // passthrough row: bytes untouched, format untouched, dims updated
+    assert(out(1).getAs[Array[Byte]]("content").toSeq === noise.toSeq)
+    assert(out(1).getStruct(2).getString(0) === "application/noise")
+    assert(out(1).getStruct(2).getInt(1) === 8 && out(1).getStruct(2).getInt(2) === 8)
+  }
+
   test("multimodal id contract: null ids DROP everywhere, uncastable ids " +
       "throw loudly (ANSI-cast parity with the DuckDB oracles)") {
     import spark.implicits._
