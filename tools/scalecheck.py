@@ -189,6 +189,17 @@ TIER100_EXCLUDED_CLASS = {
 # executed plans via `SuiteRehearsal <query> --explain`). A flip seen in
 # the rehearsal but absent here fails the gate.
 AUDITED_FLIPS = {
+    "q22_minhash_pairs":
+        "Measured-size degrade at the 10x tier (round-17 single-pass LSH "
+        "persist): the bucket self-join's broadcast gate is exact "
+        "rowcount x numBands x ~48 B over the warmed shingle-table count; "
+        "at the tier's banded row count it exceeds the 64 MB cap and that "
+        "one join plans partitioned sort-merge over slim (band, bucket, "
+        "id) triples — the designed corpus-scale shape (the two verify "
+        "join-backs stay measured-size broadcast: BHJ 3->2, SMJ 0->1). "
+        "Generate 2->1 is the persist folding the duplicate band-explode "
+        "into one evaluation. Size-driven at exactly the cap boundary; "
+        "audited round 17.",
     "q32_multimodal_ann":
         "IVF probe join BuildLeft->BuildRight at 10x: planner swaps the "
         "broadcast side to the (smaller, localCheckpoint-measured) corpus "
