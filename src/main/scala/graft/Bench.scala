@@ -63,6 +63,27 @@ private[graft] final class BenchListener extends SparkListener {
   * are the regression signal; spread-only suspects follow and may be
   * dropped by the budget in a loud window.
   *
+  * VOLATILITY POLICY (round-17 directive #2): official windows drifted
+  * to noise 0.526, wide enough that a ~30% real regression on a
+  * non-headline query could hide inside the band for a round. So any
+  * query whose official median moved >20% (rel, SPARK_GRAFT_VOLATILE_
+  * BAND) AND >0.15 s (abs) between consecutive artifacts in the last
+  * THREE committed official rounds is isolated BY POLICY this round,
+  * right after the headliners and budget-exempt like them, capped at
+  * SPARK_GRAFT_VOLATILE_CAP (16) queries — largest movers kept, the
+  * cap overflow warned loudly. Their exec-map entries carry `"vl":1`.
+  * The effect: a query that the suite window has already failed to
+  * measure stably never has its adjudication lean on the wide band
+  * two rounds running.
+  *
+  * PRIOR-ARTIFACT VISIBILITY (round-17 directive #1): when the
+  * re-measurement pass is enabled but NO prior artifact parsed
+  * (missing file or corrupt content), the cross-round trigger is
+  * inert — "0 movers" would mean "nothing was compared". That state
+  * is now loud: a stderr WARNING plus an explicit `"prior":"none"`
+  * marker on the total line (and in the full artifact). A parsed
+  * prior keeps the quiet path — no marker.
+  *
   * MEASUREMENT-PROTOCOL ASYMMETRY (documented, deliberate): headliners
   * and re-measured suspects publish isolated-window medians while
   * untriggered queries publish suite-window medians — two different
@@ -90,7 +111,9 @@ private[graft] final class BenchListener extends SparkListener {
   * (0.45), SPARK_GRAFT_REMEASURE_BUDGET (150 s of extra measured time;
   * headline re-measures don't consume it), SPARK_GRAFT_HEADLINE
   * (comma-separated exact names; empty disables),
-  * SPARK_GRAFT_PRIOR_BENCH (path to the prior official artifact).
+  * SPARK_GRAFT_PRIOR_BENCH (path to the prior official artifact),
+  * SPARK_GRAFT_VOLATILE_BAND (0.20; <=0 disables the volatility
+  * policy), SPARK_GRAFT_VOLATILE_CAP (16).
   */
 object Bench {
 
@@ -124,23 +147,83 @@ object Bench {
     } catch { case _: Throwable => (Map.empty, 0.0) }
   }
 
+  /** Committed official artifacts in the cwd, NEWEST first (the driver
+    * runs Bench from the repo root, where every round's BENCH_rN.json
+    * is committed).
+    */
+  private[graft] def discoveredBenchPaths(): Seq[String] = {
+    val re = """BENCH_r(\d+)\.json""".r
+    Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case re(n) => Some((n.toInt, f.getPath))
+        case _ => None
+      }).sortBy(-_._1).map(_._2)
+  }
+
   /** The prior round's official artifact: SPARK_GRAFT_PRIOR_BENCH if set
     * (empty string disables), else the highest-numbered BENCH_r*.json in
-    * the cwd (the driver runs Bench from the repo root, where every
-    * round's artifact is committed).
+    * the cwd.
     */
   private[graft] def priorBenchPath(): Option[String] =
     sys.env.get("SPARK_GRAFT_PRIOR_BENCH") match {
       case Some("") => None
       case Some(p) => Some(p)
-      case None =>
-        val re = """BENCH_r(\d+)\.json""".r
-        Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .flatMap(f => f.getName match {
-            case re(n) => Some((n.toInt, f.getPath))
-            case _ => None
-          }).sortBy(_._1).lastOption.map(_._2)
+      case None => discoveredBenchPaths().headOption
     }
+
+  /** The last `n` official artifacts, newest first, for the volatility
+    * policy. SPARK_GRAFT_PRIOR_BENCH (when set) is the newest entry —
+    * the same artifact the cross-round trigger compares against — with
+    * discovered history behind it; empty value disables history
+    * entirely (same contract as the trigger).
+    */
+  private[graft] def benchHistoryPaths(n: Int): Seq[String] =
+    (sys.env.get("SPARK_GRAFT_PRIOR_BENCH") match {
+      case Some("") => Seq.empty
+      case Some(p) =>
+        val abs = new java.io.File(p).getAbsolutePath
+        p +: discoveredBenchPaths()
+          .filterNot(d => new java.io.File(d).getAbsolutePath == abs)
+      case None => discoveredBenchPaths()
+    }).take(n)
+
+  /** Queries whose official median moved more than `relThresh`
+    * relative AND `absFloor` seconds absolute between ANY two
+    * consecutive artifacts in `history` (newest first) — i.e. "moved
+    * in either of the last rounds". These are the queries the suite's
+    * ±noise band has already failed to keep stable, so their official
+    * number this round must come from the isolated window rather than
+    * from an adjudication that leans on a wide band (round-17
+    * directive #2). Returned largest relative movement first (a count
+    * cap drops the smallest movers), name-tiebroken for determinism.
+    */
+  private[graft] def volatileNames(history: Seq[Map[String, Double]],
+      relThresh: Double, absFloor: Double): Seq[String] = {
+    val worst = scala.collection.mutable.Map.empty[String, Double]
+    history.sliding(2).foreach {
+      case Seq(newer, older) =>
+        for ((name, nv) <- newer; ov <- older.get(name)) {
+          val delta = math.abs(nv - ov)
+          val rel = delta / math.max(ov, 1e-9)
+          if (rel > relThresh && delta > absFloor)
+            worst.update(name, math.max(worst.getOrElse(name, 0.0), rel))
+        }
+      case _ =>
+    }
+    worst.toSeq.sortBy { case (n, r) => (-r, n) }.map(_._1)
+  }
+
+  /** Total-line fragment declaring that the cross-round regression
+    * trigger ran with NO usable prior (round-17 directive #1: the
+    * silent `(Map.empty, 0.0)` fallback let the benchdiff gate pass
+    * vacuously — "0 outside the band" could mean "nothing was
+    * compared"). Empty when a prior parsed, or when the re-measurement
+    * pass is off (then no trigger exists to be inert — `hl:"off"`
+    * already marks that state).
+    */
+  private[graft] def priorMarker(priorParsed: Boolean,
+      crossRoundEnabled: Boolean): String =
+    if (crossRoundEnabled && !priorParsed) ""","prior":"none"""" else ""
 
   /** One query's first-pass measurement summary, as the suspect
     * selector sees it: suite-window median, intra-window spread
@@ -374,7 +457,8 @@ object Bench {
         jobs: Long, stages: Long, tasks: Long,
         var iso: Seq[Double] = Seq.empty,
         var prior: Option[Double] = None,
-        var hl: Boolean = false) {
+        var hl: Boolean = false,
+        var vol: Boolean = false) {
       // median: middle element for odd N; UPPER median for even N — the
       // lower median at N=2 would be the minimum, i.e. a silently
       // optimistic best-of-2 headline
@@ -453,18 +537,33 @@ object Bench {
         "re-measurement pass is disabled (SPARK_GRAFT_RUNS=1 or " +
         "SPARK_GRAFT_REMEASURE_RUNS=0): headline queries publish " +
         "SUITE-window medians this run; the artifact marks \"hl\":\"off\"")
+    // set true when the cross-round trigger ran with no usable prior;
+    // surfaced on the total line as "prior":"none" (round-17 dir. #1)
+    var priorAbsent = false
     if (rmRuns > 0) {
       // Trigger 2 inputs: the prior round's official medians, and the
       // comparison band (benchdiff's rule — the wider of the two
       // windows' measured noise, floored at the historical 0.45 only
       // when neither window carries spread info).
-      val (priorQ, priorNoise) = priorBenchPath()
-        .map { p =>
-          val r = loadPriorBench(p)
-          System.err.println(s"[bench] prior artifact for cross-round " +
-            s"trigger: $p (${r._1.size} queries, noise ${r._2})")
-          r
-        }.getOrElse((Map.empty[String, Double], 0.0))
+      val priorPath = priorBenchPath()
+      val (priorQ, priorNoise) =
+        priorPath.map(loadPriorBench).getOrElse((Map.empty[String, Double], 0.0))
+      if (priorQ.isEmpty) {
+        // LOUD: a missing/corrupt prior must never let the cross-round
+        // regression gate pass vacuously — "0 movers" below would mean
+        // "nothing was compared", so the run says so in stderr AND on
+        // the artifact's total line
+        priorAbsent = true
+        System.err.println("[bench] WARNING: no usable prior bench " +
+          "artifact " + priorPath.map(p => s"($p parsed to 0 queries)")
+            .getOrElse("(no BENCH_r*.json in cwd, SPARK_GRAFT_PRIOR_BENCH " +
+              "unset)") +
+          " — the cross-round regression trigger is INERT this run; " +
+          "the total line carries \"prior\":\"none\"")
+      } else
+        System.err.println(s"[bench] prior artifact for cross-round " +
+          s"trigger: ${priorPath.getOrElse("?")} (${priorQ.size} queries, " +
+          s"noise $priorNoise)")
       results.foreach(q => q.prior = priorQ.get(q.name))
       val firstSpreads = results.flatMap(_.spread).sorted
       val noiseNow =
@@ -500,7 +599,51 @@ object Bench {
           f" -> official=${q.median}%.2f iso=" +
           extra.map(t => f"$t%.2f").mkString(","))
       }
-      val suspects = suspectNames.filterNot(hl.contains).map(byName)
+      // Volatility policy (round-17 directive #2): a query whose
+      // official median moved >volBand in EITHER of the last two
+      // official rounds has already shown the suite window can't
+      // measure it stably — its official number this round comes from
+      // the isolated window BY POLICY, like the headliners, instead of
+      // trusting a suite median adjudicated against a ±50%-wide noise
+      // band. Movement history = the last 3 committed artifacts (two
+      // consecutive deltas). Budget-exempt but count-capped: a chaos
+      // round where half the suite "moved" must not double the window —
+      // the cap drops the SMALLEST movers, loudly.
+      val volBand = sys.env.get("SPARK_GRAFT_VOLATILE_BAND")
+        .flatMap(_.toDoubleOption).getOrElse(0.20)
+      val volCap = sys.env.get("SPARK_GRAFT_VOLATILE_CAP")
+        .flatMap(_.toIntOption).getOrElse(16)
+      val volatileAll =
+        if (volBand <= 0) Seq.empty
+        else volatileNames(
+          benchHistoryPaths(3).map(p => loadPriorBench(p)._1)
+            .filter(_.nonEmpty),
+          volBand, absFloor = 0.15)
+          .filter(byName.contains).filterNot(hl.contains)
+      if (volatileAll.size > volCap)
+        System.err.println(s"[bench] WARNING: ${volatileAll.size} " +
+          s"cross-round-volatile queries exceed the $volCap cap; the " +
+          "smallest movers publish suite medians this run: " +
+          volatileAll.drop(volCap).mkString(","))
+      val volRun = volatileAll.take(volCap)
+      if (volRun.nonEmpty)
+        System.err.println("[bench] volatility policy (isolated by " +
+          s"policy, budget-exempt, band $volBand over last-3 history): " +
+          volRun.mkString(","))
+      volRun.foreach { name =>
+        val q = byName(name)
+        q.vol = true
+        val extra = timedRuns(q.name, q.fn, rmRuns, q.memoBase,
+          dropBeforeFirst = true)
+        q.iso = extra
+        System.err.println(f"[bench] volatile ${q.name}: suite-median " +
+          f"${q.suiteMedian}%.2f" +
+          q.prior.map(p => f" prior $p%.2f").getOrElse("") +
+          f" -> official=${q.median}%.2f iso=" +
+          extra.map(t => f"$t%.2f").mkString(","))
+      }
+      val suspects = suspectNames.filterNot(hl.contains)
+        .filterNot(volRun.contains).map(byName)
       suspects.foreach { q =>
         if (rmSpent <= rmBudgetSec) {
           val firstPassSpread = q.spread.getOrElse(0.0)
@@ -564,7 +707,8 @@ object Bench {
         if (q.remeasured > 0)
           ",\"rm\":" + q.remeasured + ",\"sm\":" + num(q.suiteMedian, 3) +
             q.prior.map(p => ",\"prev\":" + num(p, 3)).getOrElse("") +
-            (if (q.hl) ",\"hl\":1" else "")
+            (if (q.hl) ",\"hl\":1" else "") +
+            (if (q.vol) ",\"vl\":1" else "")
         else ""
       "\"" + q.name + "\":{\"jobs\":" + q.jobs + ",\"stages\":" + q.stages +
         ",\"tasks\":" + q.tasks + spread + ",\"min\":" + num(q.min, 3) + rm +
@@ -598,14 +742,15 @@ object Bench {
     // fits ("remeasured" folded into prov — popcount(im) — rather than
     // printed twice; single_run prints only when nonzero, its zero is
     // the common case; the full artifact always carries everything).
-    val condensed = (if (singleRunCount > 0) s""","single_run":$singleRunCount""" else "")
+    val condensed = (if (singleRunCount > 0) s""","single_run":$singleRunCount""" else "") +
+      priorMarker(priorParsed = !priorAbsent, crossRoundEnabled = rmRuns > 0)
     val isolatedNames = results.filter(_.remeasured > 0).map(_.name).toSet
     val hlIsolated = results.filter(q => q.hl && q.remeasured > 0).map(_.name)
     val provFull = provenanceFragment(results.map(_.name), isolatedNames,
       hlIsolated, hlDisabled)
     val provCount = provenanceFragment(results.map(_.name), isolatedNames,
       hlIsolated, hlDisabled, countOnly = true)
-    val full = s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"remeasured":$remeasuredCount$provFull,"noise":$noiseStr,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"remeasured":$remeasuredCount${priorMarker(!priorAbsent, rmRuns > 0)}$provFull,"noise":$noiseStr,"sf":"$sfDir"}"""
     // The full JSON (exec map with scheduler counts, per-run spreads)
     // also lands in a FILE by default — the driver's official artifact
     // keeps only the last 2000 stdout chars, which truncates the exec

@@ -142,6 +142,66 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(qs.size > 50, s"prior artifact parsed only ${qs.size} queries")
   }
 
+  test("priorMarker: \"prior\":\"none\" on the total line when the " +
+      "cross-round trigger ran with no usable prior; quiet when a " +
+      "prior parsed or the pass is off (round-17 directive #1)") {
+    assert(Bench.priorMarker(priorParsed = false, crossRoundEnabled = true)
+      === ""","prior":"none"""",
+      "a vacuous cross-round gate must be visible on the artifact itself")
+    assert(Bench.priorMarker(priorParsed = true, crossRoundEnabled = true)
+      === "", "a parsed prior keeps the quiet path — no marker")
+    assert(Bench.priorMarker(priorParsed = false, crossRoundEnabled = false)
+      === "", "with the re-measurement pass off there is no trigger to " +
+        "be inert (hl:\"off\" already marks that state)")
+  }
+
+  test("volatileNames: >rel AND >abs movement in EITHER consecutive " +
+      "pair of the newest-first history; largest mover first; " +
+      "name-tiebroken (round-17 directive #2)") {
+    val r17 = Map("q25" -> 2.68, "q37" -> 2.26, "q62" -> 1.42,
+      "q1" -> 0.50, "tiny" -> 0.30, "big_small_rel" -> 5.5)
+    val r16 = Map("q25" -> 2.20, "q37" -> 1.99, "q62" -> 1.15,
+      "q1" -> 0.51, "tiny" -> 0.10, "big_small_rel" -> 5.0)
+    val r15 = Map("q25" -> 2.25, "q37" -> 1.50, "q62" -> 1.18,
+      "q1" -> 0.50, "tiny" -> 0.11, "big_small_rel" -> 5.1)
+    val vol = Bench.volatileNames(Seq(r17, r16, r15),
+      relThresh = 0.20, absFloor = 0.15)
+    // q25: r16->r17 +21.8% / +0.48s -> in. q37: r16->r17 only +13.6%
+    // BUT r15->r16 +32.7% / +0.49s -> in ("either of the last two
+    // rounds"). q62: +23.5% / +0.27s -> in. q1: flat -> out. tiny:
+    // 200% rel but 0.20s... wait 0.10->0.30 is 0.20s abs — adjust:
+    // abs floor is STRICT >0.15 and 0.2>0.15, so tiny IS in. Order by
+    // worst rel desc: tiny (2.0), q37 (0.327), q62 (0.235), q25 (0.218).
+    assert(vol === Seq("tiny", "q37", "q62", "q25"), s"got: $vol")
+    // big_small_rel moved 0.5s but only 10% -> out (rel gate)
+    assert(!vol.contains("big_small_rel") && !vol.contains("q1"))
+    // single-artifact history: no pair to compare -> empty
+    assert(Bench.volatileNames(Seq(r17), 0.20, 0.15) === Seq.empty)
+    assert(Bench.volatileNames(Seq.empty, 0.20, 0.15) === Seq.empty)
+    // a query present in only one artifact of a pair never triggers
+    val partial = Bench.volatileNames(
+      Seq(Map("new_q" -> 9.0), Map("old_q" -> 1.0)), 0.20, 0.15)
+    assert(partial === Seq.empty)
+  }
+
+  test("benchHistoryPaths: newest-first, capped, committed artifacts") {
+    val re = """BENCH_r(\d+)\.json""".r
+    val expected = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case re(n) => Some((n.toInt, f.getName)); case _ => None
+      }).sortBy(-_._1).map(_._2).take(3)
+    assume(expected.size >= 3, "repo root carries committed BENCH artifacts")
+    assert(Bench.benchHistoryPaths(3)
+      .map(p => new java.io.File(p).getName) === expected)
+    // head of the history IS the cross-round trigger's prior
+    assert(Bench.benchHistoryPaths(1).headOption === Bench.priorBenchPath())
+    // and the last-3 history parses into maps the volatility policy
+    // can actually compare (each >50 queries)
+    val hist = Bench.benchHistoryPaths(3).map(p => Bench.loadPriorBench(p)._1)
+    assert(hist.forall(_.size > 50),
+      s"history artifacts parsed to sizes ${hist.map(_.size)}")
+  }
+
   test("headlineNames: judged headliners by default, env overrides, " +
       "empty disables (round-14 directive #1)") {
     val default = Bench.headlineNames(None)
