@@ -227,11 +227,18 @@ object WordShingleHashes {
     val window = new Array[UTF8String](math.min(n, math.max(len, 1)))
     var i = 0
     while (i < cnt) {
-      val w = math.min(n, len - i) // full window except the len<n case
+      val span = math.min(n, len - i) // full window except the len<n case
+      // null tokens are SKIPPED, not empty-joined — `concat_ws` (the
+      // join [[TextFunctions.wordShingles]] and [[WordNgrams]] use)
+      // drops null elements entirely, so the hashed form must join the
+      // same n-1 survivors for the documented parity to hold on
+      // nullable token arrays (a null-as-empty window would hash
+      // "a  b" where the string form produces "a b")
+      var w = 0
       var k = 0
-      while (k < w) {
+      while (k < span) {
         val t = tokens.getUTF8String(i + k)
-        window(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (t != null) { window(w) = t; w += 1 }
         k += 1
       }
       val joined =
@@ -357,9 +364,23 @@ object MinHashSignature {
 
   /** LSH band keys: fold each contiguous band of the signature into one
     * 64-bit key (chained long-hash, band index as initial seed).
+    *
+    * `numBands` must divide the signature length: with numBands > k
+    * every band folds ZERO hashes, so every document gets the identical
+    * key list [0..numBands) — the bucket self-join degenerates to
+    * all-pairs O(n²) at corpus scale; a non-divisible numBands silently
+    * ignores the tail hashes, weakening recall invisibly. Both are
+    * caller bugs the kernel refuses loudly (the operator path,
+    * [[graft.operators.Dedup.minhashLshPairs]], validates the same
+    * invariant up front).
     */
   def bandKeys(sig: ArrayData, numBands: Int): ArrayData = {
     val k = sig.numElements()
+    if (k == 0 || k % numBands != 0)
+      throw new IllegalArgumentException(
+        s"graft_minhash_bands: numBands=$numBands must divide the " +
+          s"signature length ($k); numBands > length would give every " +
+          "row identical band keys (all-pairs bucket join)")
     val rows = k / numBands
     val out = new Array[Long](numBands)
     var b = 0

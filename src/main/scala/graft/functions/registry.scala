@@ -139,7 +139,7 @@ object GraftFunctions {
   )
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft", null, name)
+    new ExpressionInfo("graft", null, name, usage, "")
 
   def installInto(registry: FunctionRegistry): Unit =
     builders.foreach { case (name, b, usage) =>
@@ -166,7 +166,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b, usage) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name), b))
+        new ExpressionInfo("graft", null, name, usage, ""), b))
     }
     e.injectOptimizerRule(_ => graft.plans.EuclideanThresholdToSqdist)
   }

@@ -41,8 +41,12 @@ object EuclideanThresholdToSqdist extends Rule[LogicalPlan] {
       GreaterThanOrEqual(SquaredDistance(a, b), sq(lit(v).get))
     case LessThan(Literal(v, _), EuclideanDistance(a, b)) if lit(v).exists(_ >= 0) =>
       LessThan(sq(lit(v).get), SquaredDistance(a, b))
+    case LessThanOrEqual(Literal(v, _), EuclideanDistance(a, b)) if lit(v).exists(_ >= 0) =>
+      LessThanOrEqual(sq(lit(v).get), SquaredDistance(a, b))
     case GreaterThan(Literal(v, _), EuclideanDistance(a, b)) if lit(v).exists(_ >= 0) =>
       GreaterThan(sq(lit(v).get), SquaredDistance(a, b))
+    case GreaterThanOrEqual(Literal(v, _), EuclideanDistance(a, b)) if lit(v).exists(_ >= 0) =>
+      GreaterThanOrEqual(sq(lit(v).get), SquaredDistance(a, b))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -169,9 +169,8 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     // q25: r16->r17 +21.8% / +0.48s -> in. q37: r16->r17 only +13.6%
     // BUT r15->r16 +32.7% / +0.49s -> in ("either of the last two
     // rounds"). q62: +23.5% / +0.27s -> in. q1: flat -> out. tiny:
-    // 200% rel but 0.20s... wait 0.10->0.30 is 0.20s abs — adjust:
-    // abs floor is STRICT >0.15 and 0.2>0.15, so tiny IS in. Order by
-    // worst rel desc: tiny (2.0), q37 (0.327), q62 (0.235), q25 (0.218).
+    // 200% rel AND 0.20s abs (both strict >) -> in. Order by worst rel
+    // desc: tiny (2.0), q37 (0.327), q62 (0.235), q25 (0.218).
     assert(vol === Seq("tiny", "q37", "q62", "q25"), s"got: $vol")
     // big_small_rel moved 0.5s but only 10% -> out (rel gate)
     assert(!vol.contains("big_small_rel") && !vol.contains("q1"))

@@ -210,6 +210,91 @@ class ExpressionsSpec extends SparkTestBase {
       }
   }
 
+  test("graft_shingle_hashes skips null tokens exactly like concat_ws " +
+      "(parity with wordShingles/word_ngrams on nullable arrays)") {
+    val n = 2
+    val docs = Seq(
+      Seq("a", null, "b", "c"),   // null mid-window
+      Seq(null, null, "x"),       // leading nulls
+      Seq("p", null),             // window collapses to one survivor
+      Seq[String](null, null)     // all-null -> empty-string shingle
+    ).toDF("tk")
+    // declarative twin: concat_ws drops nulls; fewer than n tokens ->
+    // one shingle of all tokens joined (the kernel's padded fallback)
+    val decl = when(size($"tk") >= n,
+      sort_array(array_distinct(transform(
+        sequence(lit(1), size($"tk") - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice($"tk", i, lit(n))))))))
+      .otherwise(array(xxhash64(concat_ws(" ", $"tk"))))
+    docs.select(
+      call_function("graft_shingle_hashes", $"tk", lit(n)).as("native"),
+      decl.as("decl")).collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("graft_minhash_bands refuses a numBands that does not divide the " +
+      "signature length (rows=0 would give every row identical keys — " +
+      "an all-pairs bucket join at corpus scale)") {
+    val sig = Seq(Tuple1(Seq(1L, 2L, 3L, 4L, 5L, 6L))).toDF("sig")
+    // valid: 6 hashes / 3 bands = 2 rows per band
+    val ok = sig.select(call_function("graft_minhash_bands", $"sig", lit(3)))
+      .head().getSeq[Long](0)
+    assert(ok.length === 3)
+    // numBands > signature length: every band would fold zero hashes
+    val tooMany = intercept[Exception] {
+      sig.select(call_function("graft_minhash_bands", $"sig", lit(7)))
+        .collect()
+    }
+    assert(tooMany.getMessage.contains("must divide"),
+      s"got: ${tooMany.getMessage}")
+    // non-divisor: tail hashes would be silently ignored
+    val nonDivisor = intercept[Exception] {
+      sig.select(call_function("graft_minhash_bands", $"sig", lit(4)))
+        .collect()
+    }
+    assert(nonDivisor.getMessage.contains("must divide"))
+  }
+
+  test("DESCRIBE FUNCTION carries each registered function's usage text") {
+    val desc = spark.sql("DESCRIBE FUNCTION graft_euclidean")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Euclidean"),
+      s"usage text missing from DESCRIBE FUNCTION output:\n$desc")
+  }
+
+  test("euclidean-threshold-to-sqdist rule fires in every comparison " +
+      "orientation, including literal-on-left <= and >=") {
+    // range-backed, not LocalRelation-backed: ConvertToLocalRelation
+    // would constant-fold the whole filter away before the plan can be
+    // inspected
+    val df = spark.range(4).select($"id",
+      array($"id".cast("double"), lit(1.0)).as("a"),
+      array(lit(0.0), $"id".cast("double")).as("b"))
+    def optimized(c: org.apache.spark.sql.Column): String =
+      df.filter(c).queryExecution.optimizedPlan.toString
+    val orientations = Seq(
+      SF.euclidean($"a", $"b") < 2.0, SF.euclidean($"a", $"b") <= 2.0,
+      SF.euclidean($"a", $"b") > 2.0, SF.euclidean($"a", $"b") >= 2.0,
+      lit(2.0) < SF.euclidean($"a", $"b"), lit(2.0) <= SF.euclidean($"a", $"b"),
+      lit(2.0) > SF.euclidean($"a", $"b"), lit(2.0) >= SF.euclidean($"a", $"b"))
+    orientations.zipWithIndex.foreach { case (cond, i) =>
+      val plan = optimized(cond)
+      assert(plan.contains("graft_sqdist") && !plan.contains("graft_euclidean"),
+        s"orientation $i not rewritten:\n$plan")
+    }
+    // and the rewrite preserves the selected rows (sqrt monotone)
+    val viaRule = df.filter(lit(2.0) <= SF.euclidean($"a", $"b"))
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    val bruteForce = df.collect().filter { r =>
+      val a = r.getSeq[Double](1).toArray; val b = r.getSeq[Double](2).toArray
+      2.0 <= Kernels.euclidean(a, b)
+    }.map(_.getLong(0)).sorted.toSeq
+    assert(viaRule === bruteForce && bruteForce.nonEmpty)
+    // a negative threshold stays un-rewritten (squaring would flip it)
+    assert(optimized(SF.euclidean($"a", $"b") > -1.0)
+      .contains("graft_euclidean"))
+  }
+
   test("graft_har_series matches the declarative transform(sequence) form") {
     val L = 23
     val ids = spark.range(8).select(($"id" * 997 + 5).as("sid"))
