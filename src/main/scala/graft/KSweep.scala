@@ -81,8 +81,13 @@ object KSweep {
         val tableName = s"graft_knn_${d}_k$k"
         val back = graft.sources.TableSink.overwriteTable(
           sweep.filter(col("k") === k).select("test_id", "predicted_label"), tableName)
-        val acc = Evaluation.accuracy(back.join(truth, "test_id"),
-          col("predicted_label"), col("label")).head().getDouble(0)
+        // LEFT from truth (the 3-arg overload), not an inner join: a test
+        // row the sweep emitted no prediction for must count as INCORRECT
+        // — an inner join shrinks numerator and denominator together and
+        // silently inflates the reported sweep accuracy (the same class
+        // the r17 review fixed in Evaluation.accuracy itself)
+        val acc = Evaluation.accuracy(back, truth, "test_id")
+          .head().getDouble(0)
         val sec = sweepSec / ks.size + (System.nanoTime() - tk0) / 1e9
         println(f"""{"distance":"$d","k":$k,"accuracy":$acc,"sec":$sec%.2f,"table":"$tableName"}""")
       }
