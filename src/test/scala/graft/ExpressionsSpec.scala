@@ -232,6 +232,28 @@ class ExpressionsSpec extends SparkTestBase {
       .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("graft_shingle_hashes randomized parity with the declarative " +
+      "hashed form: 300 nullable-token docs, lengths straddling n") {
+    val rnd = new scala.util.Random(4321)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g")
+    val n = 3
+    val docs = (1 to 300).map { _ =>
+      // ~20% null tokens; lengths 0..7 straddle n=3 to hit the padded
+      // <n fallback as often as the sliding window
+      Seq.fill(rnd.nextInt(8))(
+        if (rnd.nextInt(5) == 0) null else vocab(rnd.nextInt(vocab.size)))
+    }.toDF("tk")
+    val decl = when(size($"tk") >= n,
+      sort_array(array_distinct(transform(
+        sequence(lit(1), size($"tk") - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice($"tk", i, lit(n))))))))
+      .otherwise(array(xxhash64(concat_ws(" ", $"tk"))))
+    docs.select(
+      call_function("graft_shingle_hashes", $"tk", lit(n)).as("native"),
+      decl.as("decl")).collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("graft_minhash_bands refuses a numBands that does not divide the " +
       "signature length (rows=0 would give every row identical keys — " +
       "an all-pairs bucket join at corpus scale)") {
