@@ -76,6 +76,31 @@ private[graft] final class BenchListener extends SparkListener {
   * measure stably never has its adjudication lean on the wide band
   * two rounds running.
   *
+  * WINDOW-LEVEL SHIFT (round-18 directive #3): when many queries move
+  * the SAME direction beyond the volatility gates — this window vs the
+  * prior artifact, or between two history artifacts — that is a
+  * window-level event (BENCH_r18: 68/82 slower, median ratio 1.16,
+  * host tenancy), which per-query isolation can neither fix nor
+  * explain: it would only flood the isolated pass past its cap
+  * (entering r19 the r17->r18 pair alone flagged 26 queries, cap 16).
+  * Such an event is adjudicated ONCE: the current-vs-prior case
+  * stamps `"window_shift":<median ratio>` on the total line, warns on
+  * stderr, and suppresses the per-query cross-round mover trigger for
+  * the run (spread/headline/volatility passes still run); a shifted
+  * HISTORY pair is excluded from per-query volatility flagging.
+  * Code-vs-host attribution of a stamped shift is tools/benchab.py's
+  * job (same-window prior-tree A/B). Volatility comparisons are also
+  * LIKE-FOR-LIKE (r18 advisory): an isolated query's official median
+  * is a different protocol than a suite median, so mixed-protocol
+  * pairs compare via the isolated side's `sm` (suite median) when the
+  * artifact carries it and are skipped when it doesn't — otherwise
+  * the systematic isolated-vs-suite offset reads as movement and a
+  * query flagged once stays vl:1 forever. History artifacts come from
+  * the git-tracked BENCH_r*.json set only (r18 advisory: an
+  * uncommitted rehearsal artifact must not become the history head),
+  * and an env-set prior with a round-numbered name drops
+  * same-or-newer discovered rounds instead of keeping them behind it.
+  *
   * PRIOR-ARTIFACT VISIBILITY (round-17 directive #1): when the
   * re-measurement pass is enabled but NO prior artifact parsed
   * (missing file or corrupt content), the cross-round trigger is
@@ -113,20 +138,36 @@ private[graft] final class BenchListener extends SparkListener {
   * (comma-separated exact names; empty disables),
   * SPARK_GRAFT_PRIOR_BENCH (path to the prior official artifact),
   * SPARK_GRAFT_VOLATILE_BAND (0.20; <=0 disables the volatility
-  * policy), SPARK_GRAFT_VOLATILE_CAP (16).
+  * policy), SPARK_GRAFT_VOLATILE_CAP (16),
+  * SPARK_GRAFT_WINDOW_SHIFT_FRAC (0.20; <=0 disables the window-level
+  * shift detector).
   */
 object Bench {
 
-  /** Extract (query -> median, noise) from a bench artifact: either the
-    * engine's own one-line JSON or the driver's {"tail":..., "parsed":
-    * {...}} wrapper. Deliberately not a JSON parser: both formats are
-    * producer-controlled here, the queries map is flat name->number, and
-    * the first LITERAL `"queries"` key in the file is the right one (the
-    * wrapper's stdout tail holds only \"-escaped copies, which never
-    * match the literal). Returns empty on any malformation — a prior
-    * artifact must never be able to take the current round's bench down.
+  /** One query as a prior artifact records it: the OFFICIAL median, the
+    * suite-window median when recoverable (`sm` rides the exec map,
+    * which the driver's 2000-char stdout tail usually truncates away —
+    * so it is present in full artifacts, absent in most committed
+    * wrappers), and whether the official number came from the isolated
+    * re-measurement window (decoded from the total line's `prov.im`
+    * bitmask, which DOES survive the tail).
     */
-  private[graft] def loadPriorBench(path: String): (Map[String, Double], Double) = {
+  private[graft] final case class PriorQuery(official: Double,
+      sm: Option[Double], isolated: Boolean)
+
+  /** Extract per-query [[PriorQuery]] records + the window noise from a
+    * bench artifact: either the engine's own one-line JSON or the
+    * driver's {"tail":..., "parsed": {...}} wrapper. Deliberately not a
+    * JSON parser: both formats are producer-controlled here, the
+    * queries map is flat name->number, and the first LITERAL
+    * `"queries"` key in the file is the right one (the wrapper's stdout
+    * tail holds only \"-escaped copies, which never match the literal —
+    * the same reason the `"im"` / exec-entry scans below can't match
+    * the escaped copies either). Returns empty on any malformation — a
+    * prior artifact must never be able to take the current round's
+    * bench down.
+    */
+  private[graft] def loadPriorArtifact(path: String): (Map[String, PriorQuery], Double) = {
     try {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -139,30 +180,94 @@ object Bench {
       val close = text.indexOf('}', open)
       if (close < 0) return (Map.empty, 0.0)
       val pair = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
-      val qs = pair.findAllMatchIn(text.substring(open + 1, close))
-        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      // order preserved: prov.im's bitmask is MSB-first over exactly
+      // this key order (the line's queries map, alphabetical)
+      val ordered = pair.findAllMatchIn(text.substring(open + 1, close))
+        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toSeq
       val noise = """"noise"\s*:\s*([0-9][0-9.eE+-]*)""".r
         .findFirstMatchIn(text).flatMap(_.group(1).toDoubleOption).getOrElse(0.0)
+      val after = text.substring(close)
+      // isolation set: decode the first literal prov "im" hex mask
+      val isolated: Set[String] =
+        """"im"\s*:\s*"([0-9a-fA-F]+)"""".r.findFirstMatchIn(after)
+          .map { m =>
+            val bits = m.group(1).flatMap { c =>
+              val v = Integer.parseInt(c.toString, 16)
+              Seq((v & 8) != 0, (v & 4) != 0, (v & 2) != 0, (v & 1) != 0)
+            }
+            ordered.map(_._1).zip(bits).collect { case (n, true) => n }.toSet
+          }.getOrElse(Set.empty)
+      // suite medians: exec-map entries are flat objects, so a
+      // braces-free inner scan per entry suffices; entries without an
+      // "sm" field (never isolated, or a non-exec object like "prov")
+      // simply contribute nothing
+      val smRe = """"sm"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+      val sms: Map[String, Double] =
+        """"([A-Za-z0-9_]+)"\s*:\s*\{([^{}]*)\}""".r.findAllMatchIn(after)
+          .flatMap(m => smRe.findFirstMatchIn(m.group(2))
+            .flatMap(_.group(1).toDoubleOption).map(m.group(1) -> _))
+          .toMap
+      val qs = ordered.map { case (n, v) =>
+        n -> PriorQuery(v, sms.get(n), isolated(n))
+      }.toMap
       (qs, noise)
     } catch { case _: Throwable => (Map.empty, 0.0) }
   }
 
+  /** (query -> official median, noise) — the cross-round trigger's view
+    * of a prior artifact (see [[loadPriorArtifact]] for the richer
+    * per-query record the volatility policy uses).
+    */
+  private[graft] def loadPriorBench(path: String): (Map[String, Double], Double) = {
+    val (qs, noise) = loadPriorArtifact(path)
+    (qs.map { case (n, q) => n -> q.official }, noise)
+  }
+
+  private val benchRoundRe = """BENCH_r(\d+)\.json""".r
+
+  /** BENCH_r*.json names the git index tracks in the cwd — the
+    * "committed official rounds" the documented history contract names
+    * (r18 advisory: an uncommitted rehearsal artifact in the cwd must
+    * not silently become the head of the committed-rounds history).
+    * None when git is unavailable or the cwd is not a repo — discovery
+    * then falls back to the directory listing, which is the best
+    * available approximation there.
+    */
+  private[graft] lazy val gitTrackedBenchNames: Option[Set[String]] = try {
+    val p = new ProcessBuilder("git", "ls-files", "--", "BENCH_r*.json").start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (p.waitFor() != 0) None
+    else Some(out.split('\n').map(_.trim).filter(_.nonEmpty)
+      .map(new java.io.File(_).getName).toSet)
+  } catch { case _: Throwable => None }
+
+  // untracked-artifact exclusions are logged once, not once per lookup
+  private val warnedUntracked = new java.util.concurrent.atomic.AtomicBoolean
+
   /** Committed official artifacts in the cwd, NEWEST first (the driver
     * runs Bench from the repo root, where every round's BENCH_rN.json
-    * is committed).
+    * is committed). `tracked` restricts to git-tracked names (loudly);
+    * None (git unavailable) keeps every listed artifact.
     */
-  private[graft] def discoveredBenchPaths(): Seq[String] = {
-    val re = """BENCH_r(\d+)\.json""".r
-    Option(new java.io.File(".").listFiles()).toSeq.flatten
+  private[graft] def discoveredBenchPaths(
+      tracked: Option[Set[String]] = gitTrackedBenchNames): Seq[String] = {
+    val all = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .flatMap(f => f.getName match {
-        case re(n) => Some((n.toInt, f.getPath))
+        case benchRoundRe(n) => Some((n.toInt, f.getPath, f.getName))
         case _ => None
-      }).sortBy(-_._1).map(_._2)
+      }).sortBy(-_._1)
+    val (kept, skipped) = all.partition(a => tracked.forall(_.contains(a._3)))
+    if (skipped.nonEmpty && warnedUntracked.compareAndSet(false, true))
+      System.err.println("[bench] untracked BENCH artifacts excluded from " +
+        "prior/history discovery (committed rounds only): " +
+        skipped.map(_._3).mkString(","))
+    kept.map(_._2)
   }
 
   /** The prior round's official artifact: SPARK_GRAFT_PRIOR_BENCH if set
-    * (empty string disables), else the highest-numbered BENCH_r*.json in
-    * the cwd.
+    * (empty string disables), else the highest-numbered committed
+    * BENCH_r*.json in the cwd.
     */
   private[graft] def priorBenchPath(): Option[String] =
     sys.env.get("SPARK_GRAFT_PRIOR_BENCH") match {
@@ -172,20 +277,100 @@ object Bench {
     }
 
   /** The last `n` official artifacts, newest first, for the volatility
-    * policy. SPARK_GRAFT_PRIOR_BENCH (when set) is the newest entry —
-    * the same artifact the cross-round trigger compares against — with
-    * discovered history behind it; empty value disables history
-    * entirely (same contract as the trigger).
+    * policy. `envPrior` (SPARK_GRAFT_PRIOR_BENCH; a parameter for
+    * testability) when set is the newest entry — the same artifact the
+    * cross-round trigger compares against — and, when its name carries
+    * a round number, discovered artifacts from the SAME OR NEWER round
+    * are dropped rather than kept behind it (r18 advisory: prior=r17
+    * with discovered [r18, r17, r16] would otherwise build the
+    * out-of-order history [r17, r18, r16] and flag spurious movers).
+    * An env prior with an unparseable name keeps the full discovered
+    * list behind it — the caller explicitly chose an artifact outside
+    * the naming convention, and round order is undefined there. Empty
+    * value disables history entirely (same contract as the trigger).
     */
-  private[graft] def benchHistoryPaths(n: Int): Seq[String] =
-    (sys.env.get("SPARK_GRAFT_PRIOR_BENCH") match {
+  private[graft] def benchHistoryPaths(n: Int,
+      envPrior: Option[String] = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")): Seq[String] =
+    (envPrior match {
       case Some("") => Seq.empty
       case Some(p) =>
         val abs = new java.io.File(p).getAbsolutePath
-        p +: discoveredBenchPaths()
+        val discovered = discoveredBenchPaths()
           .filterNot(d => new java.io.File(d).getAbsolutePath == abs)
+        val behind = new java.io.File(p).getName match {
+          case benchRoundRe(pn) => discovered.filter { d =>
+            new java.io.File(d).getName match {
+              case benchRoundRe(dn) => dn.toInt < pn.toInt
+              case _ => true
+            }
+          }
+          case _ => discovered
+        }
+        p +: behind
       case None => discoveredBenchPaths()
     }).take(n)
+
+  /** Like-for-like comparable values for one history pair (r18
+    * advisory: volatility stickiness). The measurement protocol is
+    * asymmetric — an isolated query publishes an isolated-window
+    * median, an untriggered one a suite-window median — so comparing a
+    * pair's officials across DIFFERENT protocols registers the
+    * systematic isolated-vs-suite offset as "movement", and a query
+    * can stay vl:1 forever once flagged. Per shared query:
+    * same protocol on both sides (suite/suite or iso/iso) -> compare
+    * officials; mixed -> substitute the isolated side's suite median
+    * (`sm`) when the artifact carries it, and SKIP the query when it
+    * does not (a cross-protocol delta is not evidence of movement —
+    * it is exactly the offset trap; a real regression also shows up in
+    * the same-protocol comparison the following round).
+    */
+  private[graft] def comparablePair(newer: Map[String, PriorQuery],
+      older: Map[String, PriorQuery]): Map[String, (Double, Double)] =
+    newer.keySet.intersect(older.keySet).iterator.flatMap { name =>
+      val n = newer(name); val o = older(name)
+      (if (n.isolated == o.isolated) Some((n.official, o.official))
+       else if (n.isolated) n.sm.map(s => (s, o.official))
+       else o.sm.map(s => (n.official, s))).map(name -> _)
+    }.toMap
+
+  /** Window-level shift detector (round-18 directive #3). Per-query
+    * isolation cannot fix a shift that moved the WHOLE window (r18's
+    * official artifact: 68/82 queries slower, median per-query ratio
+    * 1.16, uniformly across unrelated families — host tenancy), and
+    * feeding such a pair to the per-query volatility policy floods it
+    * past its cap (26 flagged entering r19, cap 16). So a pair where
+    * MANY queries moved the SAME direction is adjudicated ONCE as a
+    * window-level event instead: detected when the individually-
+    * significant movers in the dominant direction (same rel/abs gates
+    * as the volatility policy) exceed `fracThresh` of the shared
+    * queries AND the population median ratio agrees (>1.10 up /
+    * <0.90 down — the typical query moved, not just a loud few).
+    * Returns the median newer/older ratio when detected; None
+    * otherwise, and None below 10 shared queries (a population claim
+    * needs a population — SPARK_GRAFT_ONLY subsets don't qualify).
+    * Whether a detected shift is tenancy or a genuine engine-wide
+    * regression is for the prior-tree A/B (tools/benchab.py) to
+    * adjudicate — per-query isolation answers neither.
+    */
+  private[graft] def windowShift(cmp: Map[String, (Double, Double)],
+      relThresh: Double, absFloor: Double,
+      fracThresh: Double): Option[Double] = {
+    if (cmp.size < 10) return None
+    var up = 0; var down = 0
+    val ratios = cmp.values.map { case (nv, ov) =>
+      val delta = math.abs(nv - ov)
+      if (delta / math.max(ov, 1e-9) > relThresh && delta > absFloor) {
+        if (nv > ov) up += 1 else down += 1
+      }
+      nv / math.max(ov, 1e-9)
+    }.toSeq.sorted
+    // upper median, same convention as the per-query timing median
+    val medRatio = ratios(ratios.size / 2)
+    val frac = math.max(up, down).toDouble / cmp.size
+    val consistent =
+      if (up >= down) medRatio > 1.10 else medRatio < 0.90
+    if (frac > fracThresh && consistent) Some(medRatio) else None
+  }
 
   /** Queries whose official median moved more than `relThresh`
     * relative AND `absFloor` seconds absolute between ANY two
@@ -194,19 +379,34 @@ object Bench {
     * ±noise band has already failed to keep stable, so their official
     * number this round must come from the isolated window rather than
     * from an adjudication that leans on a wide band (round-17
-    * directive #2). Returned largest relative movement first (a count
-    * cap drops the smallest movers), name-tiebroken for determinism.
+    * directive #2). Comparisons are like-for-like per
+    * [[comparablePair]] (r18 advisory), and a pair that
+    * [[windowShift]] adjudicates as a window-level event contributes
+    * NO per-query flags (round-18 directive #3) — `onShift` is called
+    * with (pair index, median ratio) so the caller can log the
+    * exclusion; `shiftFrac <= 0` disables the detector. Returned
+    * largest relative movement first (a count cap drops the smallest
+    * movers), name-tiebroken for determinism.
     */
-  private[graft] def volatileNames(history: Seq[Map[String, Double]],
-      relThresh: Double, absFloor: Double): Seq[String] = {
+  private[graft] def volatileNames(history: Seq[Map[String, PriorQuery]],
+      relThresh: Double, absFloor: Double, shiftFrac: Double,
+      onShift: (Int, Double) => Unit = (_, _) => ()): Seq[String] = {
     val worst = scala.collection.mutable.Map.empty[String, Double]
-    history.sliding(2).foreach {
-      case Seq(newer, older) =>
-        for ((name, nv) <- newer; ov <- older.get(name)) {
-          val delta = math.abs(nv - ov)
-          val rel = delta / math.max(ov, 1e-9)
-          if (rel > relThresh && delta > absFloor)
-            worst.update(name, math.max(worst.getOrElse(name, 0.0), rel))
+    history.sliding(2).zipWithIndex.foreach {
+      case (Seq(newer, older), idx) =>
+        val cmp = comparablePair(newer, older)
+        val shift =
+          if (shiftFrac <= 0) None
+          else windowShift(cmp, relThresh, absFloor, shiftFrac)
+        shift match {
+          case Some(r) => onShift(idx, r)
+          case None =>
+            for ((name, (nv, ov)) <- cmp) {
+              val delta = math.abs(nv - ov)
+              val rel = delta / math.max(ov, 1e-9)
+              if (rel > relThresh && delta > absFloor)
+                worst.update(name, math.max(worst.getOrElse(name, 0.0), rel))
+            }
         }
       case _ =>
     }
@@ -540,14 +740,22 @@ object Bench {
     // set true when the cross-round trigger ran with no usable prior;
     // surfaced on the total line as "prior":"none" (round-17 dir. #1)
     var priorAbsent = false
+    // set when THIS window vs the prior artifact is a window-level
+    // shift (round-18 directive #3); rides the total line as
+    // "window_shift":<median ratio>
+    var windowShiftRatio: Option[Double] = None
+    val shiftFrac = sys.env.get("SPARK_GRAFT_WINDOW_SHIFT_FRAC")
+      .flatMap(_.toDoubleOption).getOrElse(0.20)
     if (rmRuns > 0) {
       // Trigger 2 inputs: the prior round's official medians, and the
       // comparison band (benchdiff's rule — the wider of the two
       // windows' measured noise, floored at the historical 0.45 only
       // when neither window carries spread info).
       val priorPath = priorBenchPath()
-      val (priorQ, priorNoise) =
-        priorPath.map(loadPriorBench).getOrElse((Map.empty[String, Double], 0.0))
+      val (priorArt, priorNoise) =
+        priorPath.map(loadPriorArtifact)
+          .getOrElse((Map.empty[String, PriorQuery], 0.0))
+      val priorQ = priorArt.map { case (n, q) => n -> q.official }
       if (priorQ.isEmpty) {
         // LOUD: a missing/corrupt prior must never let the cross-round
         // regression gate pass vacuously — "0 movers" below would mean
@@ -569,9 +777,37 @@ object Bench {
       val noiseNow =
         if (firstSpreads.isEmpty) 0.0 else firstSpreads(firstSpreads.size / 2)
       val band = comparisonBand(priorNoise, noiseNow, rmSpreadThresh)
+      // Window-level shift adjudication (round-18 directive #3): when
+      // THIS window's suite medians vs the prior artifact show a
+      // population-wide same-direction shift, per-query mover isolation
+      // answers the wrong question (it would flood the isolated pass
+      // with tenancy ghosts and still not explain the shift). The event
+      // is adjudicated ONCE — loud stderr, "window_shift" on the total
+      // line — and the per-query cross-round mover trigger is
+      // suppressed for the run (spread/headline/volatility passes still
+      // run). Code-vs-host attribution of the shift is the prior-tree
+      // A/B's job (tools/benchab.py). Like-for-like: this window is
+      // all suite-protocol, so prior isolated queries compare via
+      // their sm when the artifact carries it and are skipped when not.
+      if (shiftFrac > 0 && priorArt.nonEmpty) {
+        val curAsPrior = results
+          .map(q => q.name -> PriorQuery(q.suiteMedian, None, isolated = false))
+          .toMap
+        windowShiftRatio =
+          windowShift(comparablePair(curAsPrior, priorArt),
+            relThresh = 0.20, absFloor = 0.15, fracThresh = shiftFrac)
+        windowShiftRatio.foreach { r =>
+          System.err.println(f"[bench] WARNING: window-level shift vs " +
+            f"prior ${priorPath.getOrElse("?")} — median per-query ratio " +
+            f"$r%.2f; per-query cross-round mover isolation is SUPPRESSED " +
+            "this run (the total line carries \"window_shift\"); " +
+            "adjudicate code-vs-host with tools/benchab.py <prior-commit>")
+        }
+      }
       val (suspectNames, moverNames) = selectSuspects(
         results.map(q => QuerySummary(q.name, q.suiteMedian, q.spread,
-          q.runs.max - q.runs.min, q.prior)),
+          q.runs.max - q.runs.min,
+          if (windowShiftRatio.isDefined) None else q.prior)),
         band, rmSpreadThresh)
       val byName = results.map(q => q.name -> q).toMap
       if (moverNames.nonEmpty)
@@ -616,14 +852,19 @@ object Bench {
       val volatileAll =
         if (volBand <= 0) Seq.empty
         else volatileNames(
-          benchHistoryPaths(3).map(p => loadPriorBench(p)._1)
+          benchHistoryPaths(3).map(p => loadPriorArtifact(p)._1)
             .filter(_.nonEmpty),
-          volBand, absFloor = 0.15)
+          volBand, absFloor = 0.15, shiftFrac,
+          onShift = (idx, r) => System.err.println(
+            f"[bench] volatility history pair #$idx is a window-level " +
+              f"shift (median ratio $r%.2f) — excluded from per-query " +
+              "volatility flagging (round-18 directive #3)"))
           .filter(byName.contains).filterNot(hl.contains)
       if (volatileAll.size > volCap)
         System.err.println(s"[bench] WARNING: ${volatileAll.size} " +
           s"cross-round-volatile queries exceed the $volCap cap; the " +
-          "smallest movers publish suite medians this run: " +
+          "smallest movers fall back to the normal trigger path (a " +
+          "spread/cross-round suspect among them may still isolate): " +
           volatileAll.drop(volCap).mkString(","))
       val volRun = volatileAll.take(volCap)
       if (volRun.nonEmpty)
@@ -742,15 +983,18 @@ object Bench {
     // fits ("remeasured" folded into prov — popcount(im) — rather than
     // printed twice; single_run prints only when nonzero, its zero is
     // the common case; the full artifact always carries everything).
+    val shiftMarker = windowShiftRatio
+      .map(r => s""","window_shift":${num(r, 2)}""").getOrElse("")
     val condensed = (if (singleRunCount > 0) s""","single_run":$singleRunCount""" else "") +
-      priorMarker(priorParsed = !priorAbsent, crossRoundEnabled = rmRuns > 0)
+      priorMarker(priorParsed = !priorAbsent, crossRoundEnabled = rmRuns > 0) +
+      shiftMarker
     val isolatedNames = results.filter(_.remeasured > 0).map(_.name).toSet
     val hlIsolated = results.filter(q => q.hl && q.remeasured > 0).map(_.name)
     val provFull = provenanceFragment(results.map(_.name), isolatedNames,
       hlIsolated, hlDisabled)
     val provCount = provenanceFragment(results.map(_.name), isolatedNames,
       hlIsolated, hlDisabled, countOnly = true)
-    val full = s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"remeasured":$remeasuredCount${priorMarker(!priorAbsent, rmRuns > 0)}$provFull,"noise":$noiseStr,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$totalStr,"value_min":${num(totalMin, 3)},"unit":"sec","queries":$qsFull,"exec":$plan,"single_run":$singleRunCount,"remeasured":$remeasuredCount${priorMarker(!priorAbsent, rmRuns > 0)}$shiftMarker$provFull,"noise":$noiseStr,"sf":"$sfDir"}"""
     // The full JSON (exec map with scheduler counts, per-run spreads)
     // also lands in a FILE by default — the driver's official artifact
     // keeps only the last 2000 stdout chars, which truncates the exec

@@ -376,7 +376,16 @@ object MinHashSignature {
     */
   def bandKeys(sig: ArrayData, numBands: Int): ArrayData = {
     val k = sig.numElements()
-    if (k == 0 || k % numBands != 0)
+    // k == 0 gets its own message: "must divide (0)" would be
+    // misleading there (0 IS divisible by numBands) — the refusal
+    // reason for an empty signature is the identical-keys
+    // degeneration itself, not divisibility
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "graft_minhash_bands: empty signature — every band would fold " +
+          "zero hashes, giving every row identical band keys " +
+          "(all-pairs bucket join)")
+    if (k % numBands != 0)
       throw new IllegalArgumentException(
         s"graft_minhash_bands: numBands=$numBands must divide the " +
           s"signature length ($k); numBands > length would give every " +

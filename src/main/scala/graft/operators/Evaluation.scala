@@ -12,7 +12,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Evaluation {
 
-  /** Accuracy from a joined frame with prediction + truth columns. */
+  /** Accuracy from a joined frame with prediction + truth columns.
+    *
+    * WARNING — this overload scores exactly the rows the caller's join
+    * produced. If that join was INNER on prediction ids, a classifier
+    * that silently drops hard rows loses them from the numerator AND
+    * the denominator together, inflating the reported score; two
+    * independent callers have now hit exactly that (the r17
+    * `kfold1NNAccuracy` fix, the r18 `KSweep` fix). Unless the
+    * upstream join is deliberately inner (e.g. pinned by an oracle
+    * that joins the same way), prefer the drop-proof
+    * [[accuracy(predictions:org\.apache\.spark\.sql\.DataFrame,truth:org\.apache\.spark\.sql\.DataFrame,idCol:String)* 3-arg overload]],
+    * which joins LEFT from truth so a missing prediction counts as
+    * incorrect and `n` stays the truth-set size.
+    */
   def accuracy(joined: DataFrame, pred: Column, truth: Column): DataFrame =
     joined.agg(
       round(avg(when(abs(pred - truth) === 0.0, 1.0).otherwise(0.0)), 6).as("accuracy"),

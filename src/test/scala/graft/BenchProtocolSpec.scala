@@ -155,17 +155,24 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
         "be inert (hl:\"off\" already marks that state)")
   }
 
+  private def suite(vs: (String, Double)*): Map[String, Bench.PriorQuery] =
+    vs.map { case (n, v) => n -> Bench.PriorQuery(v, None, isolated = false) }
+      .toMap
+
   test("volatileNames: >rel AND >abs movement in EITHER consecutive " +
       "pair of the newest-first history; largest mover first; " +
       "name-tiebroken (round-17 directive #2)") {
-    val r17 = Map("q25" -> 2.68, "q37" -> 2.26, "q62" -> 1.42,
+    val r17 = suite("q25" -> 2.68, "q37" -> 2.26, "q62" -> 1.42,
       "q1" -> 0.50, "tiny" -> 0.30, "big_small_rel" -> 5.5)
-    val r16 = Map("q25" -> 2.20, "q37" -> 1.99, "q62" -> 1.15,
+    val r16 = suite("q25" -> 2.20, "q37" -> 1.99, "q62" -> 1.15,
       "q1" -> 0.51, "tiny" -> 0.10, "big_small_rel" -> 5.0)
-    val r15 = Map("q25" -> 2.25, "q37" -> 1.50, "q62" -> 1.18,
+    val r15 = suite("q25" -> 2.25, "q37" -> 1.50, "q62" -> 1.18,
       "q1" -> 0.50, "tiny" -> 0.11, "big_small_rel" -> 5.1)
+    // shiftFrac = 0 disables the window-shift detector: this fixture's
+    // movers all move UP, which a live detector would (correctly) call
+    // a window-level event — the per-query semantics are under test
     val vol = Bench.volatileNames(Seq(r17, r16, r15),
-      relThresh = 0.20, absFloor = 0.15)
+      relThresh = 0.20, absFloor = 0.15, shiftFrac = 0)
     // q25: r16->r17 +21.8% / +0.48s -> in. q37: r16->r17 only +13.6%
     // BUT r15->r16 +32.7% / +0.49s -> in ("either of the last two
     // rounds"). q62: +23.5% / +0.27s -> in. q1: flat -> out. tiny:
@@ -175,12 +182,204 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     // big_small_rel moved 0.5s but only 10% -> out (rel gate)
     assert(!vol.contains("big_small_rel") && !vol.contains("q1"))
     // single-artifact history: no pair to compare -> empty
-    assert(Bench.volatileNames(Seq(r17), 0.20, 0.15) === Seq.empty)
-    assert(Bench.volatileNames(Seq.empty, 0.20, 0.15) === Seq.empty)
+    assert(Bench.volatileNames(Seq(r17), 0.20, 0.15, 0) === Seq.empty)
+    assert(Bench.volatileNames(Seq.empty, 0.20, 0.15, 0) === Seq.empty)
     // a query present in only one artifact of a pair never triggers
     val partial = Bench.volatileNames(
-      Seq(Map("new_q" -> 9.0), Map("old_q" -> 1.0)), 0.20, 0.15)
+      Seq(suite("new_q" -> 9.0), suite("old_q" -> 1.0)), 0.20, 0.15, 0)
     assert(partial === Seq.empty)
+  }
+
+  test("comparablePair: like-for-like protocol matching — officials " +
+      "for same-protocol queries, sm substitution for mixed pairs, " +
+      "skip when the isolated side's sm is unrecoverable (r18 advisory)") {
+    import Bench.PriorQuery
+    val newer = Map(
+      "both_suite" -> PriorQuery(1.0, None, isolated = false),
+      "both_iso" -> PriorQuery(2.0, Some(2.6), isolated = true),
+      "new_iso_sm" -> PriorQuery(3.0, Some(3.5), isolated = true),
+      "new_iso_nosm" -> PriorQuery(4.0, None, isolated = true),
+      "old_iso_sm" -> PriorQuery(5.0, None, isolated = false),
+      "old_iso_nosm" -> PriorQuery(6.0, None, isolated = false))
+    val older = Map(
+      "both_suite" -> PriorQuery(1.1, None, isolated = false),
+      "both_iso" -> PriorQuery(2.2, Some(2.9), isolated = true),
+      "new_iso_sm" -> PriorQuery(3.3, None, isolated = false),
+      "new_iso_nosm" -> PriorQuery(4.4, None, isolated = false),
+      "old_iso_sm" -> PriorQuery(5.5, Some(5.8), isolated = true),
+      "old_iso_nosm" -> PriorQuery(6.6, None, isolated = true),
+      "older_only" -> PriorQuery(9.9, None, isolated = false))
+    val cmp = Bench.comparablePair(newer, older)
+    assert(cmp === Map(
+      "both_suite" -> ((1.0, 1.1)),   // suite/suite: officials
+      "both_iso" -> ((2.0, 2.2)),     // iso/iso: officials (like-for-like)
+      "new_iso_sm" -> ((3.5, 3.3)),   // mixed: newer's sm vs older official
+      "old_iso_sm" -> ((5.0, 5.8))),  // mixed: newer official vs older's sm
+      s"got: $cmp")
+    // mixed-protocol queries without a recoverable sm are SKIPPED —
+    // the iso-vs-suite offset must not register as movement
+    assert(!cmp.contains("new_iso_nosm") && !cmp.contains("old_iso_nosm"))
+    assert(!cmp.contains("older_only"), "unshared queries never compare")
+  }
+
+  test("volatileNames: a sticky isolated query stops flagging once " +
+      "compared like-for-like (r18 advisory: the iso-vs-suite offset " +
+      "must not read as movement)") {
+    import Bench.PriorQuery
+    // q_sticky: isolated in the newer round with official 0.60 but
+    // suite median 0.95; prior round's suite official 0.90. Officials
+    // differ 33% (would flag); sm-vs-official differs 5.6% (must not).
+    val newer = Map(
+      "q_sticky" -> PriorQuery(0.60, Some(0.95), isolated = true),
+      "q_real" -> PriorQuery(2.0, Some(2.05), isolated = true))
+    val older = Map(
+      "q_sticky" -> PriorQuery(0.90, None, isolated = false),
+      "q_real" -> PriorQuery(1.0, None, isolated = false))
+    val vol = Bench.volatileNames(Seq(newer, older), 0.20, 0.15, 0)
+    // q_real genuinely doubled even like-for-like (sm 2.05 vs 1.0)
+    assert(vol === Seq("q_real"), s"got: $vol")
+  }
+
+  test("windowShift: detects a population-wide same-direction shift, " +
+      "stays quiet on symmetric chaos and on small populations " +
+      "(round-18 directive #3)") {
+    def cmp(pairs: (Double, Double)*): Map[String, (Double, Double)] =
+      pairs.zipWithIndex.map { case (p, i) => s"q$i" -> p }.toMap
+    // 12 queries, 4 significant movers all UP (rel > 0.20 strict AND
+    // abs > 0.15), typical query +16%
+    val up = cmp((1.16, 1.0), (1.17, 1.0), (1.15, 1.0), (1.2, 1.0),
+      (2.42, 2.0), (2.5, 2.0), (3.7, 3.0), (3.8, 3.0),
+      (1.18, 1.0), (1.14, 1.0), (1.16, 1.0), (1.15, 1.0))
+    val r = Bench.windowShift(up, 0.20, 0.15, 0.20)
+    assert(r.exists(v => v > 1.10 && v < 1.25), s"got: $r")
+    // a DOWN shift detects too (movers' rel is measured against the
+    // OLDER value, so the down fixture needs deeper moves to clear the
+    // same strict gates)
+    val down = cmp((1.4, 2.0), (1.5, 2.0), (2.1, 3.0), (2.2, 3.0),
+      (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0),
+      (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0))
+    assert(Bench.windowShift(down, 0.20, 0.15, 0.20).exists(_ < 0.90))
+    // symmetric chaos: equal significant movers both directions,
+    // median flat
+    val chaos = cmp((2.5, 2.0), (2.45, 2.0), (1.55, 2.0), (1.5, 2.0),
+      (1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (1.0, 1.0),
+      (1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (1.0, 1.0))
+    assert(Bench.windowShift(chaos, 0.20, 0.15, 0.20).isEmpty,
+      "symmetric movement is not a window-level shift")
+    // a few loud movers over a flat population: median gate holds
+    val fewLoud = cmp((3.0, 1.0), (3.0, 1.0), (3.0, 1.0),
+      (1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (1.0, 1.0),
+      (1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (1.0, 1.0))
+    assert(Bench.windowShift(fewLoud, 0.20, 0.15, 0.20).isEmpty,
+      "a flat typical query means per-query adjudication, not window")
+    // under 10 shared queries: no population claim
+    val tiny = cmp((2.0, 1.0), (2.0, 1.0), (2.0, 1.0), (2.0, 1.0))
+    assert(Bench.windowShift(tiny, 0.20, 0.15, 0.20).isEmpty)
+  }
+
+  test("windowShift on the REAL committed artifacts: detects the " +
+      "r17->r18 tenancy window (median ratio ~1.16), does not detect " +
+      "r16->r17 or r15->r16 (round-18 directive #3)") {
+    def art(n: Int): Map[String, Bench.PriorQuery] =
+      Bench.loadPriorArtifact(f"BENCH_r$n%02d.json")._1
+    val (r18, r17, r16, r15) = (art(18), art(17), art(16), art(15))
+    assume(r18.size > 50 && r17.size > 50 && r16.size > 50 && r15.size > 50,
+      "repo root carries the committed BENCH artifacts")
+    val shifted = Bench.windowShift(
+      Bench.comparablePair(r18, r17), 0.20, 0.15, 0.20)
+    assert(shifted.exists(v => v > 1.10 && v < 1.30),
+      s"the r17->r18 host-tenancy window must detect, got: $shifted")
+    assert(Bench.windowShift(
+      Bench.comparablePair(r17, r16), 0.20, 0.15, 0.20).isEmpty,
+      "r16->r17 was a normal window — must not detect")
+    assert(Bench.windowShift(
+      Bench.comparablePair(r16, r15), 0.20, 0.15, 0.20).isEmpty,
+      "r15->r16 was a normal window — must not detect")
+  }
+
+  test("volatileNames entering r19 on the REAL artifacts: the shifted " +
+      "r17->r18 pair is excluded (no cap flood), the r16->r17 pair " +
+      "still contributes (round-18 directive #3)") {
+    def art(n: Int): Map[String, Bench.PriorQuery] =
+      Bench.loadPriorArtifact(f"BENCH_r$n%02d.json")._1
+    val hist = Seq(art(18), art(17), art(16))
+    assume(hist.forall(_.size > 50), "committed BENCH artifacts present")
+    val shifts = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val vol = Bench.volatileNames(hist, 0.20, 0.15, 0.20,
+      onShift = (i, r) => shifts.append((i, r)))
+    assert(shifts.map(_._1) === Seq(0),
+      s"exactly the r17->r18 pair (index 0) is window-shifted: $shifts")
+    // the judge-simulated un-excluded history flooded the cap-16 pass
+    // with 26 names; with the shifted pair excluded the r16->r17 pair
+    // alone stays well inside the cap
+    assert(vol.size <= 16, s"${vol.size} volatile names would flood " +
+      s"the cap-16 isolated pass: $vol")
+    // and the detector being active does NOT blind the policy: the
+    // pair that contributes is exactly r16->r17's movers
+    val unshifted = Bench.volatileNames(Seq(art(17), art(16)), 0.20, 0.15, 0.20)
+    assert(vol === unshifted, "r19's volatility set == the r16->r17 movers")
+  }
+
+  test("loadPriorArtifact: prov.im decodes the isolation set over the " +
+      "queries-map key order, exec sm recovers suite medians, and " +
+      "escaped tail copies never match (r18 advisory)") {
+    // 5 queries; im bits 01101 -> q25,q26,q50 isolated (matches the
+    // provenanceFragment fixture); exec carries sm for q25 only
+    val raw = """{"metric":"total","value":9.0,"unit":"sec",""" +
+      """"queries":{"q1_agg":0.50,"q25_knn":2.00,"q26_har":3.00,""" +
+      """"q3_window":0.70,"q50_tfidf":1.10},""" +
+      """"exec":{"q1_agg":{"jobs":1,"min":0.49,"runs":[0.50,0.49,0.51]},""" +
+      """"q25_knn":{"jobs":2,"min":1.9,"rm":5,"sm":2.45,"hl":1,"runs":[2.5,2.0]}},""" +
+      """"prov":{"hl":"q25,q26,q50","im":"68"},"noise":0.4,"sf":"sf0.1"}"""
+    val (qs, noise) = Bench.loadPriorArtifact(tmp(raw))
+    assert(noise === 0.4)
+    assert(qs("q25_knn") === Bench.PriorQuery(2.00, Some(2.45), true))
+    assert(qs("q26_har") === Bench.PriorQuery(3.00, None, true))
+    assert(qs("q50_tfidf") === Bench.PriorQuery(1.10, None, true))
+    assert(qs("q1_agg") === Bench.PriorQuery(0.50, None, false))
+    assert(qs("q3_window") === Bench.PriorQuery(0.70, None, false))
+    // the driver wrapper: escaped copies in the tail carry a DIFFERENT
+    // im and a bogus sm — neither may leak into the parse
+    val wrapper = """{"n":19,""" +
+      """"tail":"{\"queries\":{\"q1_agg\":9.9},\"exec\":{\"q1_agg\":{\"sm\":9.9}},\"prov\":{\"im\":\"f0\"}}",""" +
+      """"parsed":{"queries":{"q1_agg":0.5,"q2_b":1.0},""" +
+      """"prov":{"hl":"","im":"80"},"noise":0.3}}"""
+    val (wqs, wnoise) = Bench.loadPriorArtifact(tmp(wrapper))
+    assert(wqs === Map(
+      "q1_agg" -> Bench.PriorQuery(0.5, None, true),
+      "q2_b" -> Bench.PriorQuery(1.0, None, false)), s"got: $wqs")
+    assert(wnoise === 0.3)
+    // artifacts that predate prov (r01-r13): everything suite-protocol
+    val old = """{"metric":"total","queries":{"q1":1.0},"noise":0.2}"""
+    assert(Bench.loadPriorArtifact(tmp(old))._1 ===
+      Map("q1" -> Bench.PriorQuery(1.0, None, false)))
+    // malformed input stays harmless (same contract as loadPriorBench)
+    assert(Bench.loadPriorArtifact("/nonexistent/x.json") ===
+      ((Map.empty, 0.0)))
+  }
+
+  test("benchHistoryPaths: a round-numbered env prior drops discovered " +
+      "artifacts from the same or newer rounds instead of keeping " +
+      "them behind it (r18 advisory: out-of-order history)") {
+    // copy the committed r17 artifact to a temp round-numbered name;
+    // discovered history in cwd reaches r18, which must be DROPPED
+    val dir = Files.createTempDirectory("graft_benchab")
+    val prior = dir.resolve("BENCH_r17.json")
+    Files.copy(java.nio.file.Paths.get("BENCH_r17.json"), prior)
+    prior.toFile.deleteOnExit(); dir.toFile.deleteOnExit()
+    val hist = Bench.benchHistoryPaths(3, envPrior = Some(prior.toString))
+      .map(p => new java.io.File(p).getName)
+    assert(hist === Seq("BENCH_r17.json", "BENCH_r16.json", "BENCH_r15.json"),
+      s"got: $hist (r18+ must be dropped, history in round order)")
+    // an env prior OUTSIDE the naming convention keeps the full
+    // discovered list behind it (round order undefined -> unchanged)
+    val odd = dir.resolve("my_prior.json")
+    Files.copy(java.nio.file.Paths.get("BENCH_r17.json"), odd)
+    odd.toFile.deleteOnExit()
+    val oddHist = Bench.benchHistoryPaths(3, envPrior = Some(odd.toString))
+      .map(p => new java.io.File(p).getName)
+    assert(oddHist.head === "my_prior.json" &&
+      oddHist.tail.head === "BENCH_r18.json", s"got: $oddHist")
   }
 
   test("benchHistoryPaths: newest-first, capped, committed artifacts") {

@@ -275,6 +275,17 @@ class ExpressionsSpec extends SparkTestBase {
         .collect()
     }
     assert(nonDivisor.getMessage.contains("must divide"))
+    // empty signature: the k==0 refusal names the real hazard (identical
+    // keys), not divisibility — "must divide (0)" would be misleading
+    // since 0 IS divisible by any numBands (r18 advisory)
+    val empty = intercept[Exception] {
+      Seq(Tuple1(Seq.empty[Long])).toDF("sig")
+        .select(call_function("graft_minhash_bands", $"sig", lit(3)))
+        .collect()
+    }
+    assert(empty.getMessage.contains("empty signature") &&
+      !empty.getMessage.contains("must divide"),
+      s"got: ${empty.getMessage}")
   }
 
   test("DESCRIBE FUNCTION carries each registered function's usage text") {
