@@ -178,6 +178,13 @@ object SparkEntry {
     * re-runs the model. q26 pays the cascade + write exactly once; q31
     * scores the re-read frame (a parquet scan + join, not 3 s of
     * duplicated DTW work per suite run).
+    *
+    * Single-writer contract: the table NAME is keyed by `dir` alone, so
+    * two live sessions in one JVM running q26 against the SAME dir
+    * concurrently would race on the overwrite. Every current driver
+    * (Bench, Verify, the gates, one shared session per test suite) is
+    * single-session-per-dir; a future multi-session host must serialize
+    * q26 per dir or key the table by session too.
     */
   private val harPredCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
