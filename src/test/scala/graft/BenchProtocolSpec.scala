@@ -358,6 +358,28 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
       ((Map.empty, 0.0)))
   }
 
+  test("loadPriorArtifact on the REAL committed full artifact: every " +
+      "isolated query recovers its suite median (the like-for-like " +
+      "path's production input), non-isolated queries carry none") {
+    val path = "BENCH_FULL_r19_rehearsal.json"
+    assume(new java.io.File(path).isFile, "r19 full rehearsal committed")
+    val (qs, noise) = Bench.loadPriorArtifact(path)
+    assume(qs.size > 50)
+    assert(noise > 0.0)
+    val iso = qs.filter(_._2.isolated)
+    assert(iso.nonEmpty, "the rehearsal remeasured queries by policy")
+    // full artifacts carry the exec map, so EVERY isolated query's sm
+    // must be recoverable — this is what keeps next round's volatility
+    // comparison like-for-like instead of skipping
+    val missing = iso.collect { case (n, q) if q.sm.isEmpty => n }
+    assert(missing.isEmpty, s"isolated queries without sm: $missing")
+    // and a non-isolated query must NOT carry an sm or the iso flag
+    val suiteOnly = qs.filter(!_._2.isolated)
+    assert(suiteOnly.nonEmpty && suiteOnly.values.forall(_.sm.isEmpty))
+    // isolation count equals the artifact's own remeasured count
+    assert(iso.size === 49, s"expected 49 isolated, got ${iso.size}")
+  }
+
   test("benchHistoryPaths: a round-numbered env prior drops discovered " +
       "artifacts from the same or newer rounds instead of keeping " +
       "them behind it (r18 advisory: out-of-order history)") {
