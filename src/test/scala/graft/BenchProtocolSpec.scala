@@ -277,6 +277,36 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.windowShift(tiny, 0.20, 0.15, 0.20).isEmpty)
   }
 
+  test("windowShift randomized invariants: uniform scale-up detects at " +
+      "~the factor, in-band jitter never detects, and an inverted pair " +
+      "can never detect in the same direction") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 200) {
+      val n = 10 + rnd.nextInt(70)
+      // base medians in [0.75, 4.75): every uniform >20% move also
+      // clears the 0.15 s absolute floor
+      val base = (0 until n).map(i => s"q$i" -> (0.75 + 4.0 * rnd.nextDouble()))
+      // (a) uniform scale-up by f in (1.25, 2.0): every query is a
+      // significant mover the same way -> must detect at ratio ~f
+      val f = 1.25 + 0.75 * rnd.nextDouble()
+      val up = base.map { case (q, v) => q -> ((v * f, v)) }.toMap
+      val det = Bench.windowShift(up, 0.20, 0.15, 0.20)
+      assert(det.exists(r => math.abs(r - f) < 1e-9), s"n=$n f=$f -> $det")
+      // (b) the inverted pair (old and new swapped) must never detect
+      // UP — at most a DOWN shift (ratio < 0.90)
+      val inv = up.map { case (q, (nv, ov)) => q -> ((ov, nv)) }
+      assert(Bench.windowShift(inv, 0.20, 0.15, 0.20).forall(_ < 0.90),
+        "a swapped pair cannot report the same direction")
+      // (c) per-query jitter within +/-10%: no query clears the 20%
+      // mover gate, so no detection regardless of jitter direction
+      val jit = base.map { case (q, v) =>
+        q -> ((v * (0.9 + 0.2 * rnd.nextDouble()), v))
+      }.toMap
+      assert(Bench.windowShift(jit, 0.20, 0.15, 0.20).isEmpty,
+        "in-band jitter is not a window-level shift")
+    }
+  }
+
   test("windowShift on the REAL committed artifacts: detects the " +
       "r17->r18 tenancy window (median ratio ~1.16), does not detect " +
       "r16->r17 or r15->r16 (round-18 directive #3)") {
