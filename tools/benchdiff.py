@@ -71,6 +71,13 @@ def main():
         print(f"only in OLD: {q} ({qa[q]:.2f} s)")
     for q in only_b:
         print(f"only in NEW: {q} ({qb[q]:.2f} s)")
+    # a query that VANISHED from the new artifact is not a timing move
+    # but it is a gate-worthy change (a dropped query reads as a faster
+    # total); --strict must not exit 0 over it (r19 tooling sweep)
+    if strict and only_a:
+        print(f"--strict: {len(only_a)} queries present in OLD are "
+              "missing from NEW — failing the gate")
+        sys.exit(1)
 
     moved = []
     for q in sorted(set(qa) & set(qb)):
