@@ -32,10 +32,14 @@ private[graft] final class BenchListener extends SparkListener {
   *   (1) intra-window spread wider than the comparison band (the rule
   *       tools/benchdiff.py flags moves with), or
   *   (2) cross-round movement: the first-pass median differs from the
-  *       PRIOR round's official artifact (auto-discovered as the
-  *       highest-numbered BENCH_r*.json in the cwd, or
+  *       PRIOR round's artifact (auto-discovered as the
+  *       highest-numbered git-tracked BENCH_r*.json in the cwd, or
   *       SPARK_GRAFT_PRIOR_BENCH; empty value disables) by more than
-  *       that same band.
+  *       that same band — compared LIKE-FOR-LIKE: a prior query whose
+  *       official was an isolated median compares via its recovered
+  *       suite median (`sm`) and is skipped when the artifact doesn't
+  *       carry one, so the iso-vs-suite protocol offset can't re-flag
+  *       the same queries as movers every round.
   * Trigger 2 exists because trigger 1 alone published BENCH_r12's q37
   * at 6.69 s (judge-isolated truth 2.04 s): a UNIFORMLY slow window has
   * low spread, and nothing compared the median against r11's 1.83 s
@@ -772,11 +776,30 @@ object Bench {
         System.err.println(s"[bench] prior artifact for cross-round " +
           s"trigger: ${priorPath.getOrElse("?")} (${priorQ.size} queries, " +
           s"noise $priorNoise)")
-      results.foreach(q => q.prior = priorQ.get(q.name))
+      // Like-for-like prior for the CURRENT window (r19 self-review):
+      // this window is all suite-protocol, so a prior query that
+      // published an ISOLATED official compares via its recovered
+      // suite median (sm) and is skipped (None) when the artifact
+      // doesn't carry one — otherwise the systematic iso-vs-suite
+      // offset re-flags the same queries as "movers" every round (the
+      // exact stickiness pathology the volatility policy's
+      // like-for-like fix closed; the mover trigger must not keep it).
+      // The exec map's "prev" stamp carries this same comparable value
+      // — it IS the comparison point the adjudication used.
+      results.foreach { q =>
+        q.prior = priorArt.get(q.name).flatMap(p =>
+          if (p.isolated) p.sm else Some(p.official))
+      }
       val firstSpreads = results.flatMap(_.spread).sorted
       val noiseNow =
         if (firstSpreads.isEmpty) 0.0 else firstSpreads(firstSpreads.size / 2)
       val band = comparisonBand(priorNoise, noiseNow, rmSpreadThresh)
+      // volatility band parsed here because the window-shift detector
+      // shares its per-query mover gate (r19 self-review: the two
+      // detectors must not disagree under a non-default band)
+      val volBand = sys.env.get("SPARK_GRAFT_VOLATILE_BAND")
+        .flatMap(_.toDoubleOption).getOrElse(0.20)
+      val shiftRel = if (volBand > 0) volBand else 0.20
       // Window-level shift adjudication (round-18 directive #3): when
       // THIS window's suite medians vs the prior artifact show a
       // population-wide same-direction shift, per-query mover isolation
@@ -795,7 +818,7 @@ object Bench {
           .toMap
         windowShiftRatio =
           windowShift(comparablePair(curAsPrior, priorArt),
-            relThresh = 0.20, absFloor = 0.15, fracThresh = shiftFrac)
+            relThresh = shiftRel, absFloor = 0.15, fracThresh = shiftFrac)
         windowShiftRatio.foreach { r =>
           System.err.println(f"[bench] WARNING: window-level shift vs " +
             f"prior ${priorPath.getOrElse("?")} — median per-query ratio " +
@@ -845,8 +868,6 @@ object Bench {
       // consecutive deltas). Budget-exempt but count-capped: a chaos
       // round where half the suite "moved" must not double the window —
       // the cap drops the SMALLEST movers, loudly.
-      val volBand = sys.env.get("SPARK_GRAFT_VOLATILE_BAND")
-        .flatMap(_.toDoubleOption).getOrElse(0.20)
       val volCap = sys.env.get("SPARK_GRAFT_VOLATILE_CAP")
         .flatMap(_.toIntOption).getOrElse(16)
       val volatileAll =

@@ -128,7 +128,16 @@ def main():
 
     prior_sha = sh(["git", "rev-parse", "--short", args.commit], REPO)
     cur_sha = sh(["git", "rev-parse", "--short", "HEAD"], REPO)
-    dirty = sh(["git", "status", "--porcelain", "--untracked-files=no"], REPO)
+    # dirty = anything that changes what sbt COMPILES relative to the
+    # recorded HEAD sha: tracked modifications anywhere, plus UNTRACKED
+    # files under the build inputs (an untracked src/ file is compiled
+    # into the measured "current" tree — recording the tree as clean
+    # would corrupt exactly the provenance this artifact pins down).
+    # Untracked artifacts/notes elsewhere do not affect the build.
+    status = sh(["git", "status", "--porcelain"], REPO)
+    dirty = [l for l in status.splitlines()
+             if not l.startswith("??")
+             or l[3:].startswith(("src/", "project/", "build.sbt"))]
     out_path = args.out or os.path.join(REPO, f"benchab_{prior_sha}.json")
 
     wt = os.path.join(tempfile.gettempdir(), f"benchab_wt_{prior_sha}")

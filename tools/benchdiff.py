@@ -73,11 +73,14 @@ def main():
         print(f"only in NEW: {q} ({qb[q]:.2f} s)")
     # a query that VANISHED from the new artifact is not a timing move
     # but it is a gate-worthy change (a dropped query reads as a faster
-    # total); --strict must not exit 0 over it (r19 tooling sweep)
-    if strict and only_a:
+    # total); --strict must not exit 0 over it (r19 tooling sweep).
+    # The exit is DEFERRED to the end so the movement report still
+    # prints — a failing gate must not discard the very analysis the
+    # triager needs next.
+    dropped_fail = strict and bool(only_a)
+    if dropped_fail:
         print(f"--strict: {len(only_a)} queries present in OLD are "
-              "missing from NEW — failing the gate")
-        sys.exit(1)
+              "missing from NEW — the gate will fail (report follows)")
 
     moved = []
     for q in sorted(set(qa) & set(qb)):
@@ -102,7 +105,7 @@ def main():
     print(f"total: {ta:.1f} -> {tb:.1f} s ({tb - ta:+.1f}); "
           f"{len(moved)} of {len(set(qa) & set(qb))} queries outside the "
           f"noise band ({strong_regs} strong regressions)")
-    if strict and strong_regs:
+    if strict and (strong_regs or dropped_fail):
         sys.exit(1)
 
 

@@ -31,10 +31,20 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cmd, log, env=None, timeout=7200):
+def run(cmd, log, env=None, timeout=7200, split_stderr=False):
+    """Run a step with output captured to `log`. By default stderr is
+    merged (a failing step's log should read top-to-bottom); census
+    parsing wants stdout CLEAN, so split_stderr sends stderr to
+    `log`.err instead (a log4j WARN interleaved mid-pipe must not be
+    able to corrupt the rows block)."""
     with open(log, "w") as f:
-        p = subprocess.run(cmd, cwd=REPO, env=env, timeout=timeout,
-                           stdout=f, stderr=subprocess.STDOUT)
+        if split_stderr:
+            with open(log + ".err", "w") as e:
+                p = subprocess.run(cmd, cwd=REPO, env=env, timeout=timeout,
+                                   stdout=f, stderr=e)
+        else:
+            p = subprocess.run(cmd, cwd=REPO, env=env, timeout=timeout,
+                               stdout=f, stderr=subprocess.STDOUT)
     return p.returncode
 
 
@@ -43,20 +53,22 @@ def fail(step, log):
 
 
 def parse_census(out_path, artifact):
-    """ShuffleCensus prints a JSON rows array then a one-line summary;
-    rows can themselves contain ']' and the summary contains '[', so
-    slice on the bracket LINES, not on raw indexOf (the naive rindex
-    parse broke on the summary's problem_names list)."""
-    lines = open(out_path).read().splitlines()
-    start = lines.index("[")
-    end = start + 1
-    while lines[end].strip() != "]":
-        end += 1
-    rows = json.loads("\n".join(lines[start:end + 1]))
-    summary = [json.loads(l) for l in lines if l.startswith('{"census"')]
+    """ShuffleCensus prints one JSON object per row line between '['
+    and ']' lines, then a one-line summary. Parse per LINE and only
+    accept objects with the expected keys — tolerant of any stray
+    harness line, and immune to the summary's own brackets (the naive
+    rindex slice broke on the summary's problem_names list)."""
+    rows, summary = [], {}
+    for line in open(out_path):
+        line = line.strip().rstrip(",")
+        if line.startswith('{"q":'):
+            rows.append(json.loads(line))
+        elif line.startswith('{"census"'):
+            summary = json.loads(line)
+    if not rows:
+        raise ValueError(f"no census rows found in {out_path}")
     out = {"rows": rows}
-    if summary:
-        out.update(summary[0])
+    out.update(summary)
     with open(artifact, "w") as f:
         json.dump(out, f, indent=1)
     return len(rows), out.get("problems")
@@ -83,13 +95,20 @@ def main():
     if not args.skip_census:
         print(f"[rungates] 2/5 byte census", flush=True)
         log = f"{tmp}/census.log"
-        if run(["sbt", "-batch", "runMain graft.ShuffleCensus"], log):
-            fail("census", log)
+        # ShuffleCensus itself exits 1 on problems — AFTER printing the
+        # full rows table — so on a nonzero rc the artifact is still
+        # recoverable and must be written BEFORE the chain fails:
+        # a problem census with no artifact is undiagnosable.
+        rc = run(["sbt", "-batch", "runMain graft.ShuffleCensus"], log,
+                 split_stderr=True)
         artifact = f"BYTESCHECK_r{n}.json"
-        rows, problems = parse_census(log, os.path.join(REPO, artifact))
+        try:
+            rows, problems = parse_census(log, os.path.join(REPO, artifact))
+        except ValueError:
+            fail("census (no rows in output)", log)
         print(f"[rungates] {artifact}: {rows} rows, problems={problems}")
-        if problems:
-            fail("census (problems)", log)
+        if rc or problems:
+            fail("census (problems — artifact written for diagnosis)", log)
         prev = os.path.join(REPO, f"BYTESCHECK_r{n - 1}.json")
         if os.path.exists(prev):
             difflog = f"{tmp}/bytesdiff.log"
