@@ -314,6 +314,19 @@ object Bench {
       case None => discoveredBenchPaths()
     }).take(n)
 
+  /** The value of a prior-artifact query that is comparable against a
+    * SUITE-window median (the current run's first pass): the prior's
+    * own suite median when its official was an isolated-window number
+    * — recovered `sm`, None when the artifact (a truncated driver
+    * wrapper) doesn't carry it — else the official itself. The
+    * cross-round mover trigger and the current-vs-prior shift detector
+    * both build their prior side from this (r19 self-review: the mover
+    * trigger compared suite-vs-isolated officials and would re-flag
+    * the same queries every round on the protocol offset alone).
+    */
+  private[graft] def suiteComparable(p: PriorQuery): Option[Double] =
+    if (p.isolated) p.sm else Some(p.official)
+
   /** Like-for-like comparable values for one history pair (r18
     * advisory: volatility stickiness). The measurement protocol is
     * asymmetric — an isolated query publishes an isolated-window
@@ -786,10 +799,7 @@ object Bench {
       // like-for-like fix closed; the mover trigger must not keep it).
       // The exec map's "prev" stamp carries this same comparable value
       // — it IS the comparison point the adjudication used.
-      results.foreach { q =>
-        q.prior = priorArt.get(q.name).flatMap(p =>
-          if (p.isolated) p.sm else Some(p.official))
-      }
+      results.foreach(q => q.prior = priorArt.get(q.name).flatMap(suiteComparable))
       val firstSpreads = results.flatMap(_.spread).sorted
       val noiseNow =
         if (firstSpreads.isEmpty) 0.0 else firstSpreads(firstSpreads.size / 2)

@@ -277,6 +277,19 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.windowShift(tiny, 0.20, 0.15, 0.20).isEmpty)
   }
 
+  test("suiteComparable: a prior isolated query compares via its suite " +
+      "median against a suite window, skips when sm is unrecoverable, " +
+      "and a suite-protocol prior compares via its official " +
+      "(r19 self-review: the mover trigger's stickiness fix)") {
+    import Bench.PriorQuery
+    assert(Bench.suiteComparable(PriorQuery(0.60, Some(0.95), true)) ===
+      Some(0.95), "isolated with sm -> the suite median")
+    assert(Bench.suiteComparable(PriorQuery(0.60, None, true)) === None,
+      "isolated without sm -> no cross-protocol comparison")
+    assert(Bench.suiteComparable(PriorQuery(0.90, None, false)) ===
+      Some(0.90), "suite protocol -> official")
+  }
+
   test("windowShift randomized invariants: uniform scale-up detects at " +
       "~the factor, in-band jitter never detects, and an inverted pair " +
       "can never detect in the same direction") {
