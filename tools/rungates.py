@@ -88,7 +88,10 @@ def main():
 
     print(f"[rungates] 1/5 datacheck", flush=True)
     log = f"{tmp}/datacheck.log"
-    if run(["python3", "tools/datacheck.py", "--round", str(n)], log):
+    # --repo pinned to THIS tree: datacheck/faultcheck default to
+    # /root/repo, which is wrong when rungates runs from a worktree
+    if run(["python3", "tools/datacheck.py", "--round", str(n),
+            "--repo", REPO], log):
         fail("datacheck", log)
     print(open(log).read().strip().splitlines()[-1])
 
@@ -121,7 +124,8 @@ def main():
     if not args.skip_fault:
         print(f"[rungates] 3/5 faultcheck", flush=True)
         log = f"{tmp}/faultcheck.log"
-        if run(["python3", "tools/faultcheck.py", "--round", str(n)], log):
+        if run(["python3", "tools/faultcheck.py", "--round", str(n),
+                "--repo", REPO], log):
             fail("faultcheck", log)
         print(open(log).read().strip().splitlines()[-1])
 
