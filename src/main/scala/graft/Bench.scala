@@ -365,6 +365,18 @@ object Bench {
     * Returns the median newer/older ratio when detected; None
     * otherwise, and None below 10 shared queries (a population claim
     * needs a population — SPARK_GRAFT_ONLY subsets don't qualify).
+    * Two round-19 hardenings: (a) an up/down significant-mover TIE is
+    * no dominant direction at all — the detector stays quiet rather
+    * than letting a skewed median stamp an arbitrary direction (r19
+    * advisory); (b) the mover-fraction gate relaxes proportionally
+    * once the population median has moved DECISIVELY past the 0.10
+    * band (floored at half of `fracThresh`), because a pair whose
+    * typical query moved 12%+ is a window event even if the count of
+    * individually-significant movers sits near the fraction threshold
+    * — the real r18->r19 recovery pair cleared `fracThresh` by
+    * exactly one mover (17/82 = 0.207 vs 0.20, median 0.878), and a
+    * single noisy query must not flip that pair back to flooding the
+    * per-query policy with ~16 spurious flags (round-19 directive #3).
     * Whether a detected shift is tenancy or a genuine engine-wide
     * regression is for the prior-tree A/B (tools/benchab.py) to
     * adjudicate — per-query isolation answers neither.
@@ -385,8 +397,18 @@ object Bench {
     val medRatio = ratios(ratios.size / 2)
     val frac = math.max(up, down).toDouble / cmp.size
     val consistent =
-      if (up >= down) medRatio > 1.10 else medRatio < 0.90
-    if (frac > fracThresh && consistent) Some(medRatio) else None
+      if (up > down) medRatio > 1.10
+      else if (down > up) medRatio < 0.90
+      else false // tie: no dominant direction (r19 advisory)
+    // decisive-median relaxation (round-19 directive #3): the gate the
+    // median has already cleared by `deviation` shrinks the required
+    // mover fraction in proportion, floored at fracThresh/2 so a
+    // freak median can never fire on a couple of movers
+    val deviation = math.abs(medRatio - 1.0)
+    val required =
+      if (deviation <= 0.10) fracThresh
+      else math.max(fracThresh * 0.10 / deviation, fracThresh * 0.5)
+    if (frac > required && consistent) Some(medRatio) else None
   }
 
   /** Queries whose official median moved more than `relThresh`

@@ -127,13 +127,30 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
       "one measured window beats the historical fallback")
   }
 
-  test("priorBenchPath picks the highest-numbered BENCH_r*.json in cwd") {
-    // env-independent expectation computed from the same directory
+  /** The expectations the two discovery tests compare against, built
+    * from the same directory — but filtered through the SAME
+    * git-tracked-only contract the production discovery applies (r19
+    * directive #1: the raw-listing expectation turned the suite red on
+    * exactly the tree the judge sees, where the driver's per-round
+    * BENCH_rN.json is present but not yet committed).
+    */
+  private def trackedBenchNamesNewestFirst: Seq[String] = {
     val re = """BENCH_r(\d+)\.json""".r
-    val expected = Option(new java.io.File(".").listFiles()).toSeq.flatten
+    val tracked = Bench.gitTrackedBenchNames
+    Option(new java.io.File(".").listFiles()).toSeq.flatten
       .flatMap(f => f.getName match {
         case re(n) => Some((n.toInt, f.getName)); case _ => None
-      }).sortBy(_._1).lastOption.map(_._2)
+      })
+      .filter { case (_, name) => tracked.forall(_.contains(name)) }
+      .sortBy(-_._1).map(_._2)
+  }
+
+  test("priorBenchPath picks the highest-numbered git-tracked " +
+      "BENCH_r*.json in cwd (r19 directive #1: tracked-only, so an " +
+      "uncommitted per-round artifact cannot flip this test)") {
+    // env-independent expectation computed from the same directory,
+    // through the same tracked-only filter as the code under test
+    val expected = trackedBenchNamesNewestFirst.headOption
     assume(expected.nonEmpty, "repo root carries committed BENCH artifacts")
     assert(Bench.priorBenchPath().map(p => new java.io.File(p).getName)
       === expected)
@@ -340,6 +357,79 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
       "r15->r16 was a normal window — must not detect")
   }
 
+  test("windowShift tie + decisive-median relaxation (r19 advisory + " +
+      "directive #3): an up/down mover tie never detects, and a " +
+      "decisively-moved median fires below the base mover fraction") {
+    def cmp(pairs: (Double, Double)*): Map[String, (Double, Double)] =
+      pairs.zipWithIndex.map { case (p, i) => s"q$i" -> p }.toMap
+    // 3 significant movers up, 3 down, over a population whose median
+    // is skewed up past 1.10: the old up>=down tie-break would have
+    // stamped an up-shift; a tie is no dominant direction at all
+    val tie = cmp((2.5, 2.0), (2.6, 2.0), (2.55, 2.0),
+      (1.5, 2.0), (1.45, 2.0), (1.55, 2.0),
+      (1.12, 1.0), (1.12, 1.0), (1.12, 1.0), (1.12, 1.0),
+      (1.12, 1.0), (1.12, 1.0))
+    assert(Bench.windowShift(tie, 0.20, 0.15, 0.20).isEmpty,
+      "a symmetric mover split is not a window-level shift, whatever " +
+        "the population median says")
+    // 12 queries, median ratio 0.85 (decisive: deviation 0.15), but
+    // only 2/12 = 0.167 significant movers — below the base 0.20
+    // gate, above the relaxed 0.20*0.10/0.15 = 0.133
+    val relaxedDown = cmp((0.7, 1.0), (0.7, 1.0),
+      (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0),
+      (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0))
+    assert(Bench.windowShift(relaxedDown, 0.20, 0.15, 0.20).exists(_ < 0.90),
+      "a typical-query move of 15% IS the window event the detector " +
+        "exists for, even with few individually-significant movers")
+    // the floor holds: same decisive median, but only 1/12 = 0.083
+    // movers — under fracThresh/2 = 0.10, must NOT detect
+    val floored = cmp((0.7, 1.0),
+      (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0),
+      (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0), (0.85, 1.0),
+      (0.85, 1.0))
+    assert(Bench.windowShift(floored, 0.20, 0.15, 0.20).isEmpty,
+      "a freak median cannot fire on a single mover")
+    // an in-band median (deviation <= 0.10) keeps the FULL fraction
+    // gate: 2/12 movers with a 1.08 median stays per-query business
+    val inBand = cmp((1.3, 1.0), (1.3, 1.0),
+      (1.08, 1.0), (1.08, 1.0), (1.08, 1.0), (1.08, 1.0), (1.08, 1.0),
+      (1.08, 1.0), (1.08, 1.0), (1.08, 1.0), (1.08, 1.0), (1.08, 1.0))
+    assert(Bench.windowShift(inBand, 0.20, 0.15, 0.20).isEmpty)
+  }
+
+  test("windowShift margin pinned on the REAL r18->r19 recovery pair " +
+      "(r19 directive #3): the pair that clears the base fraction " +
+      "gate by ONE mover stays excluded even if one mover flips") {
+    def art(n: Int): Map[String, Bench.PriorQuery] =
+      Bench.loadPriorArtifact(f"BENCH_r$n%02d.json")._1
+    val (r19, r18, r17) = (art(19), art(18), art(17))
+    assume(r19.size > 50 && r18.size > 50 && r17.size > 50,
+      "repo root carries the committed BENCH artifacts")
+    val cmp = Bench.comparablePair(r19, r18)
+    val det = Bench.windowShift(cmp, 0.20, 0.15, 0.20)
+    assert(det.exists(v => v > 0.80 && v < 0.90),
+      s"the r18->r19 recovery is a DOWN window-level shift, got: $det")
+    // the margin: judge-measured 17/82 movers vs the 0.20 gate — one
+    // mover from flipping under the pre-r20 policy. Remove the single
+    // largest down-mover from the pair; the relaxed gate must STILL
+    // adjudicate the remainder as a window shift (median ~0.88 is
+    // decisive), so one noisy query cannot re-admit ~16 vl flags.
+    val largestDown = cmp.minBy { case (_, (nv, ov)) => nv / ov }._1
+    val det2 = Bench.windowShift(cmp - largestDown, 0.20, 0.15, 0.20)
+    assert(det2.exists(_ < 0.90),
+      s"dropping mover '$largestDown' flipped the adjudication: $det2")
+    // steady state entering r20 (judge-simulated, now pinned): BOTH
+    // history pairs are window-shift-excluded and the per-query
+    // volatility policy flags ZERO queries
+    val shifts = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val vol = Bench.volatileNames(Seq(r19, r18, r17), 0.20, 0.15, 0.20,
+      onShift = (i, r) => shifts.append((i, r)))
+    assert(shifts.map(_._1).sorted === Seq(0, 1),
+      s"both pairs entering r20 are window-level events: $shifts")
+    assert(vol.isEmpty,
+      s"r20's volatility set must be empty, got: $vol")
+  }
+
   test("volatileNames entering r19 on the REAL artifacts: the shifted " +
       "r17->r18 pair is excluded (no cap flood), the r16->r17 pair " +
       "still contributes (round-18 directive #3)") {
@@ -443,16 +533,17 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     odd.toFile.deleteOnExit()
     val oddHist = Bench.benchHistoryPaths(3, envPrior = Some(odd.toString))
       .map(p => new java.io.File(p).getName)
+    // the hard-coded "BENCH_r18.json" this expected until r20 was
+    // itself tree-coupled (stale the round after it was written);
+    // the contract is "newest TRACKED artifact follows the odd prior"
     assert(oddHist.head === "my_prior.json" &&
-      oddHist.tail.head === "BENCH_r18.json", s"got: $oddHist")
+      oddHist.tail.headOption === trackedBenchNamesNewestFirst.headOption,
+      s"got: $oddHist")
   }
 
-  test("benchHistoryPaths: newest-first, capped, committed artifacts") {
-    val re = """BENCH_r(\d+)\.json""".r
-    val expected = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case re(n) => Some((n.toInt, f.getName)); case _ => None
-      }).sortBy(-_._1).map(_._2).take(3)
+  test("benchHistoryPaths: newest-first, capped, committed artifacts " +
+      "(expectation tracked-only, r19 directive #1)") {
+    val expected = trackedBenchNamesNewestFirst.take(3)
     assume(expected.size >= 3, "repo root carries committed BENCH artifacts")
     assert(Bench.benchHistoryPaths(3)
       .map(p => new java.io.File(p).getName) === expected)
@@ -463,6 +554,31 @@ class BenchProtocolSpec extends org.scalatest.funsuite.AnyFunSuite {
     val hist = Bench.benchHistoryPaths(3).map(p => Bench.loadPriorBench(p)._1)
     assert(hist.forall(_.size > 50),
       s"history artifacts parsed to sizes ${hist.map(_.size)}")
+  }
+
+  test("discovery regression guard: an UNTRACKED BENCH_r99.json decoy " +
+      "in the cwd changes neither the prior nor the history — the " +
+      "exact mid-round tree the driver and judge see (r19 directive " +
+      "#1)") {
+    assume(Bench.gitTrackedBenchNames.nonEmpty,
+      "git index available — the tracked-only contract is active")
+    val before = Bench.benchHistoryPaths(3)
+    val beforePrior = Bench.priorBenchPath()
+    assume(before.size >= 3 && beforePrior.nonEmpty)
+    val decoy = new java.io.File("BENCH_r99.json")
+    assume(!decoy.exists(), "no stale decoy from an aborted run")
+    try {
+      val w = new java.io.PrintWriter(decoy)
+      try w.print("""{"metric":"total","value":1.0,"unit":"sec",""" +
+        """"queries":{"q_decoy":1.0},"noise":0.1,"sf":"sf0.1"}""")
+      finally w.close()
+      assert(Bench.priorBenchPath() === beforePrior,
+        "an untracked artifact must not become the cross-round prior")
+      assert(Bench.benchHistoryPaths(3) === before,
+        "an untracked artifact must not enter the volatility history")
+      assert(!Bench.discoveredBenchPaths().exists(_.contains("r99")),
+        "discovery itself must drop the untracked name")
+    } finally decoy.delete()
   }
 
   test("headlineNames: judged headliners by default, env overrides, " +

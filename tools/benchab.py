@@ -62,7 +62,11 @@ def sh(cmd, cwd):
 
 def bench_window(tree, queries, runs, sf_dir, cpus, label):
     """One Bench JVM over `queries` only; returns {query: [raw runs]}."""
-    full_out = tempfile.mktemp(prefix=f"benchab_{label}_", suffix=".json")
+    # mkstemp, not the deprecated/race-prone mktemp (r19 advisory);
+    # Bench opens the path for write, so a pre-created empty file is fine
+    fd, full_out = tempfile.mkstemp(prefix=f"benchab_{label}_",
+                                    suffix=".json")
+    os.close(fd)
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_SF_DIR": sf_dir,

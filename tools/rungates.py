@@ -52,6 +52,14 @@ def fail(step, log):
     sys.exit(f"[rungates] {step} FAILED — see {log}")
 
 
+def tail(log):
+    """Last line of a step's log, tolerant of an empty file (a tool
+    that crashed before any output must surface the fail() diagnostic,
+    not an IndexError traceback — r19 advisory)."""
+    lines = open(log).read().strip().splitlines()
+    return lines[-1] if lines else f"(empty log {log})"
+
+
 def parse_census(out_path, artifact):
     """ShuffleCensus prints one JSON object per row line between '['
     and ']' lines, then a one-line summary. Parse per LINE and only
@@ -93,7 +101,7 @@ def main():
     if run(["python3", "tools/datacheck.py", "--round", str(n),
             "--repo", REPO], log):
         fail("datacheck", log)
-    print(open(log).read().strip().splitlines()[-1])
+    print(tail(log))
 
     if not args.skip_census:
         print(f"[rungates] 2/5 byte census", flush=True)
@@ -117,7 +125,7 @@ def main():
             difflog = f"{tmp}/bytesdiff.log"
             rc = run(["python3", "tools/bytesdiff.py", prev,
                       os.path.join(REPO, artifact)], difflog)
-            print(open(difflog).read().strip().splitlines()[-1])
+            print(tail(difflog))
             if rc:
                 fail("bytesdiff", difflog)
 
@@ -127,7 +135,7 @@ def main():
         if run(["python3", "tools/faultcheck.py", "--round", str(n),
                 "--repo", REPO], log):
             fail("faultcheck", log)
-        print(open(log).read().strip().splitlines()[-1])
+        print(tail(log))
 
     if not args.skip_minicluster:
         print(f"[rungates] 4/5 minicluster + MlClusterProbe", flush=True)
@@ -135,7 +143,7 @@ def main():
         if run(["python3", "tools/minicluster_gate.py", "--round", str(n)],
                log):
             fail("minicluster", log)
-        print(open(log).read().strip().splitlines()[-1])
+        print(tail(log))
         log = f"{tmp}/mlprobe.log"
         env = dict(os.environ, SPARK_DRIVER_MEM="16g")
         if run(["sbt", "-batch", "Test/runMain graft.tools.MlClusterProbe"],
@@ -161,7 +169,7 @@ def main():
             log = f"{tmp}/oracle_{tag}.log"
             rc = run(["python3", "tools/check_oracle.py",
                       "/root/testdata/sf0.01", out], log)
-            print(open(log).read().strip().splitlines()[-1])
+            print(tail(log))
             if rc:
                 fail(f"oracle-{tag}", log)
 
