@@ -19,6 +19,20 @@ object SparkEntry {
     // the physical encoding varies by writer (see EventTime)
     graft.sources.EventTime.nanos(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** The documents corpus globally sorted by doc_id, slim (doc_id, text)
+    * — the shared base of the per-document text-kernel queries (q16-q19,
+    * q61, q72, q73). The sort comes FIRST so the expensive kernels ride
+    * ABOVE the range exchange: with the sort last, RangePartitioning's
+    * bounds-sampling pass re-executes the sort's entire shuffle-free
+    * child plan, i.e. every text kernel ran TWICE per row (measured on
+    * q37's identical shape: 2.0 s -> 1.4 s restructured). Projections
+    * above a sort preserve its row order, so the query output is
+    * byte-identical (oracle-hash-gated).
+    */
+  private def docsSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
   /** embeddings split: even vec_id = train, odd = test (FIXTURES.md §B). */
   private def trainTest(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val e = t(s, dir, "embeddings")
@@ -541,12 +555,20 @@ object SparkEntry {
     "q37_vector_assembler" -> ((s, dir) => {
       import org.apache.spark.ml.feature.VectorAssembler
       import org.apache.spark.ml.functions.vector_to_array
+      // Sort FIRST, on the slim scan, then run the assembler + norm above
+      // the sort (order-preserving projections): RangePartitioning's
+      // sampling pass re-executes the sort's whole shuffle-free child
+      // plan, so with the sort LAST the assembler UDF + norm kernel ran
+      // twice per row (measured 2.0 s vs 1.4 s restructured — guide §1.4
+      // measure / §2.4 place the exchange before the expensive work, not
+      // after). The sample pass now re-reads only the column-pruned scan.
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("double"),
           col("l_extendedprice").cast("double"),
           col("l_discount").cast("double"),
           col("l_tax").cast("double"))
+        .orderBy("l_orderkey", "l_linenumber")
       val assembled = new VectorAssembler()
         .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .setOutputCol("features")
@@ -557,11 +579,17 @@ object SparkEntry {
         .transform(li)
       // norm via the codegen dot kernel: `aggregate` (a higher-order
       // function) is interpreted per element, measurably slower at 600k
-      // rows than one generated graft_dot call on the same array
-      val arr = vector_to_array(col("features")).cast("array<double>")
-      assembled.select(col("l_orderkey"), col("l_linenumber"),
-        round(sqrt(graft.functions.SeriesFunctions.dotProduct(arr, arr)), 6).as("norm"))
-        .orderBy("l_orderkey", "l_linenumber")
+      // rows than one generated graft_dot call on the same array.
+      // barrier() on the array projection: graft_dot(arr, arr) names the
+      // vector_to_array UDF twice, and CollapseProject inlines a
+      // deterministic single-use alias — the plan then ran the UDF twice
+      // per row; the barrier keeps it a referenced attribute (one eval).
+      val arr = graft.functions.SeriesFunctions.barrier(
+        vector_to_array(col("features")).cast("array<double>"))
+      assembled.select(col("l_orderkey"), col("l_linenumber"), arr.as("_arr"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(graft.functions.SeriesFunctions.dotProduct(
+            col("_arr"), col("_arr"))), 6).as("norm"))
     }),
 
     // Q38 — the k hyper-parameter sweep as one declared query (SURVEY
@@ -881,32 +909,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Q16 — token counting + element access (north-star: text analysis; P1-P3)
+    // Q16 — token counting + element access (north-star: text analysis;
+    // P1-P3). Kernels ride ABOVE the doc_id sort (docsSorted): with the
+    // sort last, RangePartitioning's sampling pass re-executed the whole
+    // shuffle-free scan+kernel child, running every text kernel twice
+    // per row (guide §1.4/§2.4; same restructure as q37).
     "q16_token_count" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
+      docsSorted(s, dir).select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
         get(TextFunctions.tokens(col("text")), lit(0)).as("first_token"))
-        .orderBy("doc_id")
     }),
 
-    // Q17 — quality scoring (north-star: text analysis)
+    // Q17 — quality scoring (north-star: text analysis); kernels above
+    // the sort, q16's rationale
     "q17_quality" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
+      docsSorted(s, dir).select(col("doc_id"),
         round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
         round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextFunctions.meanTokenLength(col("text")), 6).as("mean_tok_len"),
         TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
     }),
 
-    // Q18 — language ID heuristic (north-star: text analysis)
+    // Q18 — language ID heuristic (north-star: text analysis); kernel
+    // above the sort, q16's rationale
     "q18_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docsSorted(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
     }),
 
     // Q19 — document fingerprint: portable 59-bit rotate-xor codepoint
@@ -915,11 +944,10 @@ object SparkEntry {
     // declared query uses the oracle-checkable hash)
     "q19_fingerprint" -> ((s, dir) => {
       GraftFunctions.register(s)
-      t(s, dir, "documents")
+      docsSorted(s, dir)
         .select(col("doc_id"),
           graft.functions.SeriesFunctions.charFoldFingerprint(
             TextFunctions.tokens(col("text"))).as("fp"))
-        .orderBy("doc_id")
     }),
 
     // Q20 — brute-force cosine top-k ANN baseline (north-star: similarity search)
@@ -1197,11 +1225,10 @@ object SparkEntry {
     // whitespace-collapse, stopword-strip, rejoin — the canonical form
     // fed to shingle/embedding dedup. Scan-side projection only.
     "q61_normalize" -> ((s, dir) => {
-      t(s, dir, "documents")
+      docsSorted(s, dir)
         .select(col("doc_id"),
           TextFunctions.normalize(col("text")).as("norm_text"))
         .withColumn("n_norm_chars", length(col("norm_text")))
-        .orderBy("doc_id")
     }),
 
     // Q62 — gap-fill resampling: each user's irregular event values
@@ -1345,13 +1372,12 @@ object SparkEntry {
           pmod(col("doc_id") * 7, lit(256)).cast("string"),
           lit(" call 555-123-4567")))
         .otherwise(col("text"))
-      t(s, dir, "documents").select(
+      docsSorted(s, dir).select(
         col("doc_id"),
         TextFunctions.redactPii(aug).as("clean_text"),
         TextFunctions.piiHits(aug, TextFunctions.emailRe).as("n_emails"),
         TextFunctions.piiHits(aug, TextFunctions.ipv4Re).as("n_ips"),
         TextFunctions.piiHits(aug, TextFunctions.phoneRe).as("n_phones"))
-        .orderBy("doc_id")
     }),
 
     // Q73 — Gopher-family repetition filters: token and word-bigram
@@ -1361,7 +1387,7 @@ object SparkEntry {
     // ~0.9 ms/doc interpreted — ExpressionsSpec pins value parity).
     "q73_repetition" -> ((s, dir) => {
       GraftFunctions.register(s)
-      t(s, dir, "documents")
+      docsSorted(s, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
         .select(col("doc_id"),
           call_function("graft_repetition", col("tk")).as("rep"))
@@ -1370,7 +1396,6 @@ object SparkEntry {
           round(get(col("rep"), lit(0)), 6).as("rep1"),
           round(get(col("rep"), lit(1)), 6).as("rep2"))
         .withColumn("flagged", col("rep2") > 0.2)
-        .orderBy("doc_id")
     }),
 
     // Q74 — CSV source round-trip: write nation as headered CSV, read it

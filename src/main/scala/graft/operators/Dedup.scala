@@ -261,9 +261,21 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      hashedShingles(col(textCol), shingleSize).as("sh"))
-    val a = Partitioning.spread(docs.select(col("id").as("id_a"), col("sh").as("sh_a")))
+    // spread BEFORE the shingle projection, not after: with the spread
+    // above the projection the repartition exchange's map side ran the
+    // whole tokenize+shingle pass in the one scan task; below it, the
+    // shingle kernel runs post-exchange at cluster parallelism (and the
+    // broadcast b-side build parallelizes the same way). barrier() on
+    // the shingle expression is LOAD-BEARING: without it CollapseProject
+    // inlines the single-use alias through the cross join and the
+    // tokenize+shingle kernel re-runs once per PAIR — measured 20 s vs
+    // 1.5 s on the sf0.1 corpus (the Knn prune cascade documents the
+    // same hazard on its sketch projections).
+    val docs = Partitioning.spread(
+      df.select(col(idCol).as("id"), col(textCol).as("_text")))
+      .select(col("id"), SeriesFunctions.barrier(
+        hashedShingles(col("_text"), shingleSize)).as("sh"))
+    val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))

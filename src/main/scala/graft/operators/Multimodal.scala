@@ -62,6 +62,18 @@ object Multimodal {
   private def idIsNotNull(df: DataFrame, idCol: String): DataFrame =
     df.where(col(idCol).isNotNull)
 
+  /** Id projection spread to cluster parallelism before a per-row codec
+    * `mapPartitions`: the synthetic corpora derive from a SINGLE parquet
+    * split at test scale, which serialized every encode/decode into ONE
+    * task on a 32-core session (measured: the q32c AVI synthesis — 30k
+    * JPEG encodes — ran single-threaded at ~2.5 s). `Partitioning.spread`
+    * is a no-op once the scan already carries >= defaultParallelism
+    * splits, so the 100 TB path never pays the extra exchange; the rows
+    * moved here are slim (id only / id + payload about to be replaced).
+    */
+  private def spreadIds(df: DataFrame, idCol: String, as: String): DataFrame =
+    Partitioning.spread(idIsNotNull(df, idCol).select(idAs(idCol, as)))
+
   /** Decode a media payload into a fixed-length feature vector in
     * [0,1]^dim: real JDK codec when the payload is recognizable media
     * ([[realDecode]]), deterministic hash-mix fake otherwise — the
@@ -171,14 +183,64 @@ object Multimodal {
       if (counts(d) > 0) (sums(d) / counts(d)).toFloat else 0f))
   }
 
+  /** The JDK's registered audio SPI providers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` / `AudioSystem.write` re-run the
+    * provider lookup per call through a SYNCHRONIZED registry
+    * (JDK13Services), which anti-scales under executor-thread
+    * parallelism: the parallel WAV decode measured 2-3x SLOWER than
+    * single-threaded purely from that lock (guide §4.5 — initialize
+    * heavyweight state once, not per row). Caching the provider list
+    * keeps the identical codec classes (the real `javax.sound.sampled`
+    * path) and makes the per-row call lock-free.
+    */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+    // Order WAV-capable readers FIRST, decided by ONE probe at init: the
+    // JDK's registration order is Aiff, Au, SoftMidi, Wave..., so the
+    // first-supporting-provider loop paid three thrown
+    // UnsupportedAudioFileExceptions per payload before reaching the
+    // wave reader — measured 0.16 s vs 0.01 s per 5000 lookups (~16x of
+    // pure exception overhead). Non-WAV payloads still reach every
+    // reader; only the order changes, and order among SUPPORTING
+    // readers is preserved within each group.
+    val probe = new java.io.ByteArrayInputStream(wavFor(0L, 8, 1))
+    val (wav, rest) = all.partition { r =>
+      probe.reset()
+      try { r.getAudioInputStream(probe).close(); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    wav ++ rest
+  }
+
+  private[operators] lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toList
+  }
+
+  /** `AudioSystem.getAudioInputStream` minus the synchronized registry:
+    * the same first-supporting-provider loop over the same providers.
+    */
+  private def audioInputStream(
+      in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   /** PCM WAV -> dim sample block means: channel-0 samples normalized to
     * [-1,1], mapped to [0,1] (same cube as the image path), split into
     * `dim` contiguous blocks, each averaged. 16-bit signed and 8-bit
     * PCM; anything else returns None.
     */
   private def decodeWav(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val ais = audioInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
       val fmt = ais.getFormat
       val enc = fmt.getEncoding
@@ -411,9 +473,12 @@ object Multimodal {
       StructField("meta", mediaMetaType)))
     val enc = ExpressionEncoder(outSchema)
     val f = frames; val s = side
-    // null-id rows synthesize nothing (see syntheticPngTable)
-    idIsNotNull(docs, idCol).select(idAs(idCol, "doc_id"))
+    // null-id rows synthesize nothing (see syntheticPngTable); spread so
+    // the per-row JPEG encodes parallelize (single-split input otherwise
+    // serializes the whole synthesis into one task)
+    spreadIds(docs, idCol, "doc_id")
       .mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-only output streams
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, aviFor(id, f, s, s), Row("video/avi", s, s, f * 100L))
@@ -600,9 +665,11 @@ object Multimodal {
     val s = side; val b = blocks
     // a null id carries no identity to derive pixels from, and the output
     // schema declares doc_id non-nullable: such rows synthesize nothing;
-    // an uncastable id throws (idAs contract)
-    idIsNotNull(docs, idCol).select(idAs(idCol, "doc_id"))
+    // an uncastable id throws (idAs contract). Spread so the per-row PNG
+    // encodes parallelize (see [[spreadIds]]).
+    spreadIds(docs, idCol, "doc_id")
       .mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // memory-only output streams
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, pngFor(id, s, s, b), Row("image/png", s, s, null))
@@ -696,7 +763,13 @@ object Multimodal {
       StructField("meta", mediaMetaType)))
     val enc = ExpressionEncoder(outSchema)
     val n = samples; val b = blocks
-    // null-id rows synthesize nothing (see syntheticPngTable)
+    // null-id rows synthesize nothing (see syntheticPngTable). NOT
+    // spread, deliberately (measured, unlike the PNG/AVI siblings): a
+    // WAV encode+decode is ~50 us/row once the registry lookup is
+    // amortized ([[audioWriters]]), and the q32b A/B measured the spread
+    // variant consistently SLOWER (2.1-2.4 s vs 1.1-1.8 s) — per-task
+    // overhead across the downstream checkpoint/IVF stages exceeds the
+    // parallelizable codec work at this payload cost.
     idIsNotNull(docs, idCol).select(idAs(idCol, "doc_id"))
       .mapPartitions { rows =>
       rows.map { r =>
@@ -726,8 +799,13 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // AudioSystem.write minus the synchronized per-call registry lookup
+    // (see [[audioReaders]]): same provider, same bytes, lock-free
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
     bos.toByteArray
   }
 

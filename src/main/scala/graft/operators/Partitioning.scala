@@ -46,7 +46,16 @@ object Partitioning {
     */
   def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String], buckets: Int): Unit = {
     graft.sources.TableSink.prepareOverwrite(df.sparkSession, name)
-    df.write.mode("overwrite")
+    // Cluster by the bucket key BEFORE the write: an unclustered bucketed
+    // write emits one file per (task x bucket) — N input tasks produce
+    // 8N files at scale (the guide §6 small-files hazard), and a
+    // single-split input serializes all buckets into one task. The
+    // explicit hash repartition uses the same HashPartitioning the
+    // bucket spec does, so each task holds exactly one bucket: exactly
+    // `buckets` output files, written in parallel, each sorted by the
+    // spec's sortBy. Same table contents either way.
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

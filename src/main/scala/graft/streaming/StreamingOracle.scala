@@ -59,12 +59,27 @@ object StreamingOracle {
     val s = out.sparkSession
     val qname = "graft_so_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // No-data micro-batches only advance the watermark and evict state —
+    // none of the replayed operators emits rows from them (inner interval
+    // joins emit on arrival, dedup emits first-seen in the data batch,
+    // map/flatMapGroupsWithState run NoTimeout, complete/update-mode
+    // aggregates emit per data batch). Measured: the empty batch re-runs
+    // the full stateful plan (~0.7-1.9 s for the interval join — state
+    // scans across every store instance) for zero sink rows, so the
+    // bounded replay skips it. An unbounded production deployment keeps
+    // the default: there, eviction and event-time timeouts DO matter.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = out.writeStream.outputMode(mode).format("memory").queryName(qname).start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     // Move the (small, bounded) result out of the memory sink and DROP
     // the sink's temp view: the UUID-named views are unreachable by any
     // later cleanup, and each pinned its full result in the driver for

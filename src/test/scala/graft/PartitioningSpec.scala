@@ -68,6 +68,18 @@ class PartitioningSpec extends SparkTestBase {
     Partitioning.writeBucketed(
       customer.select($"c_custkey".as("o_custkey"), $"c_name"),
       "customer_b", Seq("o_custkey"), 4)
+    // r21: the pre-write cluster-by-bucket-key repartition bounds the
+    // file count at exactly `buckets` — an unclustered bucketed write
+    // emits one file per (task x bucket), i.e. 8N files at scale (guide
+    // §6 small-files hazard)
+    Seq("orders_b", "customer_b").foreach { t =>
+      val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(whBase, t)).iterator()
+      import scala.jdk.CollectionConverters._
+      val dataFiles = files.asScala.count(_.getFileName.toString.startsWith("part-"))
+      assert(dataFiles === 4,
+        s"$t: expected exactly 4 bucket files (one per bucket), got $dataFiles")
+    }
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force the sort-merge path so bucketing (not broadcast) is what

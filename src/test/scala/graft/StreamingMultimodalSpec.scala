@@ -295,6 +295,26 @@ class StreamingMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("r21 audio SPI bypass: wavFor bytes round-trip byte-identical through AudioSystem") {
+    // wavFor now writes through the ServiceLoader-cached provider
+    // (Multimodal.audioWriters) instead of AudioSystem.write's
+    // synchronized per-call registry lookup. Same provider => same
+    // bytes: decoding the payload with the REGISTRY path
+    // (AudioSystem.getAudioInputStream) and re-encoding it with
+    // AudioSystem.write must reproduce the payload exactly — if the
+    // bypass ever selected a different writer or format, the container
+    // bytes would differ here before any feature drifted.
+    for (id <- Seq(0L, 5L, 123L)) {
+      val fast = Multimodal.wavFor(id, 2048, 32)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(fast))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(bos.toByteArray.toSeq === fast.toSeq, s"id=$id")
+    }
+  }
+
   test("WAV decode degrades on corrupt payload instead of failing") {
     val good = Multimodal.wavFor(9L, 2048, 32)
     val corrupt = good.take(60) // truncated mid-header/payload
