@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object Prof {
   def main(args: Array[String]): Unit = {
+    // PROF_SHM=1: point the JVM temp dir (streaming checkpoints, staged
+    // sources, shuffle scratch defaults) at tmpfs BEFORE anything loads
+    // TempFileHelper — isolates whether the bounded streaming replays
+    // are local-disk-IO bound
+    if (sys.env.contains("PROF_SHM")) {
+      val d = new java.io.File("/dev/shm/graft_prof_tmp")
+      d.mkdirs()
+      System.setProperty("java.io.tmpdir", d.getAbsolutePath)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
