@@ -57,6 +57,13 @@ object SeriesFunctions {
     */
   def topkScores(score: Column, id: Column, k: Int): Column =
     call_function("graft_topk_scores", score, id, lit(k))
+  /** Fused candidate-selection scan (see [[graft.functions.TopKScanIds]]):
+    * the ids of the k best-ranked entries of a broadcast
+    * array<struct<id, sketch>> for one test-side sketch — the
+    * broadcast-path replacement for pair-join + graft_topk_ids.
+    */
+  def topkScan(sk: Column, trainArr: Column, k: Int, kind: String, band: Int): Column =
+    call_function("graft_topk_scan", sk, trainArr, lit(k), lit(kind), lit(band))
   /** The k smallest (score, id) pairs per group as array<struct<score,id>>,
     * sorted ascending — ONE heap maintains both columns (two separate
     * ids+scores aggregates would insert every input row twice).

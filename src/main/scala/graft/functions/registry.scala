@@ -96,6 +96,16 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         BoundedTopKIdsAgg(es(0), es(1), intArg(es(2), "k"), emitScores = true),
       "graft_topk_scores(score, id, k) - scores of the k smallest (score, id) pairs, as array<double>"),
+    ("graft_topk_scan",
+      (es: Seq[Expression]) => {
+        val kind = es(3) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"kind must be a string literal, got: $other")
+        }
+        TopKScanIds(es(0), es(1), intArg(es(2), "k"), kind, intArg(es(4), "band"))
+      },
+      "graft_topk_scan(sk, trainArr, k, kind, band) - ids of the k best-ranked broadcast train entries for one test sketch"),
     ("graft_topk_pairs",
       (es: Seq[Expression]) =>
         BoundedTopKIdsAgg(es(0), es(1), intArg(es(2), "k"), emitPairs = true),

@@ -273,6 +273,71 @@ object Knn {
       case _          => paaSide(tr, "train_series", "train_id", "tsk",
         withBarrier = false)
     }
+    // coarse band for the warp-aware ranker, scaled to sketch resolution
+    val coarseBand =
+      if (p.band < 0) -1 else math.max(1, p.band / p.coarsenFactor + 1)
+    // one stats-driven decision per query and side (conservative:
+    // measured on the FULL train projection, reused for the smaller
+    // sketch/sample joins; the test-side decision is only consulted when
+    // the train side exceeds the budget)
+    val bcastTrain = useBroadcast(trainSel, p)
+    val fk = p.candidateFactor * p.k
+    val distExpr = SeriesFunctions.barrier(
+      distanceColumn(p)(col("test_series"), col("train_series")))
+
+    if (bcastTrain) {
+      // FUSED broadcast path (r22, guide §1.2/§2.4): the train sketches
+      // travel as ONE broadcast array<struct<id, sketch>> row and a
+      // single expression ([[graft.functions.TopKScanIds]]) ranks every
+      // train entry and selects the top-fk candidates per TEST ROW —
+      // replacing two BroadcastNestedLoopJoin pair passes (sampled-tau +
+      // main), two ObjectHashAggregate pairs with their exchanges, the
+      // test-payload SortMergeJoin and the explicit repartition of the
+      // old shape (measured ~2.5 us/pair of join+aggregate machinery
+      // around a ~0.1 us ranking kernel at HAR scale). Selection
+      // semantics are identical — same kernels, same TopKIdsBuffer total
+      // order — and the sampled-tau prefilter is unnecessary here: it
+      // existed to bound aggregate state, and the fused heap is local to
+      // one row's evaluation. The test payload stays ON the row through
+      // candidate selection, so the exact phase explodes in-partition at
+      // the spread's parallelism with no join-back.
+      val (testSk, kind, kband) = p.pruneRanker match {
+        case "lb_keogh" =>
+          (spreadTest.withColumn("sk", SeriesFunctions.barrier(
+            SeriesFunctions.envelope(col("test_series"), p.band))),
+            "lb_keogh", -1)
+        case "paa_dtw" =>
+          (spreadTest.withColumn("sk", SeriesFunctions.barrier(
+            SeriesFunctions.paa(col("test_series"), p.coarsenFactor))),
+            "dtw", coarseBand)
+        case _ => // "paa": unwarped Manhattan on the sketches (cheapest)
+          (spreadTest.withColumn("sk", SeriesFunctions.barrier(
+            SeriesFunctions.paa(col("test_series"), p.coarsenFactor))),
+            "manhattan", -1)
+      }
+      val trainArr = trainSketchOf(trainSel)
+        .agg(collect_list(struct(col("train_id"), col("tsk"))).as("tarr"))
+      // barrier on cand_ids: InferFiltersFromGenerate adds a
+      // size(cand_ids) > 0 predicate above this projection, and pushdown
+      // through a deterministic alias would re-run the whole scan per row
+      val withDist = testSk
+        .crossJoin(broadcast(trainArr))
+        .select(col("test_id"), col("test_series"),
+          SeriesFunctions.barrier(SeriesFunctions.topkScan(
+            col("sk"), col("tarr"), fk, kind, kband)).as("cand_ids"))
+        .select(col("test_id"), col("test_series"),
+          explode(col("cand_ids")).as("train_id"))
+        .join(broadcast(trainSel), "train_id")
+        .withColumn("dist", distExpr)
+      val filtered =
+        if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0)
+        else withDist
+      return filtered.select(
+        col("test_id"), col("train_id"), col("label"), col("dist"))
+    }
+
+    // Oversize-train path: slim pair scores + bounded-heap selection (the
+    // shape that never replicates or collects the train payload).
     val (testSketch, scoreExpr) = p.pruneRanker match {
       case "lb_keogh" =>
         val ts = spreadTest.withColumn("sk", SeriesFunctions.barrier(
@@ -284,8 +349,6 @@ object Knn {
         // banded DTW on the sketches, band scaled to sketch resolution —
         // for series where the band is a large fraction of the length,
         // an unwarped sketch distance misranks warped near-neighbors
-        val coarseBand =
-          if (p.band < 0) -1 else math.max(1, p.band / p.coarsenFactor + 1)
         (paaSide(spreadTest, "test_series", "test_id", "sk"),
           SeriesFunctions.dtw(col("sk"), col("tsk"), coarseBand))
       case _ => // "paa": unwarped Manhattan on the sketches (cheapest)
@@ -296,17 +359,11 @@ object Knn {
     // ABOVE this select (across the tau join), and predicate pushdown
     // would otherwise inline the ranking kernel into the filter — one
     // evaluation per pair becomes two
-    // one stats-driven decision per query and side (conservative:
-    // measured on the FULL train projection, reused for the smaller
-    // sketch/sample joins; the test-side decision is only consulted when
-    // the train side exceeds the budget)
-    val bcastTrain = useBroadcast(trainSel, p)
-    val bcastTest = !bcastTrain && fitsBroadcast(testSketch)
+    val bcastTest = fitsBroadcast(testSketch)
     def slimScores(tr: DataFrame): DataFrame =
       crossPairs(trainSketchOf(tr), testSketch, p, Some(bcastTrain), Some(bcastTest))
         .select(col("test_id"), col("train_id"),
           SeriesFunctions.barrier(scoreExpr).as("score"))
-    val fk = p.candidateFactor * p.k
     // SLIM ranking rows: only (test_id, train_id, score) feed candidate
     // selection — payloads would put candidateCount * seriesBytes into
     // every buffer. Selection is a bounded-heap AGGREGATE (the
@@ -362,64 +419,29 @@ object Knn {
           .filter(col("score") <= coalesce(col("tau"), lit(Double.MaxValue)))
           .select("test_id", "train_id", "score")
       } else slimScores(trainSel)
-    val spark0 = train.sparkSession
     // ONE row per test point (test_id, candidate-id array) out of the
     // heap — the exact phase joins payloads at |test| row counts, not
-    // |test|*fk:
-    //   1. test payload joins onto the 1-row-per-test frame (tiny);
-    //   2. explicit repartition of that frame (AQE would coalesce a
-    //      ~10 MB exchange to ONE partition and serialize the exact
-    //      kernel into a single task; explicit counts are respected);
-    //   3. candidate ids explode IN-PARTITION (no shuffle of the
-    //      fanned-out rows);
-    //   4. the train side joins broadcast under the broadcast strategy.
-    // Payload bytes moved: O(|test| + |train|-broadcast), not
-    // O(|test| * fk * seriesBytes) — the earlier shape repartitioned the
-    // fanned-out rows WITH both payloads attached (~430 MB shuffle at
-    // HAR size; this one moves ~13 MB).
-    // selection runs as the native TypedImperativeAggregate
+    // |test|*fk. Selection runs as the native TypedImperativeAggregate
     // (graft_topk_ids): primitive-array heap buffer, no per-row tuple
     // boxing or Kryo buffer codec — the typed-Aggregator twin
     // ([[BoundedTopKByScore]]) keeps identical semantics and cross-checks
     // it in KnnSpec
     val perTest = slimDf.groupBy(col("test_id"))
       .agg(SeriesFunctions.topkIds(col("score"), col("train_id"), fk).as("cand_ids"))
-    val distExpr = SeriesFunctions.barrier(
-      distanceColumn(p)(col("test_series"), col("train_series")))
-    val withDist =
-      if (bcastTrain)
-        perTest
-          // merge hint, NOT an unhinted equi join: both sides are
-          // O(|test|) (the candidate-id frame and the test payload), so
-          // at inference scale neither may broadcast — but the payload's
-          // LogicalRDD estimate lies post-checkpoint and Catalyst
-          // build-broadcast a measured-132 MB test_series side at the
-          // tier100 census's 10x decade (the r12 build-side audit's
-          // catch; the oversize-train branch below already pinned its
-          // twin join for the same reason). Sort-merge exchanges each
-          // side once and replicates nothing.
-          .join(testSel.hint("merge"), "test_id")
-          .repartition(spark0.sparkContext.defaultParallelism)
-          .select(col("test_id"), col("test_series"),
-            explode(col("cand_ids")).as("train_id"))
-          .join(broadcast(trainSel), "train_id")
-          .withColumn("dist", distExpr)
-      else {
-        // Oversize train: broadcast the SLIM (train_id, test_id)
-        // candidate pairs instead — fk ids per test point, payload-free —
-        // so the train payload STREAMS through the hash join, never
-        // collected, never shuffled. An unhinted equi join here would let
-        // Catalyst build-broadcast the train side from its lying
-        // LogicalRDD estimate. The test-payload join is pinned to
-        // sort-merge for the same reason (exchanges the candidate rows
-        // and |test| payload rows; replicates nothing unbounded).
-        val slimPairs = perTest.select(
-          col("test_id"), explode(col("cand_ids")).as("train_id"))
-        trainSel
-          .join(broadcast(slimPairs), "train_id")
-          .join(testSel.hint("merge"), "test_id")
-          .withColumn("dist", distExpr)
-      }
+    // Oversize train: broadcast the SLIM (train_id, test_id)
+    // candidate pairs instead — fk ids per test point, payload-free —
+    // so the train payload STREAMS through the hash join, never
+    // collected, never shuffled. An unhinted equi join here would let
+    // Catalyst build-broadcast the train side from its lying
+    // LogicalRDD estimate. The test-payload join is pinned to
+    // sort-merge for the same reason (exchanges the candidate rows
+    // and |test| payload rows; replicates nothing unbounded).
+    val slimPairs = perTest.select(
+      col("test_id"), explode(col("cand_ids")).as("train_id"))
+    val withDist = trainSel
+      .join(broadcast(slimPairs), "train_id")
+      .join(testSel.hint("merge"), "test_id")
+      .withColumn("dist", distExpr)
     val filtered =
       if (p.excludeZeroDistance) withDist.filter(col("dist") =!= 0.0) else withDist
     filtered.select(col("test_id"), col("train_id"), col("label"), col("dist"))

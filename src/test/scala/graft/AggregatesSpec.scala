@@ -72,6 +72,62 @@ class AggregatesSpec extends SparkTestBase {
     assert(viaPairs === viaTwo)
   }
 
+  test("graft_topk_scan == pair-join + graft_topk_ids (every kernel, ties, nulls)") {
+    // the fused broadcast-path scan (r22) must select exactly what the
+    // join + heap-aggregate shape selected: same kernels, same
+    // (score, id) total order. Fixture includes duplicate sketches
+    // (score ties -> id tie-break), a null train sketch (skipped), and
+    // a null TEST sketch (null out, dropped by explode downstream).
+    val rnd2 = new scala.util.Random(7)
+    val trainRows: Seq[(Long, Array[Double])] =
+      (1L to 60L).map { i =>
+        // duplicates every 10th id: exact score ties across distinct ids
+        val seed = (i % 10).toInt
+        i -> Array.tabulate(12)(t => math.sin(t * 0.7 + seed) + seed * 0.1)
+      }
+    val testRows: Seq[(Long, Array[Double])] =
+      (101L to 115L).map { i =>
+        i -> Array.tabulate(12)(t => math.sin(t * 0.7) + rnd2.nextGaussian() * 0.2)
+      }
+    val train = trainRows.toDF("train_id", "tsk")
+    val test = testRows.toDF("test_id", "sk")
+    val k = 7
+    for ((kind, band) <- Seq(("manhattan", -1), ("dtw", 2), ("lb_keogh", -1))) {
+      val scoreExpr = kind match {
+        case "manhattan" => SeriesFunctions.manhattan(col("sk"), col("tsk"))
+        case "dtw"       => SeriesFunctions.dtw(col("sk"), col("tsk"), band)
+        case _           => SeriesFunctions.lbKeogh(col("sk"), col("tsk"))
+      }
+      val viaAgg = test.crossJoin(train)
+        .select(col("test_id"), col("train_id"), scoreExpr.as("score"))
+        .groupBy(col("test_id"))
+        .agg(SeriesFunctions.topkIds(col("score"), col("train_id"), k).as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val tarr = train.agg(
+        collect_list(struct(col("train_id"), col("tsk"))).as("tarr"))
+      val viaScan = test.crossJoin(broadcast(tarr))
+        .select(col("test_id"),
+          SeriesFunctions.topkScan(col("sk"), col("tarr"), k, kind, band).as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(viaScan === viaAgg, s"kind=$kind")
+    }
+    // null train sketch entries are skipped exactly like null scores in
+    // the aggregate; a null test sketch nulls the output array
+    val trainWithNull = (trainRows.map { case (i, a) => (i, a) } :+
+      (999L, null.asInstanceOf[Array[Double]])).toDF("train_id", "tsk")
+    val tarrN = trainWithNull.agg(
+      collect_list(struct(col("train_id"), col("tsk"))).as("tarr"))
+    val gotN = test.limit(1).crossJoin(broadcast(tarrN))
+      .select(SeriesFunctions.topkScan(col("sk"), col("tarr"), 100, "manhattan", -1).as("ids"))
+      .collect().head.getSeq[Long](0)
+    assert(gotN.size === 60 && !gotN.contains(999L))
+    val nullTest = Seq((1L, null.asInstanceOf[Array[Double]])).toDF("test_id", "sk")
+    val gotNull = nullTest.crossJoin(broadcast(tarrN))
+      .select(SeriesFunctions.topkScan(col("sk"), col("tarr"), 5, "manhattan", -1).as("ids"))
+      .collect().head
+    assert(gotNull.isNullAt(0))
+  }
+
   test("heap selection ties -0.0 with 0.0 like a window sort (id breaks the tie)") {
     // SQLOrderingUtil ordering: -0.0 == 0.0, so the k=1 winner is the
     // SMALLER id regardless of zero sign — java.lang.Double.compare
