@@ -28,6 +28,8 @@ object Prof {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", sys.env.getOrElse("PROF_UI", "false"))
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("PROF_ISO", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
@@ -236,10 +238,13 @@ object Prof {
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
           stage.resolve("embeddings.parquet"))
-        val stream = spark.readStream.schema(schema).parquet(stage.toString)
+        val stream0 = spark.readStream.schema(schema).parquet(stage.toString)
           .filter(col("vec_id") % 2 === 1)
           .select(col("vec_id").as("test_id"),
             col("embedding").cast("array<double>").as("test_series"))
+        // spread toggle: a REAL stateless repartition of the stream side
+        // (the staged file is one split, so the pair loop is one task)
+        val stream = if (i % 2 == 1) stream0.repartition(32) else stream0
         val out = graft.streaming.StreamingClassify.classifyStream1NN(
           train, stream, graft.core.KnnParams(distance = "euclidean"))
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -437,6 +442,94 @@ object Prof {
       time("q26.full", 3) {
         SparkEntry.dropDerivedMemosExcept(spark, Set.empty)
         noop(SparkEntry.queries("q26_har_model2_1nn")(spark, sfDir))
+      }
+    }
+
+    if (which.contains("q78stages")) {
+      // stage-level attribution of one spread q78 micro-batch
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+          val cpu = si.taskMetrics.executorCpuTime / 1e9
+          val rt = si.taskMetrics.executorRunTime / 1e3
+          stages.add(f"stage=${si.stageId} tasks=${si.numTasks} wall=$wall%.2f run=$rt%.2f cpu=$cpu%.2f ${si.name.take(70)}")
+        }
+      })
+      // warm
+      noop(SparkEntry.queries("q78_stream_knn")(spark, sfDir))
+      stages.clear()
+      time("q78.measured", 1)(noop(SparkEntry.queries("q78_stream_knn")(spark, sfDir)))
+      import scala.jdk.CollectionConverters._
+      stages.asScala.foreach(s => System.err.println(s"[prof] $s"))
+    }
+
+    if (which.contains("codegencount")) {
+      // does every bounded replay recompile generated code? per-run delta
+      // of the global codegen compile metrics
+      import org.apache.spark.metrics.source.CodegenMetrics
+      def snap(): (Long, Long) = (
+        CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount,
+        CodegenMetrics.METRIC_COMPILATION_TIME.getCount)
+      for (q <- Seq("q78_stream_knn", "q78_stream_knn", "q78_stream_knn",
+        "q70_stream_interval_join", "q70_stream_interval_join",
+        "q67_stream_window", "q67_stream_window",
+        "q25_knn_dtw_pruned", "q25_knn_dtw_pruned")) {
+        val (s0, c0) = snap()
+        val t0 = System.nanoTime()
+        SparkEntry.dropDerivedMemosExcept(spark, Set.empty)
+        noop(SparkEntry.queries(q)(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (s1, c1) = snap()
+        System.err.println(f"[prof] $q%-26s ${dt}%5.2fs compiles=${c1 - c0} srcBytes=${s1 - s0}")
+      }
+    }
+
+    if (which.contains("q78jstack")) {
+      // sample executor task stacks during the replay to find the
+      // state-store stage's blocking (run >> cpu)
+      noop(SparkEntry.queries("q78_stream_knn")(spark, sfDir)) // warm
+      val samples = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val sampler = new Thread(() => {
+        var n = 0
+        while (n < 120) {
+          Thread.sleep(25)
+          val stacks = Thread.getAllStackTraces()
+          stacks.forEach { (t, st) =>
+            if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+              val top = st.take(6).map(_.toString).mkString(" <- ")
+              samples.add(s"${t.getState} $top")
+            }
+          }
+          n += 1
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      time("q78.sampled", 1)(noop(SparkEntry.queries("q78_stream_knn")(spark, sfDir)))
+      import scala.jdk.CollectionConverters._
+      samples.asScala.groupBy(identity).toSeq.sortBy(-_._2.size).take(18)
+        .foreach { case (s, g) =>
+          System.err.println(s"[prof] x${g.size} ${s.take(420)}")
+        }
+    }
+
+    if (which.contains("streamparts")) {
+      // A/B the bounded replay's state-partition count (the replay owns
+      // spark.sql.shuffle.partitions for its run; currently 8)
+      for (parts <- Seq("8", "4", "2", "8", "4", "2")) {
+        spark.conf.set("spark.graft.stream.replayPartitions", parts)
+        time(s"q70.parts=$parts", 2) {
+          noop(SparkEntry.queries("q70_stream_interval_join")(spark, sfDir))
+        }
+        time(s"q67.parts=$parts", 2) {
+          noop(SparkEntry.queries("q67_stream_window")(spark, sfDir))
+        }
+        time(s"q78.parts=$parts", 2) {
+          noop(SparkEntry.queries("q78_stream_knn")(spark, sfDir))
+        }
       }
     }
 

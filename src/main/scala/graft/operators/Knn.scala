@@ -194,7 +194,18 @@ object Knn {
     // (one small parquet file = one partition = one task for the whole
     // distance loop). Spread it across the cluster before the join; the
     // distance kernels dominate, so this tiny shuffle always pays off.
-    val spreadTest = Partitioning.spread(testSel, p.testPartitions)
+    // A STREAMING test side gets an unconditional stateless repartition:
+    // spread() cannot probe a micro-batch's width, each batch inherits
+    // its file's split count (a single staged file = ONE task for the
+    // whole pair loop — q78's measured 1.5 s single-task stage), and the
+    // one-row-moved-once shuffle is always amortized by the |train| x dim
+    // kernel work that row then pays.
+    val spreadTest =
+      if (testSel.isStreaming)
+        testSel.repartition(
+          if (p.testPartitions > 0) p.testPartitions
+          else testSel.sparkSession.sparkContext.defaultParallelism)
+      else Partitioning.spread(testSel, p.testPartitions)
     val joined = crossPairs(trainSel, spreadTest, p)
     val distExpr = distanceColumn(p)(col("test_series"), col("train_series"))
     // When the zero-distance exclusion is on, wrap the distance in a

@@ -61,7 +61,14 @@ object StreamingOracle {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get(
       "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 partitions (was 8): with the per-run codegen recompiles gone the
+    // per-store fixed cost is the next term — the r22 interleaved A/B
+    // (PROF=streamparts) measured 8/4/2 at e.g. q70 2.00/1.60/1.49 and
+    // q78 1.32/1.09/1.04 floors; 4 keeps headroom for the 10x tier's
+    // bigger single batch. Replay-harness knob only — an unbounded
+    // production deployment sizes state partitions to key cardinality.
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.stream.replayPartitions", "4"))
     // No-data micro-batches only advance the watermark and evict state —
     // none of the replayed operators emits rows from them (inner interval
     // joins emit on arrival, dedup emits first-seen in the data batch,
@@ -72,6 +79,19 @@ object StreamingOracle {
     // bounded replay skips it. An unbounded production deployment keeps
     // the default: there, eviction and event-time timeouts DO matter.
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Artifact isolation (Spark 4) gives every streaming query's cloned
+    // session its own classloader, and the codegen cache key is
+    // (classloader, source) — so EVERY bounded replay recompiled its
+    // entire generated-code set (measured: 14-29 Janino compiles per
+    // run, ~0.5-1 s of compile + KeyLock contention inside the
+    // state-store tasks; 0 compiles once disabled, batch queries always
+    // hit). This engine registers no session artifacts, so the isolated
+    // classloader carries nothing — scoped off for the replay, restored
+    // after. An unbounded deployment amortizes the one-time compile and
+    // can keep the default.
+    val prevIso = s.conf.get("spark.sql.artifact.isolation.enabled", "true")
+    try s.conf.set("spark.sql.artifact.isolation.enabled", "false")
+    catch { case scala.util.control.NonFatal(_) => () } // static in some builds
     try {
       val q = out.writeStream.outputMode(mode).format("memory").queryName(qname).start()
       try q.processAllAvailable()
@@ -79,6 +99,8 @@ object StreamingOracle {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      try s.conf.set("spark.sql.artifact.isolation.enabled", prevIso)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // Move the (small, bounded) result out of the memory sink and DROP
     // the sink's temp view: the UUID-named views are unreachable by any
