@@ -487,6 +487,31 @@ object Prof {
       }
     }
 
+    if (which.contains("textab")) {
+      // interleaved A/B: kernels above orderBy (AQE-coalesced, often 1
+      // post-sort partition) vs above repartitionByRange(n)+sortWithin
+      import graft.functions.{SeriesFunctions, TextFunctions}
+      val base = t("documents").select(col("doc_id"), col("text"))
+      def kernels(d: DataFrame): DataFrame = {
+        val aug = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@mail.example.com srv 10.0.1.2 call 555-123-4567")))
+          .otherwise(col("text"))
+        d.select(col("doc_id"),
+          TextFunctions.redactPii(aug).as("clean_text"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      }
+      def viaOrderBy = kernels(base.orderBy("doc_id"))
+      def viaRange = kernels(
+        base.repartitionByRange(32, col("doc_id")).sortWithinPartitions("doc_id"))
+      for (i <- 1 to 3) {
+        time(s"text.orderBy#$i", 3)(noop(viaOrderBy))
+        time(s"text.range#$i", 3)(noop(viaRange))
+      }
+    }
+
     if (which.contains("q78jstack")) {
       // sample executor task stacks during the replay to find the
       // state-store stage's blocking (run >> cpu)

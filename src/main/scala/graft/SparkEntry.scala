@@ -19,6 +19,41 @@ object SparkEntry {
     // the physical encoding varies by writer (see EventTime)
     graft.sources.EventTime.nanos(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** Globally-sorted frame with a scale-adaptive partition count:
+    * `repartitionByRange(n) + sortWithinPartitions` instead of `orderBy`.
+    * Same output order — the range partitioner routes by key so
+    * partition-major traversal is the globally sorted sequence, and the
+    * callers' sort keys are unique (doc_id; the lineitem composite key),
+    * so the row sequence is fully determined either way (oracle-hash-
+    * gated). The difference is the POST-sort width: an `orderBy` exchange
+    * is ENSURE_REQUIREMENTS, which AQE coalesces to ~input-bytes/advisory
+    * partitions — ONE partition for a small corpus — so the expensive
+    * kernels projected above the sort ran near-serial at test scale (the
+    * r21 self-identified gap, guide §2.5). An explicit count is not
+    * coalesced; `n` derives from input bytes (floor: cluster parallelism;
+    * cap: the session's shuffle-partition setting, exactly where the
+    * orderBy exchange would start pre-AQE), so the kernel pass runs wide
+    * at EVERY scale instead of only where the input is already big.
+    */
+  private def sortedWide(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    val par = s.sparkContext.defaultParallelism.toLong
+    val shuffleParts =
+      try s.conf.get("spark.sql.shuffle.partitions", par.toString).toLong
+      catch { case scala.util.control.NonFatal(_) => par }
+    val advisory = math.max(1L,
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+      catch { case scala.util.control.NonFatal(_) => 67108864L })
+    val bytes =
+      try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    val byBytes = (bytes / advisory).min(BigInt(Long.MaxValue)).toLong + 1L
+    val n = math.max(par, math.min(byBytes, math.max(par, shuffleParts))).toInt
+    df.repartitionByRange(n, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+  }
+
   /** The documents corpus globally sorted by doc_id, slim (doc_id, text)
     * — the shared base of the per-document text-kernel queries (q16-q19,
     * q61, q72, q73). The sort comes FIRST so the expensive kernels ride
@@ -27,11 +62,12 @@ object SparkEntry {
     * child plan, i.e. every text kernel ran TWICE per row (measured on
     * q37's identical shape: 2.0 s -> 1.4 s restructured). Projections
     * above a sort preserve its row order, so the query output is
-    * byte-identical (oracle-hash-gated).
+    * byte-identical (oracle-hash-gated). [[sortedWide]] keeps the kernel
+    * pass wide at every scale.
     */
   private def docsSorted(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"), col("text"))
-      .orderBy("doc_id")
+    sortedWide(t(s, dir, "documents").select(col("doc_id"), col("text")),
+      Seq("doc_id"))
 
   /** embeddings split: even vec_id = train, odd = test (FIXTURES.md §B). */
   private def trainTest(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -562,13 +598,13 @@ object SparkEntry {
       // twice per row (measured 2.0 s vs 1.4 s restructured — guide §1.4
       // measure / §2.4 place the exchange before the expensive work, not
       // after). The sample pass now re-reads only the column-pruned scan.
-      val li = t(s, dir, "lineitem")
+      val li = sortedWide(t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("double"),
           col("l_extendedprice").cast("double"),
           col("l_discount").cast("double"),
-          col("l_tax").cast("double"))
-        .orderBy("l_orderkey", "l_linenumber")
+          col("l_tax").cast("double")),
+        Seq("l_orderkey", "l_linenumber"))
       val assembled = new VectorAssembler()
         .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .setOutputCol("features")
