@@ -487,6 +487,70 @@ object Prof {
       }
     }
 
+    if (which.contains("imgread")) {
+      // plain-JVM A/B: per-call ImageIO.getImageReaders (registry scan +
+      // new reader instance per payload) vs per-thread spi+reader cache
+      javax.imageio.ImageIO.setUseCache(false)
+      val payloads = Array.tabulate(5000)(i =>
+        operators.Multimodal.pngFor(i.toLong, 16, 16, 32))
+      def viaRegistry(b: Array[Byte]): Int = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val rs = javax.imageio.ImageIO.getImageReaders(iis)
+          val r = rs.next()
+          try { r.setInput(iis, true, true); r.getWidth(0) }
+          finally r.dispose()
+        } finally iis.close()
+      }
+      val spisTL = new ThreadLocal[Array[(javax.imageio.spi.ImageReaderSpi, javax.imageio.ImageReader)]] {
+        override def initialValue() = {
+          import scala.jdk.CollectionConverters._
+          javax.imageio.spi.IIORegistry.getDefaultInstance
+            .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+            .asScala.map(spi => (spi, spi.createReaderInstance())).toArray
+        }
+      }
+      def viaCache(b: Array[Byte]): Int = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val spis = spisTL.get()
+          var i = 0
+          while (i < spis.length) {
+            val (spi, reader) = spis(i)
+            iis.seek(0)
+            if (spi.canDecodeInput(iis)) {
+              iis.seek(0)
+              reader.setInput(iis, true, true)
+              try return reader.getWidth(0)
+              finally reader.reset()
+            }
+            i += 1
+          }
+          -1
+        } finally iis.close()
+      }
+      def run(tag: String, f: Array[Byte] => Int, threads: Int): Unit =
+        time(f"img.$tag.${threads}t", 2) {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+          val futs = payloads.grouped(payloads.length / threads + 1).toList
+            .map(c => pool.submit(new Runnable {
+              def run(): Unit = c.foreach(f)
+            }))
+          futs.foreach(_.get()); pool.shutdown()
+        }
+      for (_ <- 1 to 3) {
+        run("registry", viaRegistry, 1)
+        run("cache", viaCache, 1)
+        run("registry", viaRegistry, 32)
+        run("cache", viaCache, 32)
+      }
+      // full decode (header + raster) variants for realism
+      def fullVia(f: Array[Byte] => Int): Unit = payloads.foreach(f)
+      val _ = fullVia _
+    }
+
     if (which.contains("textab")) {
       // interleaved A/B: kernels above orderBy (AQE-coalesced, often 1
       // post-sort partition) vs above repartitionByRange(n)+sortWithin
@@ -512,10 +576,32 @@ object Prof {
       }
     }
 
+    if (which.contains("q71prog")) {
+      // q71 micro-batch + stage attribution
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+          val cpu = si.taskMetrics.executorCpuTime / 1e9
+          val rt = si.taskMetrics.executorRunTime / 1e3
+          stages.add(f"stage=${si.stageId} tasks=${si.numTasks} wall=$wall%.2f run=$rt%.2f cpu=$cpu%.2f ${si.name.take(60)}")
+        }
+      })
+      val target = sys.env.getOrElse("PROF_Q", "q71_stream_asof")
+      noop(SparkEntry.queries(target)(spark, sfDir)) // warm
+      stages.clear()
+      time(s"$target.measured", 1)(noop(SparkEntry.queries(target)(spark, sfDir)))
+      import scala.jdk.CollectionConverters._
+      stages.asScala.foreach(s => System.err.println(s"[prof] $s"))
+      time(s"$target.more", 3)(noop(SparkEntry.queries(target)(spark, sfDir)))
+    }
+
     if (which.contains("q78jstack")) {
       // sample executor task stacks during the replay to find the
       // state-store stage's blocking (run >> cpu)
-      noop(SparkEntry.queries("q78_stream_knn")(spark, sfDir)) // warm
+      noop(SparkEntry.queries(sys.env.getOrElse("PROF_Q", "q78_stream_knn"))(spark, sfDir)) // warm
       val samples = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val sampler = new Thread(() => {
         var n = 0
@@ -533,7 +619,7 @@ object Prof {
       })
       sampler.setDaemon(true)
       sampler.start()
-      time("q78.sampled", 1)(noop(SparkEntry.queries("q78_stream_knn")(spark, sfDir)))
+      time("sampled", 1)(noop(SparkEntry.queries(sys.env.getOrElse("PROF_Q", "q78_stream_knn"))(spark, sfDir)))
       import scala.jdk.CollectionConverters._
       samples.asScala.groupBy(identity).toSeq.sortBy(-_._2.size).take(18)
         .foreach { case (s, g) =>

@@ -105,14 +105,20 @@ object StreamingOracle {
     // Move the (small, bounded) result out of the memory sink and DROP
     // the sink's temp view: the UUID-named views are unreachable by any
     // later cleanup, and each pinned its full result in the driver for
-    // the session's life. A LocalRelation copy is GC'd with the returned
-    // frame instead.
+    // the session's life. The copy-out stays in Tungsten format
+    // (executeCollect -> internalCreateDataFrame): the old
+    // collect()/createDataFrame round-trip decoded every row to an
+    // external Row and re-encoded it through per-field catalyst
+    // converters — pure driver-side overhead at q71's 100k-row result
+    // (guide §5: the driver should do almost no data work).
     val sink = s.table(qname)
-    val rows = sink.collect()
-    val result = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), sink.schema)
+    val schema = sink.schema
+    val internal = sink.queryExecution.executedPlan.executeCollect()
     s.catalog.dropTempView(qname)
-    result
+    val slices = math.max(1, math.min(
+      s.sparkContext.defaultParallelism, internal.length / 5000 + 1))
+    org.apache.spark.sql.graft.DataFrameBridge.internalCreateDataFrame(
+      s, s.sparkContext.parallelize(internal.toIndexedSeq, slices), schema)
   }
 
   /** Events stream with a second-precision event-time column `ts`
